@@ -1,0 +1,115 @@
+"""Sync-catalog: config-driven table registry.
+
+Parity with the reference's ``sync_table_list`` JSON (parsed at
+cdc_util/redshift_sink.py:552-579; example config/job-ec2.properties:30-33):
+each rule declares the source db/table (table may be a regex), primary key
+column(s), optional target-table override, delete-handling mode, and
+column-level type annotations (super/json, timestamp, date).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+DEFAULT_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"  # cdc_util/redshift_sink.py:178
+
+
+@dataclass(frozen=True)
+class SyncRule:
+    """One entry of the sync catalog (cdc_util/redshift_sink.py:552-579)."""
+
+    db: str
+    table: str  # exact name or regex (reference allows regex table names, README.md:42)
+    primary_key: tuple[str, ...]
+    target_table: str | None = None
+    ignore_ddl: bool = False      # fixed-schema mode: cast to target types
+    save_delete: bool = False     # also append delete images to <table>_delete
+    only_save_delete: bool = False
+    skip_delete: bool = False     # intended semantics: keep deletes as upserts
+    super_columns: tuple[str, ...] = ()       # JSON-string passthrough columns
+    timestamp_columns: tuple[str, ...] = ()   # string -> timestamp
+    timestamp_format: str = DEFAULT_TS_FORMAT
+    date_columns: tuple[str, ...] = ()        # epoch-days int -> date
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    @property
+    def target_name(self) -> str:
+        return self.target_table or self.table
+
+    def matches(self, db: str, table: str) -> bool:
+        if db != self.db:
+            return False
+        if table == self.table:
+            return True
+        try:
+            return re.fullmatch(self.table, table) is not None
+        except re.error:
+            return False
+
+
+def _split(v: str | None) -> tuple[str, ...]:
+    if not v:
+        return ()
+    return tuple(c.strip() for c in str(v).split(",") if c.strip())
+
+
+def _flag(v) -> bool:
+    # The reference compares against the string "true"; one site compares
+    # "ture" (cdc_util/redshift_sink.py:456) — we implement the intended check.
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
+    """Parse the ``sync_table_list`` JSON array into SyncRule objects.
+
+    Accepts the raw JSON string from a .properties job config or an
+    already-parsed list of dicts.
+    """
+    items = json.loads(sync_table_list) if isinstance(sync_table_list, str) else sync_table_list
+    rules = []
+    for it in items:
+        ts_cols, ts_fmt = (), DEFAULT_TS_FORMAT
+        raw_ts = it.get("timestamp_columns", "")
+        # per-column format override syntax "col1,col2|fmt" (redshift_sink.py:170-190)
+        if "|" in str(raw_ts):
+            cols, ts_fmt = str(raw_ts).split("|", 1)
+            ts_cols = _split(cols)
+        else:
+            ts_cols = _split(raw_ts)
+        rules.append(
+            SyncRule(
+                db=it["db"],
+                table=it["table"],
+                primary_key=_split(it.get("primary_key", "")),
+                target_table=it.get("target_table") or None,
+                ignore_ddl=_flag(it.get("ignore_ddl", False)),
+                save_delete=_flag(it.get("save_delete", False)),
+                only_save_delete=_flag(it.get("only_save_delete", False)),
+                skip_delete=_flag(it.get("skip_delete", False)),
+                super_columns=_split(it.get("super_columns", "")),
+                timestamp_columns=ts_cols,
+                timestamp_format=ts_fmt or DEFAULT_TS_FORMAT,
+                date_columns=_split(it.get("date_columns", "")),
+                extra={k: v for k, v in it.items() if k not in {
+                    "db", "table", "primary_key", "target_table", "ignore_ddl",
+                    "save_delete", "only_save_delete", "skip_delete",
+                    "super_columns", "timestamp_columns", "date_columns"}},
+            )
+        )
+    return rules
+
+
+def load_properties(text: str) -> dict[str, str]:
+    """Minimal .properties parser (reference loads via jproperties from S3,
+    glue/cdc_redshift.py:42-49). Supports ``k = v`` lines and # comments."""
+    out: dict[str, str] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("#", "!")):
+            continue
+        if "=" in line:
+            k, v = line.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out

@@ -1,0 +1,108 @@
+"""Envelope parsing + normalization to a unified flat changelog.
+
+Output contract of every parse_* function — the engine's internal changelog
+relation:
+
+    <payload columns...>, op: string in {'c','u','d','r'}, ts_ms: long
+    (+ data_index_aws: int for Canal, the positional tiebreak)
+
+This mirrors the reference's flatten step (`from_json` + select("kdata.*"),
+cdc_util/redshift_sink.py:594) but with a STATIC payload schema — no per-batch
+`spark.read.json` inference pass (redshift_sink.py:592), which at scale is a
+full extra scan of every micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import envelopes
+
+# op-code normalization (P9): reference filters op IN ('c','u','d','r') /
+# DMS operation IN (load,insert,update,delete) / Canal type IN (INSERT,...)
+# (cdc_util/redshift_sink.py:200-226)
+_DMS_OP = {"load": "r", "insert": "c", "update": "u", "delete": "d"}
+_CANAL_OP = {"INSERT": "c", "UPDATE": "u", "DELETE": "d"}
+_MONGO_OP = {"insert": "c", "update": "u", "replace": "u", "delete": "d"}
+
+
+def coalesce_delete_image(df: DataFrame) -> DataFrame:
+    """Debezium delete rows have after=null; copy `before` into `after` so the
+    delete carries full column values. Replaces the reference's Python UDF
+    JSON-rewrite (cdc_util/redshift_sink.py:54-67) with a native coalesce —
+    no Python round-trip, stays in whole-stage codegen."""
+    return df.withColumn("after", F.coalesce(F.col("after"), F.col("before")))
+
+
+def parse_debezium(df: DataFrame, payload: T.StructType, *, value_col: str = "value") -> DataFrame:
+    """JSON -> flat changelog for Debezium/Flink-CDC (redshift_sink.py:202-205,594)."""
+    env = envelopes.debezium_schema(payload)
+    parsed = df.select(F.from_json(F.col(value_col), env).alias("k"))
+    parsed = parsed.select("k.*").filter(F.col("op").isin("c", "u", "d", "r"))
+    parsed = coalesce_delete_image(parsed)
+    return parsed.select("after.*", "op", "ts_ms")
+
+
+def parse_dms(df: DataFrame, payload: T.StructType, *, value_col: str = "value") -> DataFrame:
+    """DMS: data + metadata.timestamp (ISO string) as event time
+    (redshift_sink.py:196-201). ts_ms derived from the ISO timestamp."""
+    env = envelopes.dms_schema(payload)
+    parsed = df.select(F.from_json(F.col(value_col), env).alias("k")).select("k.*")
+    op = F.col("metadata.operation")
+    parsed = parsed.filter(op.isin(*_DMS_OP))
+    return parsed.select(
+        "data.*",
+        _map_expr(op, _DMS_OP).alias("op"),
+        F.unix_millis(F.to_timestamp(F.col("metadata.timestamp"))).alias("ts_ms"),
+    )
+
+
+def parse_canal(df: DataFrame, payload: T.StructType, *, value_col: str = "value",
+                pre_parsed: bool = False) -> DataFrame:
+    """Canal: `data` is an array of row images — posexplode keeps the position
+    as `data_index_aws`, the dedup tiebreak (redshift_sink.py:401-407)."""
+    if pre_parsed:
+        parsed = df
+    else:
+        env = envelopes.canal_schema(payload)
+        parsed = df.select(F.from_json(F.col(value_col), env).alias("k")).select("k.*")
+    op = F.col("type")
+    parsed = parsed.filter(op.isin(*_CANAL_OP))
+    exploded = parsed.select(
+        F.posexplode("data").alias("data_index_aws", "row"),
+        _map_expr(op, _CANAL_OP).alias("op"),
+        F.col("ts").alias("ts_ms"),
+    )
+    return exploded.select("row.*", "op", "ts_ms", "data_index_aws")
+
+
+def parse_mongo(df: DataFrame, *, value_col: str = "value") -> DataFrame:
+    """Mongo change stream -> (doc_id, doc, op, ts_ms). The doc stays a raw
+    JSON string (SUPER duality, mongo_redshift_sink.py:157-168); doc_id is
+    extracted natively instead of via the reference's regex UDF
+    (mongo_redshift_sink.py:33-43): scalar `_id` taken verbatim, compound
+    `_id` objects kept as canonical JSON."""
+    env = envelopes.mongo_schema()
+    parsed = df.select(F.from_json(F.col(value_col), env).alias("k")).select("k.*")
+    parsed = parsed.filter(F.col("operationType").isin(*_MONGO_OP))
+    doc_id = F.coalesce(
+        F.get_json_object(F.col("documentKey"), "$._id"),
+        F.col("documentKey"),
+    )
+    return parsed.select(
+        doc_id.alias("doc_id"),
+        F.coalesce(F.col("fullDocument"), F.lit("[]")).alias("doc"),
+        _map_expr(F.col("operationType"), _MONGO_OP).alias("op"),
+        F.col("ts_ms"),
+        F.to_date(F.from_unixtime(F.col("ts_ms") / 1000)).alias("ts_date"),
+    )
+
+
+def _map_expr(col, mapping: dict[str, str]):
+    expr = None
+    for src, dst in mapping.items():
+        cond = F.when(col == src, F.lit(dst))
+        expr = cond if expr is None else expr.when(col == src, F.lit(dst))
+    return expr

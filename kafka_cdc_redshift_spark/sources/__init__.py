@@ -1,0 +1,1 @@
+from .files import load_table, table_path  # noqa: F401

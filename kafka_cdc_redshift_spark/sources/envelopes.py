@@ -1,0 +1,238 @@
+"""CDC envelope schemas + deterministic changelog synthesis.
+
+Envelope shapes follow the reference's consumed formats (FIXTURES.md §A;
+samples at reference README.md:316-527):
+
+  Debezium/Flink-CDC : {before, after, source{db,table,ts_ms,...}, op, ts_ms}
+  AWS DMS            : {data, metadata{timestamp, record-type, operation,
+                        schema-name, table-name}}
+  Canal              : {data: [...], database, table, type, ts}
+  Mongo change stream: {fullDocument, operationType, documentKey, ns, ts_ms}
+
+Unlike the reference — which re-infers the JSON schema per table per batch
+(cdc_util/redshift_sink.py:592, a full extra pass over the data) — we build
+an explicit StructType for a known payload schema, so `from_json` parses in
+one codegen'd pass and Catalyst can prune unused envelope fields.
+
+The synth_* helpers build deterministic changelogs from the driver's parquet
+tables so the DuckDB oracle can replay the identical change log (FIXTURES.md
+§D). Spec (keyed on o_orderkey):
+  * insert 'c' for every row,            ts_ms = epoch_ms(o_orderdate)
+  * update 'u' where key % 3 == 0,       ts_ms + 3_600_000, totalprice * 1.1
+  * delete 'd' where key % 7 == 0,       ts_ms + 7_200_000
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .files import load_table
+
+# ---------------------------------------------------------------------------
+# Envelope StructTypes (parameterized by the row payload schema)
+# ---------------------------------------------------------------------------
+
+
+def debezium_schema(payload: T.StructType) -> T.StructType:
+    """Debezium / Flink-CDC / MSK-Debezium envelope (README.md:316-392)."""
+    return T.StructType(
+        [
+            T.StructField("before", payload, True),
+            T.StructField("after", payload, True),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("version", T.StringType(), True),
+                        T.StructField("connector", T.StringType(), True),
+                        T.StructField("name", T.StringType(), True),
+                        T.StructField("ts_ms", T.LongType(), True),
+                        T.StructField("snapshot", T.StringType(), True),
+                        T.StructField("db", T.StringType(), True),
+                        T.StructField("table", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+def dms_schema(payload: T.StructType) -> T.StructType:
+    """AWS DMS envelope (README.md:393-413)."""
+    return T.StructType(
+        [
+            T.StructField("data", payload, True),
+            T.StructField(
+                "metadata",
+                T.StructType(
+                    [
+                        T.StructField("timestamp", T.StringType(), True),
+                        T.StructField("record-type", T.StringType(), True),
+                        T.StructField("operation", T.StringType(), True),
+                        T.StructField("schema-name", T.StringType(), True),
+                        T.StructField("table-name", T.StringType(), True),
+                        T.StructField("transaction-id", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+
+def canal_schema(payload: T.StructType) -> T.StructType:
+    """Canal envelope; `data` is an ARRAY of row images (redshift_sink.py:401-407)."""
+    return T.StructType(
+        [
+            T.StructField("data", T.ArrayType(payload), True),
+            T.StructField("database", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+
+
+def mongo_schema() -> T.StructType:
+    """Mongo change-stream envelope; fullDocument kept as raw JSON string
+    (doc -> SUPER, mongo_redshift_sink.py:157-168)."""
+    return T.StructType(
+        [
+            T.StructField("_id", T.StringType(), True),
+            T.StructField("operationType", T.StringType(), True),
+            T.StructField("fullDocument", T.StringType(), True),
+            T.StructField("documentKey", T.StringType(), True),
+            T.StructField(
+                "ns",
+                T.StructType(
+                    [
+                        T.StructField("db", T.StringType(), True),
+                        T.StructField("coll", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic changelog synthesis from the `orders` table
+# ---------------------------------------------------------------------------
+
+ORDERS_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+# DuckDB twin of synth_orders_changelog(); oracle queries build on this CTE.
+ORDERS_CHANGELOG_SQL = """
+changelog AS (
+    SELECT 'c' AS op, epoch_ms(o_orderdate) AS ts_ms,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT 'u', epoch_ms(o_orderdate) + 3600000,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'd', epoch_ms(o_orderdate) + 7200000,
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 7 = 0
+)
+"""
+
+
+def synth_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat (already parsed+flattened) changelog: op, ts_ms, <orders columns>.
+
+    Delete rows carry the full row image — matching the engine's delete-image
+    coalesce (reference rewrites after:=before for op='d',
+    cdc_util/redshift_sink.py:54-67).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # parquet timestamps load as TIMESTAMP_NTZ in Spark 4; session TZ is UTC so
+    # the LTZ cast is a no-op instant-wise and matches DuckDB's epoch_ms().
+    base_ts = F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz"))
+    inserts = orders.select(
+        F.lit("c").alias("op"), base_ts.alias("ts_ms"), *ORDERS_COLS
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+        .select(F.lit("u").alias("op"), (base_ts + 3_600_000).alias("ts_ms"), *ORDERS_COLS)
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(F.lit("d").alias("op"), (base_ts + 7_200_000).alias("ts_ms"), *ORDERS_COLS)
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def synth_debezium_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplexed Kafka-topic lookalike: DataFrame[value: string] carrying
+    full Debezium envelopes for TWO tables (salesdb.orders + salesdb.customer)
+    so routing has something to discriminate (reference routes by
+    '"db":"X"' + '"table":"Y"' regex, cdc_util/redshift_sink.py:36-48)."""
+    cl = synth_orders_changelog(spark, sf_dir)
+    row = F.struct(*[F.col(c) for c in ORDERS_COLS])
+    orders_env = cl.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "d", row).otherwise(F.lit(None)).alias("before"),
+                F.when(F.col("op") != "d", row).otherwise(F.lit(None)).alias("after"),
+                F.struct(
+                    F.lit("salesdb").alias("db"),
+                    F.lit("orders").alias("table"),
+                    F.col("ts_ms").alias("ts_ms"),
+                ).alias("source"),
+                F.col("op"),
+                F.col("ts_ms"),
+            )
+        ).alias("value")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    cust_row = F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    cust_env = cust.select(
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                cust_row.alias("after"),
+                F.struct(
+                    F.lit("salesdb").alias("db"),
+                    F.lit("customer").alias("table"),
+                    F.lit(0).cast("long").alias("ts_ms"),
+                ).alias("source"),
+                F.lit("r").alias("op"),
+                F.lit(0).cast("long").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    return orders_env.unionByName(cust_env)
+
+
+def synth_canal_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-style envelopes: each message's `data` array holds TWO images of
+    the same row (second one with o_totalprice*2) at the same ts, so the
+    positional tiebreak (max array index wins, redshift_sink.py:206-209)
+    is what decides the winner."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = F.struct(*[F.col(c) for c in ORDERS_COLS])
+    v2 = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.col("o_orderdate"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        F.array(v1, v2).alias("data"),
+        F.lit("salesdb").alias("database"),
+        F.lit("orders").alias("table"),
+        F.lit("UPDATE").alias("type"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz")).alias("ts"),
+    )

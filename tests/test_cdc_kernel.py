@@ -1,0 +1,134 @@
+"""CDC kernel: routing -> parse -> dedup -> merge, against hand-computed and
+DuckDB-replayed expectations (FIXTURES.md §C)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.operators import (
+    lww_dedup,
+    latest_deletes,
+    merge_changes,
+    parse_debezium,
+    parse_canal,
+    parse_mongo,
+    route_debezium,
+)
+from kafka_cdc_redshift_spark.sources import load_table
+from kafka_cdc_redshift_spark.sources.envelopes import (
+    ORDERS_CHANGELOG_SQL,
+    synth_canal_topic,
+    synth_debezium_topic,
+    synth_orders_changelog,
+)
+
+
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_lww_dedup_matches_oracle(spark, sf_dir):
+    cl = synth_orders_changelog(spark, sf_dir)
+    got = lww_dedup(cl, ["o_orderkey"], ["ts_ms"]).select(
+        "o_orderkey", "op", "ts_ms", "o_totalprice"
+    )
+    rows = {r.o_orderkey: r for r in got.collect()}
+
+    exp = duck(sf_dir).execute(
+        f"""WITH {ORDERS_CHANGELOG_SQL}
+        SELECT o_orderkey, op, ts_ms, o_totalprice FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY ts_ms DESC) rn
+          FROM changelog) WHERE rn = 1"""
+    ).fetchall()
+    assert len(rows) == len(exp)
+    for k, op, ts, price in exp:
+        r = rows[k]
+        assert (r.op, r.ts_ms) == (op, ts)
+        assert r.o_totalprice == pytest.approx(price, abs=1e-9)
+
+
+def test_merge_changes_matches_oracle(spark, sf_dir):
+    target = load_table(spark, sf_dir, "orders")
+    cl = synth_orders_changelog(spark, sf_dir)
+    merged = merge_changes(target, cl, ["o_orderkey"])
+    got = {r.o_orderkey: r.o_totalprice for r in merged.collect()}
+
+    exp = dict(
+        duck(sf_dir).execute(
+            """SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                           ELSE o_totalprice END
+               FROM orders WHERE o_orderkey % 7 != 0"""
+        ).fetchall()
+    )
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_merge_skip_delete_keeps_deletes(spark, sf_dir):
+    target = load_table(spark, sf_dir, "orders")
+    cl = synth_orders_changelog(spark, sf_dir)
+    merged = merge_changes(target, cl, ["o_orderkey"], skip_delete=True)
+    n_orders = target.count()
+    assert merged.count() == n_orders  # nothing removed
+    assert merged.select("o_orderkey").distinct().count() == n_orders
+
+
+def test_latest_deletes(spark, sf_dir):
+    cl = synth_orders_changelog(spark, sf_dir)
+    dels = latest_deletes(cl, ["o_orderkey"], ["ts_ms"])
+    n = duck(sf_dir).execute(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0"
+    ).fetchone()[0]
+    assert dels.count() == n
+    assert dels.filter(F.col("op") != "d").count() == 0
+
+
+def test_debezium_roundtrip_and_routing(spark, sf_dir):
+    topic = synth_debezium_topic(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    routed = route_debezium(topic, "salesdb", "orders")
+    parsed = parse_debezium(routed, orders.schema)
+    # routing drops the customer envelopes
+    n_cl = synth_orders_changelog(spark, sf_dir).count()
+    assert parsed.count() == n_cl
+    # delete rows carry full images after coalesce
+    assert parsed.filter(F.col("op") == "d").filter(F.col("o_orderkey").isNull()).count() == 0
+    # end-to-end merge equals flat-changelog merge
+    merged = merge_changes(orders, parsed, ["o_orderkey"])
+    exp = duck(sf_dir).execute(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 7 != 0"
+    ).fetchone()[0]
+    assert merged.count() == exp
+
+
+def test_canal_posexplode_tiebreak(spark, sf_dir):
+    topic = synth_canal_topic(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    parsed = parse_canal(topic, orders.schema, pre_parsed=True)
+    winners = lww_dedup(parsed, ["o_orderkey"], ["ts_ms", "data_index_aws"])
+    # second image (price*2) must win via array-position tiebreak
+    joined = winners.alias("w").join(orders.alias("o"), "o_orderkey").select(
+        "w.o_totalprice", F.col("o.o_totalprice").alias("orig")
+    )
+    bad = joined.filter(F.col("o_totalprice") != F.col("orig") * 2).count()
+    assert bad == 0
+
+
+def test_mongo_parse(spark):
+    rows = [
+        ('{"operationType":"insert","fullDocument":"{\\"a\\":1}",'
+         '"documentKey":"{\\"_id\\": 1.0}","ns":{"db":"d","coll":"c"},"ts_ms":100}',),
+        ('{"operationType":"delete","fullDocument":null,'
+         '"documentKey":"{\\"_id\\": 1.0}","ns":{"db":"d","coll":"c"},"ts_ms":200}',),
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    parsed = parse_mongo(df).orderBy("ts_ms").collect()
+    assert parsed[0].doc_id == "1.0" and parsed[0].op == "c"
+    assert parsed[1].doc == "[]" and parsed[1].op == "d"
