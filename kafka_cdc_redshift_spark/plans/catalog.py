@@ -1,0 +1,403 @@
+"""Query catalog: every operator exposed through __spark_entry__.py.
+
+Each QuerySpec pairs a Spark DataFrame program with the equivalent DuckDB SQL
+oracle (driver contract). Conventions keeping the two hash-identical:
+
+  * money/value aggregates: cast operands to DECIMAL before summing (exact,
+    order-independent), cast the final sum to DOUBLE — both engines produce
+    the same exact decimal, hence the same double.
+  * timestamps: output TIMESTAMP_NTZ on the Spark side (parquet loads NTZ;
+    DuckDB's TIMESTAMP is naive) so Arrow types line up.
+  * every computed column aliased identically in both programs.
+  * deterministic tiebreaks (unique id columns) in any top-k / row_number.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import (
+    latest_deletes,
+    lww_dedup,
+    merge_changes,
+    parse_canal,
+    parse_debezium,
+    route_debezium,
+)
+from ..operators.dedup import lww_dedup as _lww
+from ..operators.schema_evolution import diff_schemas
+from ..operators.typeconv import convert_date_columns, convert_timestamp_columns
+from ..sources import load_table
+from ..sources.envelopes import (
+    ORDERS_CHANGELOG_SQL,
+    synth_canal_topic,
+    synth_debezium_topic,
+    synth_orders_changelog,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    doc: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+
+
+SPECS: dict[str, QuerySpec] = {}
+
+
+def _spec(name: str, doc: str, oracle: str | None):
+    def deco(fn):
+        SPECS[name] = QuerySpec(name, doc, fn, oracle)
+        return fn
+    return deco
+
+
+def _dec(col, p=18, s=2):
+    return col.cast(T.DecimalType(p, s))
+
+
+# ---------------------------------------------------------------------------
+# CDC parity queries (SURVEY §2: W1-W6, J1-J3, P1-P10, F1-F6, D1-D6)
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "cdc_lww_dedup",
+    "W1/W2: last-write-wins per pk within a batch (row_number over ts desc)",
+    f"""WITH {ORDERS_CHANGELOG_SQL}
+    SELECT o_orderkey, op, ts_ms, o_totalprice FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY ts_ms DESC) rn
+      FROM changelog) t WHERE rn = 1""",
+)
+def q_cdc_lww_dedup(spark, sf_dir):
+    cl = synth_orders_changelog(spark, sf_dir)
+    return lww_dedup(cl, ["o_orderkey"], ["ts_ms"]).select(
+        "o_orderkey", "op", "ts_ms", "o_totalprice"
+    )
+
+
+@_spec(
+    "cdc_merge_into",
+    "J2+J3: apply changelog to keyed target (delete-using + upsert)",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+              CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                   ELSE o_totalprice END AS o_totalprice,
+              o_orderdate, o_orderpriority
+       FROM orders WHERE o_orderkey % 7 != 0""",
+)
+def q_cdc_merge_into(spark, sf_dir):
+    target = load_table(spark, sf_dir, "orders")
+    cl = synth_orders_changelog(spark, sf_dir)
+    return merge_changes(target, cl, ["o_orderkey"])
+
+
+@_spec(
+    "cdc_delete_stream",
+    "W5: last delete image per pk (save_delete / only_save_delete)",
+    f"""WITH {ORDERS_CHANGELOG_SQL}
+    SELECT o_orderkey, op, ts_ms FROM changelog WHERE op = 'd'""",
+)
+def q_cdc_delete_stream(spark, sf_dir):
+    cl = synth_orders_changelog(spark, sf_dir)
+    return latest_deletes(cl, ["o_orderkey"], ["ts_ms"]).select(
+        "o_orderkey", "op", "ts_ms"
+    )
+
+
+@_spec(
+    "cdc_pipeline_debezium",
+    "S2+P1+P3+W1+J2+J3 end-to-end: multiplexed JSON topic -> route -> "
+    "from_json flatten -> dedup -> merge",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                   ELSE o_totalprice END AS o_totalprice,
+              o_orderdate
+       FROM orders WHERE o_orderkey % 7 != 0""",
+)
+def q_cdc_pipeline_debezium(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    topic = synth_debezium_topic(spark, sf_dir)
+    routed = route_debezium(topic, "salesdb", "orders")
+    parsed = parse_debezium(routed, orders.schema)
+    merged = merge_changes(orders, parsed, ["o_orderkey"])
+    return merged.select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@_spec(
+    "cdc_canal_explode",
+    "F5+W3: Canal data[] posexplode with positional dedup tiebreak",
+    "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders",
+)
+def q_cdc_canal_explode(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    topic = synth_canal_topic(spark, sf_dir)
+    parsed = parse_canal(topic, orders.schema, pre_parsed=True)
+    winners = lww_dedup(parsed, ["o_orderkey"], ["ts_ms", "data_index_aws"])
+    return winners.select("o_orderkey", "o_totalprice")
+
+
+@_spec(
+    "cdc_typeconv",
+    "F1-F3: ISO-string -> timestamp, epoch-days int -> date",
+    """SELECT o_orderkey, o_orderdate AS ts, o_orderdate::DATE AS dt
+       FROM orders""",
+)
+def q_cdc_typeconv(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    encoded = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("dt"),
+    )
+    conv = convert_timestamp_columns(encoded, ["ts"])
+    conv = convert_date_columns(conv, ["dt"])
+    return conv.select(
+        "o_orderkey", F.col("ts").cast("timestamp_ntz").alias("ts"), "dt"
+    )
+
+
+@_spec(
+    "cdc_schema_evolution",
+    "D1-D6: add/drop diff between incoming schema and target catalog",
+    """SELECT column_name AS col_name, 'add' AS action
+       FROM (DESCRIBE SELECT * FROM orders) WHERE column_name = 'o_orderpriority'
+       UNION ALL SELECT 'legacy_flag', 'drop'""",
+)
+def q_cdc_schema_evolution(spark, sf_dir):
+    source = load_table(spark, sf_dir, "orders").schema
+    target_fields = [f for f in source.fields if f.name != "o_orderpriority"]
+    target = T.StructType(target_fields + [T.StructField("legacy_flag", T.StringType())])
+    d = diff_schemas(source, target)
+    rows = [(c, "add") for c in d.add] + [(c, "drop") for c in d.drop]
+    return spark.createDataFrame(rows, T.StructType([
+        T.StructField("col_name", T.StringType(), False),
+        T.StructField("action", T.StringType(), False),
+    ]))
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (Catalyst built-ins the engine exposes: agg/join/window)
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "q1_pricing_summary",
+    "A: grouped aggregation with exact decimal sums (TPC-H Q1 shape)",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty,
+              CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sum_base_price,
+              CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
+                       * (1 + l_tax::DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec(F.col("l_extendedprice"), 12, 2)
+    disc = _dec(F.col("l_discount"), 4, 2)
+    tax = _dec(F.col("l_tax"), 4, 2)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"), 12, 2)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_spec(
+    "q3_shipping_priority",
+    "J+A+topk: 3-way join, grouped revenue, deterministic top-10",
+    """SELECT l_orderkey,
+              CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate  > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_q3(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    revenue = _dec(F.col("l_extendedprice"), 12, 2) * (F.lit(1) - _dec(F.col("l_discount"), 4, 2))
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_spec(
+    "q5_local_supplier_volume",
+    "multi-join star query with region/nation dims broadcast",
+    """SELECT n_name,
+              CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1997-01-01'
+       GROUP BY n_name""",
+)
+def q_q5(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec(F.col("l_extendedprice"), 12, 2) * (F.lit(1) - _dec(F.col("l_discount"), 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey)
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@_spec(
+    "top_customers_per_segment",
+    "W: ranking window with deterministic tiebreak, top-3 per group",
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rnk
+         FROM customer) t WHERE rnk <= 3""",
+)
+def q_top_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events stream surface (batch twins of the streaming ops, T9 gap filled)
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "events_hourly_rollup",
+    "tumbling-window aggregation (streaming twin: window(ts, '1 hour'))",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+              count(*) AS n_events,
+              CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"), 18, 2)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+@_spec(
+    "events_last_state",
+    "W4 analog: latest event per user (LWW over an append stream)",
+    """SELECT user_id, event_id, event_type, value FROM (
+         SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) t WHERE rn = 1""",
+)
+def q_events_last_state(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    latest = _lww(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+@_spec(
+    "events_json_extract",
+    "F6/F7: JSON path extraction from a props column + grouped sum",
+    """SELECT user_id,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              count(*) AS n_clicks
+       FROM events WHERE event_type = 'click' GROUP BY user_id""",
+)
+def q_events_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("user_id")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+@_spec(
+    "events_sessionize",
+    "session windows (native session_window; streaming-capable)",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s AS (
+         SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g)
+       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, session_id""",
+)
+def q_events_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
