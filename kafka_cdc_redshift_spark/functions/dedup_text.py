@@ -1,0 +1,197 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (100 TB of documents):
+  * exact_dedup — one hash-shuffle on md5(text); map-side partial agg.
+  * jaccard_pairs — shingle-explode + self-join on shingle. The join key is
+    the shingle, so co-occurring docs meet without a cross join. At scale,
+    pass `max_df` to drop stop-shingles (a shingle present in thousands of
+    docs generates a quadratic pair blowup and carries no near-dup signal).
+  * minhash_lsh_pairs — the scale path: constant-size signature per doc
+    (num_hashes ints), band join generates candidates, exact Jaccard
+    verifies. Shuffle volume drops from O(shingles) to O(num_hashes) per
+    doc, and only candidate pairs (not all pair-sharing-a-shingle) are
+    verified.
+  * simhash — one 64->16-bit sketch per doc in a single agg pass; duplicate
+    clusters = equal sketches (or hamming<=k via banded equality).
+
+Everything is deterministic and engine-portable (hash60 = md5-prefix), so
+the DuckDB oracles replay the identical algorithm, not just the result.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash60, tokens_col
+
+
+def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of trim(lower(text))."""
+    toks = tokens_col(text)
+    # total function: sequence(1, 0) would run DESCENDING and feed slice a 0
+    # start — guard inside the expression (a row filter upstream is not a
+    # reliable guard once Catalyst folds local relations)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.filter(F.size(tokens_col(text_col)) >= n).select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh_set")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Exact: any pair with Jaccard > 0 shares >= 1 shingle, so the
+    shingle-keyed self-join loses nothing (when max_df is None).
+    """
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    ex = sets_.select("doc_id", F.explode("sh_set").alias("sh"))
+    if max_df is not None:
+        hot = ex.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sets_.select("doc_id", F.size("sh_set").alias("sz"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sets_: DataFrame, num_hashes: int
+) -> DataFrame:
+    """(doc_id, seed, mh): per-seed min of hash60(seed || ':' || shingle)."""
+    ex = sets_.select("doc_id", F.explode("sh_set").alias("sh"))
+    seeded = ex.select(
+        "doc_id",
+        "sh",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed"),
+    )
+    h = hash60(F.concat_ws(":", F.col("seed").cast("string"), F.col("sh")))
+    return (
+        seeded.withColumn("h", h)
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verification.
+
+    Candidates: pairs agreeing on ALL rows of >= 1 band (classic banding,
+    P(candidate) = 1-(1-j^r)^b). Each candidate is then verified with exact
+    shingle Jaccard, so the output has no false positives — only bounded
+    false-negative probability, which is the documented LSH trade-off.
+    """
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    sig = minhash_signatures(sets_, num_hashes)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("bkey")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    seta = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    setb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter.cast("double") / (
+        F.size("set_a") + F.size("set_b") - inter
+    ).cast("double")
+    return (
+        cand.join(seta, "doc_a")
+        .join(setb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Frequency-weighted SimHash sketch over token hash60s (low `bits`)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("h", hash60("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sketch = reduce(
+        lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0),
+        range(1, bits),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(0),
+    )
+    return agg.select("doc_id", sketch.cast("long").alias("simhash"))

@@ -1,0 +1,106 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All of these are pure native column expressions (JVM-side, codegen'd) — no
+Python UDFs — so they scan-scale linearly: at 100 TB each is a single
+map-only pass over the documents table (no shuffle except the grouped
+variants).
+
+Portability contract with the DuckDB oracles: tokenization is
+split-on-whitespace of trim(lower(text)); hash60(s) is the first 60 bits of
+md5 interpreted as a positive int64 — identical in Spark
+(conv(substr(md5,1,15),16,10)) and DuckDB (('0x'||substr(md5,1,15))::BIGINT).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it")
+
+# marker-token lists for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "es"),
+    "fr": ("le", "les", "des", "est"),
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def hash60(c: str | Column) -> Column:
+    """Portable 60-bit positive hash (top 15 hex chars of md5)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    estimate (chars/4 — the common rule-of-thumb bytes-per-token)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality scoring: stopword ratio + alphabetic-char ratio combined into
+    a [0,1] score (pure double arithmetic on exact int counts)."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    stop_ratio = _hits(toks, EN_STOPWORDS).cast("double") / n_tok.cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")).cast("double")
+        / F.length(F.col(text_col)).cast("double")
+    )
+    return df.select(
+        id_col,
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        (alpha_ratio * 0.5 + (F.lit(1.0) - stop_ratio) * 0.5).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: count per-language marker hits, argmax with
+    fixed priority order (en > de > es > fr), 'und' when nothing hits."""
+    toks = tokens_col(text_col)
+    hit_cols = {lang: _hits(toks, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = reduce(lambda a, b: F.greatest(a, b), hit_cols.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select(
+        id_col,
+        pred.alias("lang_pred"),
+        *[hit_cols[lang].alias(f"{lang}_hits") for lang in langs],
+    )
+
+
+def fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set (word-
+    order/duplication insensitive), grouped to fingerprint clusters."""
+    toks = tokens_col(text_col)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )

@@ -1,1 +1,2 @@
 from .catalog import SPECS, QuerySpec  # noqa: F401
+from . import catalog_llm  # noqa: F401  (registers the LLM-pipeline specs)

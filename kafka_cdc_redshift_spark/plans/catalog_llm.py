@@ -1,0 +1,271 @@
+"""Catalog section 2: large-scale training-data pipeline operators
+(dedup / similarity search / text analysis / multimodal) over the
+`documents` and `embeddings` tables.
+
+Every oracle replays the identical deterministic algorithm in DuckDB —
+including MinHash signatures (portable 60-bit md5-prefix hash), so even the
+LSH candidate-generation step is verified, not just end results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import dedup_text, multimodal, similarity, text
+from ..sources import load_table
+from .catalog import _spec
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+_TOKENIZED = f"tokenized AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)"
+
+_SH_SETS = f"""sh_sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, len(t)-2)]) AS sh_set
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) _tok
+  WHERE len(t) >= 3
+)"""
+
+_HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "text_token_stats",
+    "token counting: whitespace tokens, distinct tokens, BPE-ish estimate",
+    f"""WITH {_TOKENIZED}
+    SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM tokenized""",
+)
+def q_text_token_stats(spark, sf_dir):
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "text_quality",
+    "quality scoring: stopword ratio + alphabetic ratio -> [0,1] score",
+    f"""WITH {_TOKENIZED}, r AS (
+      SELECT doc_id,
+             CAST(len(list_filter(t, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+               / CAST(len(t) AS DOUBLE) AS stop_ratio,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio
+      FROM tokenized)
+    SELECT doc_id, stop_ratio, alpha_ratio,
+           alpha_ratio * 0.5 + (1.0 - stop_ratio) * 0.5 AS quality
+    FROM r""",
+)
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    hits = ",\n             ".join(
+        f"len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in words)}))) AS {lang}_hits"
+        for lang, words in text.LANG_MARKERS.items()
+    )
+    langs = list(text.LANG_MARKERS)
+    best = f"greatest({', '.join(f'{lang}_hits' for lang in langs)})"
+    cases = " ".join(
+        f"WHEN {lang}_hits = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""WITH {_TOKENIZED}, h AS (
+      SELECT doc_id,
+             {hits}
+      FROM tokenized), g AS (
+      SELECT *, {best} AS best FROM h)
+    SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred,
+           {', '.join(f'{lang}_hits' for lang in langs)}
+    FROM g"""
+
+
+@_spec(
+    "text_langid",
+    "marker-token language ID with fixed-priority argmax",
+    _langid_oracle(),
+)
+def q_text_langid(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "text_fingerprint",
+    "document fingerprinting: md5 of sorted distinct token set, clustered",
+    f"""WITH {_TOKENIZED}
+    SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+    FROM tokenized GROUP BY 1""",
+)
+def q_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "dedup_exact",
+    "exact dedup by content hash (hash-groupBy, map-side partial agg)",
+    """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+              min(doc_id) AS keep_doc_id
+       FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup_text.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "dedup_ngram_jaccard",
+    "exact near-dup pairs: 3-gram shingle sets, Jaccard >= 0.5 "
+    "(shingle-keyed self-join; oracle brute-forces all pairs)",
+    f"""WITH {_SH_SETS}, p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+               / CAST(len(a.sh_set) + len(b.sh_set)
+                      - len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) AS jaccard
+      FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup_text.jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_ORACLE = f"""WITH {_SH_SETS},
+ex AS (SELECT doc_id, unnest(sh_set) AS sh FROM sh_sets),
+hs AS (SELECT doc_id, seed,
+              min({_HASH60.format(x="seed::VARCHAR || ':' || sh")}) AS mh
+       FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+       GROUP BY doc_id, seed),
+bands AS (SELECT doc_id, seed // 2 AS band,
+                 string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
+          FROM hs GROUP BY doc_id, seed // 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+               / CAST(len(sa.sh_set) + len(sb.sh_set)
+                      - len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN sh_sets sa ON sa.doc_id = cand.doc_a
+      JOIN sh_sets sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+
+@_spec(
+    "dedup_minhash_lsh",
+    "MinHash(12 hashes) + banded LSH(6 bands x 2) candidates, exact-Jaccard "
+    "verified; oracle replays the identical signature computation",
+    _MINHASH_ORACLE,
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup_text.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sketch = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_HASH60.format(x='tok')} AS h FROM tok),
+    b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({sketch} AS BIGINT) AS simhash FROM b"""
+
+
+@_spec(
+    "dedup_simhash",
+    "16-bit frequency-weighted SimHash sketch per document",
+    _simhash_oracle(),
+)
+def q_dedup_simhash(spark, sf_dir):
+    return dedup_text.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(qe, e) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))"
+)
+
+
+@_spec(
+    "sim_cosine_topk",
+    "exact brute-force cosine top-5 per query vector (broadcast query set)",
+    f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id % 50 = 0),
+    p AS (SELECT q_id, c.vec_id AS neighbor_id, {_COS} AS cos_sim
+          FROM c, q WHERE c.vec_id != q.q_id)
+    SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM p) t WHERE rnk <= 5""",
+)
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def _bucket_sql(col: str, planes: int = 8) -> str:
+    return " + ".join(
+        f"CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(planes)
+    )
+
+
+@_spec(
+    "sim_lsh_bucket",
+    "sign-bit LSH bucketed ANN: bucket equi-join replaces the cross join",
+    f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                          {_bucket_sql("embedding")} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM c WHERE vec_id % 50 = 0),
+    p AS (SELECT q_id, c.vec_id AS neighbor_id, {_COS} AS cos_sim
+          FROM c JOIN q USING (bucket) WHERE c.vec_id != q.q_id)
+    SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM p) t WHERE rnk <= 3""",
+)
+def q_sim_lsh_bucket(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.signbit_lsh_topk(emb, queries, k=3, planes=8)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "multimodal_binary_meta",
+    "opaque-binary payload metadata via Arrow-batched mapInPandas "
+    "(decode step stubbed; plumbing real)",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,
+              octet_length(encode(text)) % 640 AS fake_width,
+              octet_length(encode(text)) % 480 AS fake_height
+       FROM documents""",
+)
+def q_multimodal_binary_meta(spark, sf_dir):
+    docs = multimodal.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_binary_meta(docs)
