@@ -175,12 +175,19 @@ def synth_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inserts.unionByName(updates).unionByName(deletes)
 
 
-def synth_debezium_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_debezium_topic(
+    spark: SparkSession, sf_dir: str, ops: tuple[str, ...] | None = None,
+    include_customer: bool = True,
+) -> DataFrame:
     """Multiplexed Kafka-topic lookalike: DataFrame[value: string] carrying
     full Debezium envelopes for TWO tables (salesdb.orders + salesdb.customer)
     so routing has something to discriminate (reference routes by
-    '"db":"X"' + '"table":"Y"' regex, cdc_util/redshift_sink.py:36-48)."""
+    '"db":"X"' + '"table":"Y"' regex, cdc_util/redshift_sink.py:36-48).
+    `ops` restricts the orders changelog (e.g. ('c',) for an insert-only
+    batch in streaming tests)."""
     cl = synth_orders_changelog(spark, sf_dir)
+    if ops is not None:
+        cl = cl.filter(F.col("op").isin(*ops))
     row = F.struct(*[F.col(c) for c in ORDERS_COLS])
     orders_env = cl.select(
         F.to_json(
@@ -197,6 +204,8 @@ def synth_debezium_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
+    if not include_customer:
+        return orders_env
     cust = load_table(spark, sf_dir, "customer")
     cust_row = F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     cust_env = cust.select(

@@ -1,0 +1,118 @@
+"""Unit tests: JDBC merge SQL generation, schema evolution, config parsing,
+type conversions."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_cdc_redshift_spark.config import parse_sync_rules, load_properties
+from kafka_cdc_redshift_spark.operators.schema_evolution import (
+    alter_table_ddl,
+    cast_to_target,
+    ddl_type,
+    diff_schemas,
+)
+from kafka_cdc_redshift_spark.operators.typeconv import (
+    convert_date_columns,
+    convert_timestamp_columns,
+    normalize_super_columns,
+)
+from kafka_cdc_redshift_spark.streaming.sinks import build_merge_sql, merge_condition
+
+
+def test_merge_sql_shape():
+    stmts = build_merge_sql(
+        target="product", stage="stage_table_db_product",
+        columns=["pid", "pname", "op"], keys=["pid"],
+    )
+    joined = ";".join(stmts)
+    assert 'DELETE FROM product USING stage_table_db_product WHERE stage_table_db_product."pid" = product."pid"' in joined
+    assert "ROW_NUMBER() OVER (PARTITION BY \"pid\"" in joined
+    assert '"op"' not in stmts[-3].split("SELECT", 1)[0]  # op not inserted
+    assert stmts[1] == "BEGIN" and stmts[-1] == "END"
+    assert "TRUNCATE TABLE stage_table_db_product" in joined
+    assert "WHERE \"op\" != 'd'" in joined
+
+
+def test_merge_sql_skip_delete():
+    stmts = build_merge_sql(
+        target="t", stage="s", columns=["pid", "op"], keys=["pid"], skip_delete=True
+    )
+    assert "!= 'd'" not in ";".join(stmts)
+
+
+def test_merge_condition_multi_key():
+    on = merge_condition("s", "t", ["pid", "pname"])
+    assert on == 's."pid" = t."pid" AND s."pname" = t."pname"'
+
+
+def test_ddl_type_mapping():
+    assert ddl_type(T.StructField("a", T.LongType())) == "BIGINT"
+    assert ddl_type(T.StructField("a", T.StringType())) == "VARCHAR(65535)"
+    assert ddl_type(
+        T.StructField("a", T.StringType(), metadata={"super": True})
+    ) == "SUPER"
+    assert ddl_type(
+        T.StructField("a", T.StringType(), metadata={"maxlength": 256})
+    ) == "VARCHAR(256)"
+    assert ddl_type(T.StructField("a", T.DecimalType(12, 3))) == "DECIMAL(12,3)"
+    with pytest.raises(TypeError, match="not support"):
+        ddl_type(T.StructField("a", T.ArrayType(T.LongType())))
+
+
+def test_schema_diff_and_ddl():
+    src = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    tgt = T.StructType([T.StructField("a", T.LongType()), T.StructField("c", T.IntegerType())])
+    d = diff_schemas(src, tgt)
+    assert d.add == ("b",) and d.drop == ("c",)
+    ddl = alter_table_ddl("t", src, tgt)
+    assert ddl == [
+        'ALTER TABLE t ADD COLUMN "b" VARCHAR(65535)',
+        'ALTER TABLE t DROP COLUMN "c"',
+    ]
+
+
+def test_sync_rule_parsing():
+    raw = """[
+      {"db": "d1", "table": "product", "primary_key": "pid,pname",
+       "super_columns": "info", "timestamp_columns": "ct,mt|yyyy-MM-dd HH:mm:ss",
+       "date_columns": "cd", "save_delete": "true", "target_table": "product_t"},
+      {"db": "d1", "table": "sbtest.*", "primary_key": "id", "ignore_ddl": "true"}
+    ]"""
+    rules = parse_sync_rules(raw)
+    r = rules[0]
+    assert r.primary_key == ("pid", "pname")
+    assert r.timestamp_columns == ("ct", "mt")
+    assert r.timestamp_format == "yyyy-MM-dd HH:mm:ss"
+    assert r.save_delete and r.target_name == "product_t"
+    assert rules[1].matches("d1", "sbtest42") and not rules[1].matches("d2", "sbtest42")
+
+
+def test_load_properties():
+    props = load_properties("a = 1\n# comment\nb=x=y\n\n")
+    assert props == {"a": "1", "b": "x=y"}
+
+
+def test_typeconv_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-03-05T10:00:00Z", 19000, '{"a":1}'), (2, None, 0, None)],
+        ["id", "ct", "cd", "info"],
+    )
+    out = convert_timestamp_columns(df, ["ct"])
+    out = convert_date_columns(out, ["cd"])
+    out = normalize_super_columns(out, ["info"])
+    rows = {r.id: r for r in out.collect()}
+    assert str(rows[1].ct) == "2024-03-05 10:00:00"
+    assert str(rows[1].cd) == "2022-01-08"  # 19000 days since epoch
+    assert str(rows[2].cd) == "1970-01-01"
+    assert rows[2].info == "{}"
+
+
+def test_cast_to_target_digit_guard(spark):
+    df = spark.createDataFrame([("12", "x"), ("oops", "y")], ["n", "s"])
+    tgt = T.StructType([
+        T.StructField("n", T.IntegerType()), T.StructField("s", T.StringType()),
+    ])
+    rows = cast_to_target(df, tgt).collect()
+    got = {r.s: r.n for r in rows}
+    assert got == {"x": 12, "y": None}

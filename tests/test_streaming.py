@@ -1,0 +1,148 @@
+"""Streaming shell e2e: file-backed availableNow micro-batches through the
+full route->parse->dedup->merge pipeline with checkpointed recovery and
+multi-table fan-out (SURVEY §2.8 T1-T3, T7, T10, T11)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.config import SyncRule
+from kafka_cdc_redshift_spark.sources import load_table
+from kafka_cdc_redshift_spark.sources.envelopes import synth_debezium_topic
+from kafka_cdc_redshift_spark.streaming import (
+    CdcBatchProcessor,
+    ParquetTargetStore,
+    run_file_stream,
+)
+
+RULES = [
+    SyncRule(db="salesdb", table="orders", primary_key=("o_orderkey",)),
+    SyncRule(db="salesdb", table="customer", primary_key=("c_custkey",)),
+]
+
+
+def _write_lines(df, path):
+    rows = [r.value for r in df.collect()]
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return len(rows)
+
+
+@pytest.fixture()
+def processor(spark, sf_dir, tmp_path):
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    schemas = {
+        "orders": load_table(spark, sf_dir, "orders").schema,
+        "customer": load_table(spark, sf_dir, "customer").schema,
+    }
+    return CdcBatchProcessor(
+        spark, RULES, store, payload_schemas=schemas, max_workers=4
+    )
+
+
+def test_two_batch_stream_merges_across_batches(spark, sf_dir, tmp_path, processor):
+    src = tmp_path / "topic"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: snapshot inserts only (orders + customer full load)
+    _write_lines(synth_debezium_topic(spark, sf_dir, ops=("c",)), src / "b1.json")
+    q = run_file_stream(spark, str(src), processor, ckpt)
+    q.awaitTermination(120)
+
+    store = processor.store
+    orders = load_table(spark, sf_dir, "orders")
+    assert store.read(spark, "orders").count() == orders.count()
+    assert store.read(spark, "customer").count() == load_table(
+        spark, sf_dir, "customer"
+    ).count()
+
+    # batch 2: updates + deletes arrive later (cross-batch merge, T7)
+    _write_lines(
+        synth_debezium_topic(spark, sf_dir, ops=("u", "d"), include_customer=False),
+        src / "b2.json",
+    )
+    q = run_file_stream(spark, str(src), processor, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r.o_orderkey: r.o_totalprice
+        for r in store.read(spark, "orders").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    exp = dict(
+        con.execute(
+            """SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                           ELSE o_totalprice END
+               FROM orders WHERE o_orderkey % 7 != 0"""
+        ).fetchall()
+    )
+    assert got.keys() == exp.keys()
+    assert all(abs(got[k] - exp[k]) < 1e-9 for k in exp)
+
+    # checkpoint recovery (T3): re-running with the same checkpoint and no new
+    # files must not change state
+    v_before = store.current_version("orders")
+    q = run_file_stream(spark, str(src), processor, ckpt)
+    q.awaitTermination(120)
+    assert store.current_version("orders") == v_before
+
+
+def test_save_delete_stream(spark, sf_dir, tmp_path):
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    rules = [
+        SyncRule(
+            db="salesdb", table="orders", primary_key=("o_orderkey",), save_delete=True
+        )
+    ]
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+    )
+    src = tmp_path / "topic"
+    src.mkdir()
+    _write_lines(
+        synth_debezium_topic(spark, sf_dir, include_customer=False), src / "b1.json"
+    )
+    q = run_file_stream(spark, str(src), proc, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    dels = store.read(spark, "orders_delete")
+    assert dels is not None
+    assert dels.filter(F.col("op") != "d").count() == 0
+    assert dels.count() == load_table(spark, sf_dir, "orders").filter(
+        "o_orderkey % 7 = 0"
+    ).count()
+
+
+def test_fail_fast_on_bad_rule(spark, sf_dir, tmp_path, processor):
+    bad = CdcBatchProcessor(
+        processor.spark,
+        [SyncRule(db="salesdb", table="orders", primary_key=("no_such_col",))],
+        ParquetTargetStore(str(tmp_path / "store2")),
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+    )
+    topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+    with pytest.raises(RuntimeError, match="failed"):
+        bad.process_batch(topic, 0)
+
+
+def test_only_save_delete_skips_merge(spark, sf_dir, tmp_path):
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    rules = [
+        SyncRule(
+            db="salesdb", table="orders", primary_key=("o_orderkey",),
+            only_save_delete=True,
+        )
+    ]
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+    )
+    topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+    proc.process_batch(topic, 0)
+    assert not store.exists("orders")          # merge skipped
+    assert store.exists("orders_delete")       # delete stream captured
