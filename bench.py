@@ -27,6 +27,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session("bench")
 
+    # warmup: JVM codegen, Python worker pool, Arrow init — so one-time
+    # startup cost isn't attributed to whichever query runs first
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1, "x")], ["a", "b"]).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]

@@ -75,49 +75,71 @@ def jaccard_pairs(
     shingle-keyed self-join loses nothing (when max_df is None).
     """
     sets_ = _shingle_sets(df, id_col, text_col, n)
-    ex = sets_.select("doc_id", F.explode("sh_set").alias("sh"))
+    # carry the set size on every exploded row: the pair join can then
+    # (a) prune by the size-ratio bound j <= min(sz)/max(sz) BEFORE the
+    # aggregation, and (b) compute jaccard without re-joining sizes.
+    ex = sets_.select(
+        "doc_id", F.size("sh_set").alias("sz"), F.explode("sh_set").alias("sh")
+    )
     if max_df is not None:
         hot = ex.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         ex = ex.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sets_.select("doc_id", F.size("sh_set").alias("sz"))
+    t = F.lit(float(threshold))
     pairs = (
         ex.alias("a")
-        .join(ex.alias("b"), "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            ex.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio pruning: if min/max < t the pair can't reach t
+            & (F.col("b.sz").cast("double") >= t * F.col("a.sz"))
+            & (F.col("a.sz").cast("double") >= t * F.col("b.sz")),
+        )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     ).cast("double")
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
-def minhash_signatures(
-    sets_: DataFrame, num_hashes: int
-) -> DataFrame:
-    """(doc_id, seed, mh): per-seed min of hash60(seed || ':' || shingle)."""
+# universal-hash family over a 2^30 universe (int64-overflow-safe in both
+# engines, Spark ANSI mode included): h_s = (a_s * h30 + b_s) mod P
+_MH_P = 4294967291          # largest prime < 2^32
+_MH_H30 = 1 << 30
+
+
+def _mh_params(seed: int) -> tuple[int, int]:
+    a = (2654435761 * (seed + 1)) % _MH_P
+    b = (40503 * (seed + 7) + 1) % _MH_P
+    return a, b
+
+
+def minhash_signatures(sets_: DataFrame, num_hashes: int) -> DataFrame:
+    """Wide signature row per doc: (doc_id, mh0..mh{k-1}).
+
+    One md5 per shingle (hash60), then k cheap integer universal hashes —
+    no per-seed row explosion, ONE groupBy with k min() aggregates. Shuffle
+    volume is O(docs * k ints) instead of O(shingles * k rows).
+    """
     ex = sets_.select("doc_id", F.explode("sh_set").alias("sh"))
-    seeded = ex.select(
-        "doc_id",
-        "sh",
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed"),
-    )
-    h = hash60(F.concat_ws(":", F.col("seed").cast("string"), F.col("sh")))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
+    h30 = (hash60("sh") % _MH_H30).alias("h30")
+    ex = ex.select("doc_id", h30)
+    aggs = []
+    for s in range(num_hashes):
+        a, b = _mh_params(s)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h30") + F.lit(b)) % _MH_P).alias(f"mh{s}")
+        )
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -139,19 +161,24 @@ def minhash_lsh_pairs(
     """
     sets_ = _shingle_sets(df, id_col, text_col, n)
     sig = minhash_signatures(sets_, num_hashes)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    # band rows from the wide signature: (doc_id, band, "mh_i,mh_j")
+    n_bands = num_hashes // band_size
+    band_rows = [
+        F.struct(
+            F.lit(bi).alias("band"),
             F.concat_ws(
                 ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("bkey")
+                *[
+                    F.col(f"mh{bi * band_size + r}").cast("string")
+                    for r in range(band_size)
+                ],
+            ).alias("bkey"),
         )
-    )
+        for bi in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])

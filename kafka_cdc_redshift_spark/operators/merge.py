@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import lww_dedup
@@ -46,21 +46,68 @@ def merge_changes(
     order_by: Sequence[str] = ("ts_ms",),
     dedup_updates: bool = True,
     broadcast_updates: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Apply a changelog batch to a keyed target; returns the new target.
 
     `updates` is a flat changelog (payload cols + op). Bookkeeping columns
     (op / ts_ms / data_index_aws) are dropped from the inserted rows, matching
     the reference's insert column list (redshift_sink.py:445-446).
+
+    Strategies:
+      * "union_window" (default): target ∪ updates -> one LWW window per key
+        (updates always outrank target rows), winners minus deletes. The
+        updates lineage is evaluated ONCE and the whole merge is a single
+        hash shuffle — preferred when the batch isn't tiny relative to the
+        target, or when updates sit on an expensive lineage (JSON parse).
+      * "anti_join": target LEFT ANTI updates.keys ∪ surviving updates —
+        with `broadcast_updates` the target never shuffles at all; preferred
+        for a small rate-limited batch against a huge keyed target (the
+        100 TB streaming shape). Note: consumes `updates` twice, so cache
+        the batch upstream (the streaming shell does).
     """
     keys = list(keys)
-    if dedup_updates:
-        tiebreak = [c for c in ("data_index_aws",) if c in updates.columns]
-        updates = lww_dedup(updates, keys, list(order_by) + tiebreak)
+    tiebreak = [c for c in ("data_index_aws",) if c in updates.columns]
+    order = list(order_by) + tiebreak
+    if strategy == "auto":
+        strategy = "anti_join" if broadcast_updates else "union_window"
 
+    if strategy == "union_window":
+        # single-pass merge: stamp provenance, one window over the union
+        u_side = updates.select(
+            *target.columns,
+            F.lit(1).alias("__is_new"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__o_{c}") for c in order],
+        )
+        t_side = target.select(
+            *target.columns,
+            F.lit(0).alias("__is_new"),
+            F.lit(None).cast("string").alias("__op"),
+            *[
+                F.lit(None).cast(dict(updates.dtypes)[c]).alias(f"__o_{c}")
+                for c in order
+            ],
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("__is_new"),
+            *[F.desc_nulls_last(f"__o_{c}") for c in order],
+        )
+        winners = (
+            t_side.unionByName(u_side)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        if not skip_delete:
+            winners = winners.filter(
+                (F.col("__is_new") == 0) | (F.col("__op") != delete_op)
+            )
+        return winners.select(*target.columns)
+
+    if dedup_updates:
+        updates = lww_dedup(updates, keys, order)
     join_side = F.broadcast(updates.select(*keys)) if broadcast_updates else updates.select(*keys)
     survivors = target.join(join_side, on=keys, how="left_anti")
-
     incoming = updates if skip_delete else updates.filter(F.col(op_col) != delete_op)
     drop_cols = [c for c in (op_col, "ts_ms", "data_index_aws") if c in incoming.columns]
     incoming = incoming.drop(*drop_cols)

@@ -142,15 +142,32 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup_text.jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-_MINHASH_ORACLE = f"""WITH {_SH_SETS},
-ex AS (SELECT doc_id, unnest(sh_set) AS sh FROM sh_sets),
-hs AS (SELECT doc_id, seed,
-              min({_HASH60.format(x="seed::VARCHAR || ':' || sh")}) AS mh
-       FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
-       GROUP BY doc_id, seed),
-bands AS (SELECT doc_id, seed // 2 AS band,
-                 string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
-          FROM hs GROUP BY doc_id, seed // 2),
+def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    """Replays minhash_signatures()/minhash_lsh_pairs() exactly: one 60-bit
+    md5-prefix hash per shingle, k universal hashes (a*h30+b mod P), banded
+    candidate join, exact-Jaccard verification."""
+    from ..functions.dedup_text import _MH_H30, _MH_P, _mh_params
+
+    mins = ",\n              ".join(
+        f"min(({a} * h30 + {b}) % {_MH_P}) AS mh{s}"
+        for s, (a, b) in ((s, _mh_params(s)) for s in range(num_hashes))
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_size + r}::VARCHAR" for r in range(band_size)
+            ),
+        )
+        for bi in range(num_hashes // band_size)
+    )
+    return f"""WITH {_SH_SETS},
+ex AS (SELECT doc_id, {_HASH60.format(x="sh")} % {_MH_H30} AS h30
+       FROM (SELECT doc_id, unnest(sh_set) AS sh FROM sh_sets) u),
+sig AS (SELECT doc_id,
+              {mins}
+        FROM ex GROUP BY doc_id),
+bands AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -162,6 +179,9 @@ j AS (SELECT doc_a, doc_b,
       JOIN sh_sets sa ON sa.doc_id = cand.doc_a
       JOIN sh_sets sb ON sb.doc_id = cand.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @_spec(
