@@ -64,6 +64,57 @@ def extract_binary_meta(df: DataFrame, *, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(process, META_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    frame_bytes: int = 256,
+    every: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload: split the
+    payload into fixed-size `frame_bytes` chunks ("frames"), keep every
+    `every`-th, emit per-frame metadata. The real frame decode (ffmpeg) is
+    not in this container — the chunking stands in for the frame iterator,
+    but the Spark plumbing (1->N row fan-out inside an Arrow batch, explicit
+    output schema, no driver involvement) is exactly the production shape.
+
+    At 100 TB: fan-out happens executor-local inside mapInPandas; output
+    partitioning follows the input, so a downstream per-frame groupBy is the
+    only shuffle.
+    """
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    frame = data[i * frame_bytes:(i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(process, FRAME_SCHEMA)
+
+
 def documents_as_binary(df: DataFrame) -> DataFrame:
     """Adapter for tests: treat document text bytes as an opaque payload."""
     return df.select("doc_id", F.encode("text", "utf-8").alias("payload"))

@@ -77,6 +77,120 @@ def signbit_bucket(vec_col: Column, planes: int = 8) -> Column:
     ).cast("int")
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: sign-bit-bucket candidate
+    generation (near-identical vectors share their sign pattern), exact
+    cosine verification, pairs with cos >= threshold.
+
+    The bucket equi-join bounds the candidate set to same-bucket pairs —
+    the O(N^2) cross join never materializes. At 100 TB the bucket is the
+    shuffle key; skewed buckets are handled by AQE skew-join splitting.
+    """
+    b = emb.select(
+        F.col(id_col), F.col(vec_col),
+        signbit_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = b.alias("a").join(
+        b.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = dot_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        norm_col(F.col(f"a.{vec_col}")) * norm_col(F.col(f"b.{vec_col}"))
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_cells: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its `n_cells` nearest centroids by cosine
+    (deterministic tiebreak on cent_id). `centroids` must have columns
+    (cent_id, c_emb) and is broadcast — the corpus never shuffles for
+    assignment; only the window's hash partition moves data."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cent_id"),
+        (
+            dot_col(F.col(vec_col), F.col("c_emb"))
+            / (norm_col(F.col(vec_col)) * norm_col(F.col("c_emb")))
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("c_rnk", F.row_number().over(w))
+        .filter(F.col("c_rnk") <= n_cells)
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: corpus vectors live in their single
+    nearest-centroid cell; each query probes its `nprobe` nearest cells and
+    searches only those. The scale path for ANN when sign-bit LSH recall is
+    insufficient: cells are data-adaptive (centroids from a training step —
+    here supplied by the caller; deterministic in the catalog query).
+
+    Join shape at 1000 executors: corpus partitioned by cell once (reusable
+    across query batches), query->cell probe list broadcast, per-cell local
+    scan + global top-k window.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_assign(emb, centroids, n_cells=1, id_col=id_col, vec_col=vec_col)
+    probes = ivf_assign(
+        queries.select(F.col("q_id").alias(id_col), F.col("q_emb").alias(vec_col)),
+        centroids, n_cells=nprobe, id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"), "cell"
+    )
+    pairs = cells.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    cos = dot_col(F.col(vec_col), F.col("q_emb")) / (
+        norm_col(F.col(vec_col)) * norm_col(F.col("q_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "q_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos_sim")
+        )
+        # corpus vectors live in exactly ONE cell (n_cells=1) so a
+        # (q, neighbor) pair can't repeat across probes — no dedup needed
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def signbit_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -62,6 +62,16 @@ def normalize_super_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df
 
 
+def safe_cast_integer(col, target: str = "smallint") -> "F.Column":
+    """F9: defensive string->integer cast. The reference emits
+    `case when trim(c) ~ '^[0-9]+$' then trim(c) else null end::smallint`
+    (redshift_schema_evolution.py:149-153); here the same guard as a native
+    expression — non-numeric strings become NULL instead of failing the load."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t.rlike("^[0-9]+$"), t).cast(target)
+
+
 def epoch_millis_to_timestamp(col) -> "F.Column":
     """Mongo ts_ms -> timestamp (mongo_redshift_sink.py:129)."""
     return F.timestamp_millis(F.col(col) if isinstance(col, str) else col)

@@ -27,16 +27,27 @@ from ..operators import (
     merge_changes,
     parse_canal,
     parse_debezium,
+    parse_dms,
+    parse_mongo,
     route_debezium,
+    route_dms,
+    route_mongo,
 )
 from ..operators.dedup import lww_dedup as _lww
 from ..operators.schema_evolution import diff_schemas
-from ..operators.typeconv import convert_date_columns, convert_timestamp_columns
+from ..operators.typeconv import (
+    convert_date_columns,
+    convert_timestamp_columns,
+    safe_cast_integer,
+)
 from ..sources import load_table
 from ..sources.envelopes import (
+    MONGO_TS_BASE,
     ORDERS_CHANGELOG_SQL,
     synth_canal_topic,
     synth_debezium_topic,
+    synth_dms_topic,
+    synth_mongo_topic,
     synth_orders_changelog,
 )
 
@@ -127,6 +138,77 @@ def q_cdc_pipeline_debezium(spark, sf_dir):
     parsed = parse_debezium(routed, orders.schema)
     merged = merge_changes(orders, parsed, ["o_orderkey"])
     return merged.select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@_spec(
+    "cdc_pipeline_dms",
+    "S2+P1(DMS)+P3+W2+J2+J3 end-to-end: DMS envelopes (incl. control records "
+    "to drop) -> route -> parse -> dedup on metadata.timestamp -> merge",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                   ELSE o_totalprice END AS o_totalprice,
+              o_orderstatus
+       FROM orders WHERE o_orderkey % 7 != 0""",
+)
+def q_cdc_pipeline_dms(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    topic = synth_dms_topic(spark, sf_dir)
+    routed = route_dms(topic, "salesdb", "orders")
+    parsed = parse_dms(routed, orders.schema)
+    merged = merge_changes(orders, parsed, ["o_orderkey"])
+    return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@_spec(
+    "cdc_pipeline_mongo",
+    "Mongo change stream end-to-end: route by ns -> doc_id extract (P8 as "
+    "native get_json_object) -> W4 dedup -> delete filter -> field extraction "
+    "from the SUPER/JSON doc (F4 epoch-millis conversions)",
+    f"""SELECT c_custkey::VARCHAR AS doc_id,
+              c_name,
+              CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+                   ELSE c_acctbal END AS c_acctbal,
+              {MONGO_TS_BASE} + c_custkey * 1000
+                + CASE WHEN c_custkey % 3 = 0 THEN 3600000 ELSE 0 END AS ts_ms
+       FROM customer WHERE c_custkey % 7 != 0""",
+)
+def q_cdc_pipeline_mongo(spark, sf_dir):
+    topic = synth_mongo_topic(spark, sf_dir)
+    routed = route_mongo(topic, "appdb", "customer")
+    parsed = parse_mongo(routed)
+    latest = lww_dedup(parsed, ["doc_id"], ["ts_ms"])
+    alive = latest.filter(F.col("op") != "d")
+    return alive.select(
+        "doc_id",
+        F.get_json_object("doc", "$.c_name").alias("c_name"),
+        F.get_json_object("doc", "$.c_acctbal").cast("double").alias("c_acctbal"),
+        "ts_ms",
+    )
+
+
+@_spec(
+    "cdc_safe_cast",
+    "F9: defensive string->smallint cast (regex-guarded; garbage -> NULL)",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 3 = 0 THEN ('  ' || (o_orderkey % 100) || ' ')
+                   WHEN o_orderkey % 3 = 1 THEN 'x' || o_orderkey
+                   ELSE (o_orderkey % 1000)::VARCHAR END AS raw,
+              CASE WHEN o_orderkey % 3 = 0 THEN (o_orderkey % 100)::SMALLINT
+                   WHEN o_orderkey % 3 = 1 THEN NULL
+                   ELSE (o_orderkey % 1000)::SMALLINT END AS casted
+       FROM orders""",
+)
+def q_cdc_safe_cast(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw = (
+        F.when(k % 3 == 0, F.concat(F.lit("  "), (k % 100).cast("string"), F.lit(" ")))
+        .when(k % 3 == 1, F.concat(F.lit("x"), k.cast("string")))
+        .otherwise((k % 1000).cast("string"))
+    )
+    return orders.select(
+        "o_orderkey", raw.alias("raw"), safe_cast_integer(raw).alias("casted")
+    )
 
 
 @_spec(

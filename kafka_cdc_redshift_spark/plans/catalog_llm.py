@@ -273,6 +273,71 @@ def q_sim_lsh_bucket(spark, sf_dir):
     return similarity.signbit_lsh_topk(emb, queries, k=3, planes=8)
 
 
+@_spec(
+    "dedup_embedding",
+    "embedding-cosine near-dup pairs: sign-bit bucket candidates, exact "
+    "cosine verify (threshold calibrated to the synthetic corpus)",
+    f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {_bucket_sql("e")} AS bucket FROM c),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.3""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.3, planes=8)
+
+
+def _ivf_oracle(nlist: int = 8, nprobe: int = 2, k: int = 3) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id < {nlist}),
+    asn AS (SELECT vec_id, e, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c_sim DESC, cent_id) AS c_rnk
+            FROM (SELECT c.vec_id, c.e, cent.cent_id,
+                         {cos.format(a="c.e", b="cent.ce")} AS c_sim
+                  FROM c CROSS JOIN cent) s),
+    cells AS (SELECT vec_id, e, cent_id AS cell FROM asn WHERE c_rnk = 1),
+    q AS (SELECT vec_id, e FROM c WHERE vec_id % 50 = 0),
+    probes AS (SELECT vec_id AS q_id, e AS qe, cent_id AS cell
+               FROM (SELECT q.vec_id, q.e, cent.cent_id,
+                            row_number() OVER (PARTITION BY q.vec_id
+                                               ORDER BY {cos.format(a="q.e", b="cent.ce")} DESC,
+                                                        cent_id) AS c_rnk
+                     FROM q CROSS JOIN cent) s WHERE c_rnk <= {nprobe}),
+    p AS (SELECT q_id, cells.vec_id AS neighbor_id,
+                 {cos.format(a="cells.e", b="probes.qe")} AS cos_sim
+          FROM cells JOIN probes USING (cell) WHERE cells.vec_id != q_id)
+    SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM p) t WHERE rnk <= {k}"""
+
+
+@_spec(
+    "sim_ivf_topk",
+    "IVF ANN: corpus binned to nearest of 8 deterministic centroids, queries "
+    "probe 2 cells; oracle replays assignment + probe + top-k exactly",
+    _ivf_oracle(),
+)
+def q_sim_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.ivf_topk(emb, queries, centroids, k=3, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -289,3 +354,23 @@ def q_sim_lsh_bucket(spark, sf_dir):
 def q_multimodal_binary_meta(spark, sf_dir):
     docs = multimodal.documents_as_binary(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_binary_meta(docs)
+
+
+@_spec(
+    "multimodal_frame_sample",
+    "video-style frame sampling: payload -> fixed-size frames, every 2nd "
+    "kept, per-frame metadata (1->N Arrow-batch fan-out via mapInPandas)",
+    """WITH f AS (
+         SELECT doc_id, text,
+                unnest(generate_series(0,
+                  CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1)) AS frame_idx
+         FROM documents)
+       SELECT doc_id, frame_idx,
+              octet_length(encode(substr(text, frame_idx * 256 + 1, 256))) AS frame_len,
+              md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_md5
+       FROM f WHERE frame_idx % 2 = 0""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    # the corpus is ASCII so char slicing == byte slicing in the oracle
+    docs = multimodal.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(docs, frame_bytes=256, every=2)

@@ -226,6 +226,93 @@ def synth_debezium_topic(
     return orders_env.unionByName(cust_env)
 
 
+def synth_dms_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS-DMS-style envelopes (README.md:393-413) for salesdb.orders:
+    `data` carries the row image, `metadata.timestamp` an ISO second-precision
+    string, `metadata.operation` in {load,insert,update,delete}. Includes
+    control records (metadata.record-type='control') that routing must drop
+    (redshift_sink.py:24-29)."""
+    cl = synth_orders_changelog(spark, sf_dir)
+    op_name = (
+        F.when(F.col("op") == "c", "insert")
+        .when(F.col("op") == "u", "update")
+        .when(F.col("op") == "d", "delete")
+    )
+    # second-precision ISO string; the synth changelog's ts_ms are whole
+    # seconds (epoch_ms(date) + hour offsets) so no precision is lost
+    iso_ts = F.date_format(
+        F.timestamp_seconds(F.col("ts_ms") / 1000), "yyyy-MM-dd HH:mm:ss"
+    )
+    data_rows = cl.select(
+        F.to_json(
+            F.struct(
+                F.struct(*[F.col(c) for c in ORDERS_COLS]).alias("data"),
+                F.struct(
+                    iso_ts.alias("timestamp"),
+                    F.lit("data").alias("record-type"),
+                    op_name.alias("operation"),
+                    F.lit("salesdb").alias("schema-name"),
+                    F.lit("orders").alias("table-name"),
+                ).alias("metadata"),
+            )
+        ).alias("value")
+    )
+    control = spark.range(8).select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("control").alias("record-type"),
+                    F.lit("salesdb").alias("schema-name"),
+                    F.lit("orders").alias("table-name"),
+                ).alias("metadata"),
+            )
+        ).alias("value")
+    )
+    return data_rows.unionByName(control)
+
+
+MONGO_TS_BASE = 1_700_000_000_000
+
+
+def synth_mongo_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo change-stream envelopes (README.md:414-527) over `customer`:
+    insert for every row, replace (acctbal+100) for custkey%3==0, delete for
+    custkey%7==0; documentKey is the scalar-_id form; ts_ms deterministic
+    from the key so the DuckDB oracle can replay it."""
+    cust = load_table(spark, sf_dir, "customer")
+    ts0 = (F.lit(MONGO_TS_BASE) + F.col("c_custkey") * 1000).cast("long")
+    doc = F.to_json(F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+    doc2 = F.to_json(
+        F.struct(
+            F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey"),
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+    )
+    dockey = F.concat(F.lit('{"_id": '), F.col("c_custkey"), F.lit("}"))
+
+    def env(op, doc_col, ts):
+        return F.to_json(
+            F.struct(
+                F.lit(op).alias("operationType"),
+                doc_col.alias("fullDocument"),
+                dockey.alias("documentKey"),
+                F.struct(
+                    F.lit("appdb").alias("db"), F.lit("customer").alias("coll")
+                ).alias("ns"),
+                ts.alias("ts_ms"),
+            )
+        ).alias("value")
+
+    inserts = cust.select(env("insert", doc, ts0))
+    replaces = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        env("replace", doc2, ts0 + 3_600_000)
+    )
+    deletes = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        env("delete", F.lit(None).cast("string"), ts0 + 7_200_000)
+    )
+    return inserts.unionByName(replaces).unionByName(deletes)
+
+
 def synth_canal_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canal-style envelopes: each message's `data` array holds TWO images of
     the same row (second one with o_totalprice*2) at the same ts, so the
