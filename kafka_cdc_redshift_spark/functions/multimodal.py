@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import spread
+
 META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -61,7 +63,7 @@ def extract_binary_meta(df: DataFrame, *, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(process, META_SCHEMA)
+    return spread(df.select(id_col, payload_col)).mapInPandas(process, META_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -112,7 +114,7 @@ def sample_frames(
                     out["frame_md5"].append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(process, FRAME_SCHEMA)
+    return spread(df.select(id_col, payload_col)).mapInPandas(process, FRAME_SCHEMA)
 
 
 def documents_as_binary(df: DataFrame) -> DataFrame:

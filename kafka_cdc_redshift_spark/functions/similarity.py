@@ -17,7 +17,9 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+from ..util import spread
 
 
 def _dbl(c: Column) -> Column:
@@ -51,6 +53,7 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    emb = spread(emb)
     pairs = emb.crossJoin(F.broadcast(queries)).filter(F.col(id_col) != F.col("q_id"))
     cos = dot_col(F.col(vec_col), F.col("q_emb")) / (
         norm_col(F.col(vec_col)) * norm_col(F.col("q_emb"))
@@ -93,7 +96,7 @@ def embedding_near_dup_pairs(
     the O(N^2) cross join never materializes. At 100 TB the bucket is the
     shuffle key; skewed buckets are handled by AQE skew-join splitting.
     """
-    b = emb.select(
+    b = spread(emb).select(
         F.col(id_col), F.col(vec_col),
         signbit_bucket(F.col(vec_col), planes).alias("bucket"),
     )
@@ -129,7 +132,7 @@ def ivf_assign(
     assignment; only the window's hash partition moves data."""
     from pyspark.sql import Window
 
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    scored = spread(emb).crossJoin(F.broadcast(centroids)).select(
         F.col(id_col), F.col(vec_col), F.col("cent_id"),
         (
             dot_col(F.col(vec_col), F.col("c_emb"))
@@ -207,7 +210,7 @@ def signbit_lsh_topk(
     """
     from pyspark.sql import Window
 
-    corpus = emb.withColumn("bucket", signbit_bucket(F.col(vec_col), planes))
+    corpus = spread(emb).withColumn("bucket", signbit_bucket(F.col(vec_col), planes))
     qb = queries.withColumn("bucket", signbit_bucket(F.col("q_emb"), planes))
     pairs = corpus.join(F.broadcast(qb), "bucket").filter(
         F.col(id_col) != F.col("q_id")

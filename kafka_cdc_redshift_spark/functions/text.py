@@ -18,6 +18,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import spread
+
 EN_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it")
 
 # marker-token lists for the n-gram/stopword language-ID heuristic
@@ -45,6 +47,7 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    df = spread(df)
     """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
     estimate (chars/4 — the common rule-of-thumb bytes-per-token)."""
     toks = tokens_col(text_col)
@@ -57,6 +60,7 @@ def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 
 
 def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    df = spread(df)
     """Quality scoring: stopword ratio + alphabetic-char ratio combined into
     a [0,1] score (pure double arithmetic on exact int counts)."""
     toks = tokens_col(text_col)
@@ -75,6 +79,7 @@ def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
 
 
 def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    df = spread(df)
     """Marker-token language ID: count per-language marker hits, argmax with
     fixed priority order (en > de > es > fr), 'und' when nothing hits."""
     toks = tokens_col(text_col)
@@ -92,6 +97,7 @@ def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") ->
 
 
 def fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    df = spread(df)
     """Document fingerprinting: md5 over the sorted distinct token set (word-
     order/duplication insensitive), grouped to fingerprint clusters."""
     toks = tokens_col(text_col)
