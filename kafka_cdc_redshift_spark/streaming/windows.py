@@ -1,0 +1,130 @@
+"""Event-time windowed aggregation + stateful operators for streams.
+
+The reference has NO watermarks or event-time windows (SURVEY §2.8 T9):
+late data is handled only by per-batch LWW + merge-by-pk. These operators
+close that gap the Structured-Streaming way — the same code path works on a
+batch DataFrame (the catalog's events_* queries are the batch twins), and on
+a stream it carries watermark state in the state store.
+
+At 100 TB / real streams: state lives in the configured state store
+(RocksDB in production); watermark bounds state size; the shuffle key is the
+window/group key so state is partitioned across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hourly_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count+sum per event_type. With `watermark` set on a
+    streaming input, late rows beyond the bound are dropped and closed
+    windows are emitted/finalized (append mode capable)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(T.DecimalType(18, 2)))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per user (native session_window; gap-based merge is
+    handled by the streaming state store on a stream)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("sw"), "user_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch key dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+DEDUP_STATE_SCHEMA = "max_ts LONG"
+
+
+def seen_keys_dedup(
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts_ms",
+    output_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Streaming cross-batch LWW guard: emit a row only if its `ts_col` is
+    strictly newer than the max already seen for its key — state carries one
+    long per key. This upgrades the reference's per-batch-only LWW (SURVEY
+    §2.8 T9: cross-batch ordering was delegated to merge-by-pk) into an
+    in-stream filter: replayed/reordered envelopes never reach the sink.
+
+    Works only on a streaming DataFrame (applyInPandasWithState); the batch
+    twin is lww_dedup. State size = one long per live key, partitioned by
+    the group key, RocksDB-backed in production.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if output_schema is None:
+        output_schema = changes.schema
+
+    cols = list(changes.columns)
+    ts_idx = cols.index(ts_col)
+
+    def dedup_fn(key: tuple, pdfs: Iterator, state: Any) -> Iterator:
+        max_seen = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts = int(row.iloc[ts_idx])
+                if max_seen is None or ts > max_seen:
+                    max_seen = ts
+                    out.append(row)
+        if max_seen is not None:
+            state.update((max_seen,))
+        if out:
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return changes.groupBy(*keys).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=output_schema,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

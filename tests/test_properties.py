@@ -1,0 +1,123 @@
+"""Property-based semantics of the CDC kernel (hypothesis).
+
+Verifies the invariants SURVEY §7.3 calls out as the hard parts:
+  * lww_dedup == brute-force argmax per key, for any changelog
+  * merge idempotency (re-applying a batch is a no-op) — the T7
+    exactly-once-ish contract
+  * batch-split invariance: applying a per-key-time-ordered changelog as
+    ONE merge equals applying it as any sequence of time-split merges —
+    the documented cross-batch correctness condition (ts monotonicity
+    across batches per key)
+  * union_window and anti_join merge strategies agree
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_cdc_redshift_spark.operators.dedup import lww_dedup
+from kafka_cdc_redshift_spark.operators.merge import merge_changes
+
+# rows: (key, ts, value, op); (key, ts) unique so LWW winners are unambiguous
+changelogs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=999),
+        st.sampled_from(["c", "u", "d"]),
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+targets = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=999)),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+CL_SCHEMA = "k long, ts_ms long, v long, op string"
+T_SCHEMA = "k long, v long"
+
+
+def _cl_df(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows], CL_SCHEMA)
+
+
+def _t_df(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows], T_SCHEMA)
+
+
+def _apply_model(target_rows, cl_rows):
+    """Reference model: per-key argmax(ts) decides; delete removes."""
+    state = dict(target_rows)
+    last = {}
+    for k, ts, v, op in cl_rows:
+        if k not in last or ts > last[k][0]:
+            last[k] = (ts, v, op)
+    for k, (ts, v, op) in last.items():
+        if op == "d":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    return state
+
+
+@given(cl=changelogs)
+@settings(**SETTINGS)
+def test_lww_dedup_is_per_key_argmax(spark, cl):
+    df = _cl_df(spark, cl)
+    got = {r.k: (r.ts_ms, r.v) for r in lww_dedup(df, ["k"], ["ts_ms"]).collect()}
+    exp = {}
+    for k, ts, v, _ in cl:
+        if k not in exp or ts > exp[k][0]:
+            exp[k] = (ts, v)
+    assert got == exp
+
+
+@given(t=targets, cl=changelogs)
+@settings(**SETTINGS)
+def test_merge_strategies_agree_and_match_model(spark, t, cl):
+    target, changes = _t_df(spark, t), _cl_df(spark, cl)
+    exp = _apply_model(t, cl)
+    for strategy in ("union_window", "anti_join"):
+        merged = merge_changes(target, changes, ["k"], strategy=strategy)
+        got = {r.k: r.v for r in merged.collect()}
+        assert got == exp, strategy
+
+
+@given(t=targets, cl=changelogs)
+@settings(**SETTINGS)
+def test_merge_idempotent(spark, t, cl):
+    target, changes = _t_df(spark, t), _cl_df(spark, cl)
+    once = merge_changes(target, changes, ["k"])
+    twice = merge_changes(once, changes, ["k"])
+    assert sorted((r.k, r.v) for r in twice.collect()) == sorted(
+        (r.k, r.v) for r in once.collect()
+    )
+
+
+@given(t=targets, cl=changelogs, cut=st.integers(min_value=0, max_value=50))
+@settings(**SETTINGS)
+def test_time_split_batches_converge(spark, t, cl, cut):
+    """Split the changelog at a time boundary (all rows <= cut first) —
+    sequential merges must equal the one-shot merge. This is exactly the
+    per-key ts-monotonicity condition under which cross-batch LWW is safe."""
+    early = [r for r in cl if r[1] <= cut]
+    late = [r for r in cl if r[1] > cut]
+    one_shot = merge_changes(_t_df(spark, t), _cl_df(spark, cl), ["k"])
+    stepped = merge_changes(
+        merge_changes(_t_df(spark, t), _cl_df(spark, early), ["k"]),
+        _cl_df(spark, late),
+        ["k"],
+    )
+    assert sorted((r.k, r.v) for r in stepped.collect()) == sorted(
+        (r.k, r.v) for r in one_shot.collect()
+    )

@@ -1,0 +1,93 @@
+"""Event-time streaming surface (T9 gap): watermarked tumbling windows and
+the applyInPandasWithState cross-batch dedup operator, both driven through
+real micro-batched streams (file source, availableNow / maxFilesPerTrigger).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.sources import load_table
+from kafka_cdc_redshift_spark.streaming import hourly_rollup, seen_keys_dedup
+
+
+def test_watermarked_rollup_matches_batch_twin(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events_json"
+    events.select(F.to_json(F.struct("*")).alias("value")).coalesce(1).write.text(
+        str(src)
+    )
+
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rolled = hourly_rollup(stream, watermark="1 hour")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("rollup_sink").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+        ).collect()
+    }
+    # append mode emits only windows the watermark has closed — everything
+    # emitted must agree exactly with the batch twin, and most windows close
+    assert got, "no windows emitted"
+    assert set(got) <= set(batch)
+    assert all(got[k] == batch[k] for k in got)
+    assert len(got) >= len(batch) - 26  # tail windows (+1h watermark) pending
+
+
+def test_seen_keys_dedup_suppresses_cross_batch_replays(spark, tmp_path):
+    src = tmp_path / "cdc_json"
+    src.mkdir()
+    b1 = [
+        {"k": 1, "ts_ms": 100, "v": "a"},
+        {"k": 2, "ts_ms": 50, "v": "b"},
+    ]
+    b2 = [
+        {"k": 1, "ts_ms": 100, "v": "replayed-drop"},
+        {"k": 1, "ts_ms": 200, "v": "c"},
+        {"k": 2, "ts_ms": 40, "v": "out-of-order-drop"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1) + "\n")
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2) + "\n")
+
+    stream = spark.readStream.schema("k long, ts_ms long, v string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    deduped = seen_keys_dedup(stream, ["k"], ts_col="ts_ms")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.k, r.ts_ms): r.v for r in spark.table("dedup_sink").collect()}
+    assert got == {(1, 100): "a", (2, 50): "b", (1, 200): "c"}
+
+
+def test_seen_keys_dedup_rejects_batch_dataframe(spark):
+    df = spark.createDataFrame([(1, 1, "x")], ["k", "ts_ms", "v"])
+    with pytest.raises(Exception):
+        seen_keys_dedup(df, ["k"]).collect()
