@@ -97,15 +97,20 @@ def evolve_dataframe(df: DataFrame, target: T.StructType) -> DataFrame:
     return df.select(*cols, *new)
 
 
-def cast_to_target(df: DataFrame, target: T.StructType) -> DataFrame:
+def cast_to_target(
+    df: DataFrame, target: T.StructType, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """ignore_ddl (fixed-schema) mode: cast incoming columns to the target's
     types (redshift_schema_evolution.py:137-155). String->integral gets the
-    reference's defensive digit-guard (:149-153) via try_cast semantics."""
+    reference's defensive digit-guard (:149-153) via try_cast semantics.
+    `passthrough` columns (bookkeeping: op/ts_ms) are kept uncast."""
     out = []
     by_name = {f.name: f for f in target.fields}
     for c in df.columns:
         f_t = by_name.get(c)
         if f_t is None:
+            if c in passthrough:
+                out.append(F.col(c))
             continue  # column not in fixed target schema -> dropped
         src_type = dict(df.dtypes)[c]
         dst = f_t.dataType

@@ -24,11 +24,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from pyspark.sql import functions as F
+
 from ..config import SyncRule
 from ..operators.dedup import latest_deletes, lww_dedup
 from ..operators.merge import merge_changes
 from ..operators.normalize import parse_canal, parse_debezium, parse_dms, parse_mongo
 from ..operators.routing import route_canal, route_debezium, route_dms, route_mongo
+from ..operators.schema_evolution import cast_to_target, diff_schemas
 from ..operators.typeconv import apply_rule_conversions
 from .store import ParquetTargetStore
 
@@ -101,6 +104,30 @@ class CdcBatchProcessor:
             if not rule.only_save_delete:
                 updates = lww_dedup(parsed, list(rule.primary_key), order)
                 target = self.store.read(self.spark, rule.target_name)
+                if target is not None:
+                    bookkeeping = {"op", "ts_ms", "data_index_aws"}
+                    incoming = T.StructType(
+                        [f for f in updates.schema.fields if f.name not in bookkeeping]
+                    )
+                    if rule.ignore_ddl:
+                        # fixed-schema mode: cast incoming to the target's
+                        # types, extra columns dropped
+                        # (redshift_schema_evolution.py:137-155)
+                        updates = cast_to_target(
+                            updates, target.schema, passthrough=tuple(bookkeeping)
+                        )
+                    else:
+                        # schema evolution: ADD new columns to the target
+                        # (null-filled) and DROP removed ones
+                        # (redshift_schema_evolution.py:57-69, 188-211)
+                        d = diff_schemas(incoming, target.schema)
+                        if not d.empty:
+                            by_name = {f.name: f for f in incoming.fields}
+                            for c in d.add:
+                                target = target.withColumn(
+                                    c, F.lit(None).cast(by_name[c].dataType)
+                                )
+                            target = target.drop(*d.drop)
                 if target is None:
                     first = updates.filter("op != 'd'").drop(
                         *[c for c in ("op", "ts_ms", "data_index_aws") if c in updates.columns]

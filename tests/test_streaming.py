@@ -146,3 +146,75 @@ def test_only_save_delete_skips_merge(spark, sf_dir, tmp_path):
     proc.process_batch(topic, 0)
     assert not store.exists("orders")          # merge skipped
     assert store.exists("orders_delete")       # delete stream captured
+
+
+def _topic_df(spark, rows):
+    """rows: list of dicts -> Debezium envelope topic DataFrame[value]."""
+    import json as _json
+
+    return spark.createDataFrame([( _json.dumps(r),) for r in rows], ["value"])
+
+
+def _env(db, table, after, op="c", ts=1):
+    return {"before": None, "after": after,
+            "source": {"db": db, "table": table}, "op": op, "ts_ms": ts}
+
+
+def test_schema_evolution_adds_and_drops_columns(spark, tmp_path):
+    """Reference evolves the live target per batch (SchemaEvolution step,
+    SURVEY §3.1): new incoming column -> ADD (old rows null), column gone
+    from the source -> DROP."""
+    from pyspark.sql import types as T
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    v1 = T.StructType([T.StructField("pid", T.LongType()),
+                       T.StructField("a", T.StringType())])
+    v2 = T.StructType([T.StructField("pid", T.LongType()),
+                       T.StructField("b", T.LongType())])  # a dropped, b added
+    rule = SyncRule(db="d", table="t", primary_key=("pid",))
+
+    p1 = CdcBatchProcessor(spark, [rule], store, payload_schemas={"t": v1})
+    p1.process_batch(_topic_df(spark, [_env("d", "t", {"pid": 1, "a": "x"})]), 0)
+    assert store.read(spark, "t").columns == ["pid", "a"]
+
+    p2 = CdcBatchProcessor(spark, [rule], store, payload_schemas={"t": v2})
+    p2.process_batch(
+        _topic_df(spark, [_env("d", "t", {"pid": 2, "b": 9}, ts=2)]), 1
+    )
+    out = {r.pid: r.asDict() for r in store.read(spark, "t").collect()}
+    assert set(out[1]) == {"pid", "b"} and out[1]["b"] is None  # a dropped
+    assert out[2]["b"] == 9
+
+
+def test_ignore_ddl_casts_to_fixed_target_schema(spark, tmp_path):
+    """ignore_ddl=true: target schema is authoritative — incoming strings are
+    cast (digit-guarded) and extra columns dropped
+    (redshift_schema_evolution.py:137-155)."""
+    from pyspark.sql import types as T
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    fixed = T.StructType([T.StructField("pid", T.LongType()),
+                          T.StructField("qty", T.IntegerType())])
+    # incoming payload arrives all-string (schema drift) + an extra column
+    drift = T.StructType([T.StructField("pid", T.LongType()),
+                          T.StructField("qty", T.StringType()),
+                          T.StructField("extra", T.StringType())])
+    rule = SyncRule(db="d", table="t", primary_key=("pid",), ignore_ddl=True)
+
+    boot = CdcBatchProcessor(spark, [SyncRule(db="d", table="t", primary_key=("pid",))],
+                             store, payload_schemas={"t": fixed})
+    boot.process_batch(_topic_df(spark, [_env("d", "t", {"pid": 1, "qty": 5})]), 0)
+
+    proc = CdcBatchProcessor(spark, [rule], store, payload_schemas={"t": drift})
+    proc.process_batch(
+        _topic_df(spark, [
+            _env("d", "t", {"pid": 2, "qty": " 7 ", "extra": "z"}, ts=2),
+            _env("d", "t", {"pid": 3, "qty": "oops", "extra": "z"}, ts=2),
+        ]),
+        1,
+    )
+    tgt = store.read(spark, "t")
+    assert [f.name for f in tgt.schema.fields] == ["pid", "qty"]
+    assert dict(tgt.dtypes)["qty"] == "int"
+    out = {r.pid: r.qty for r in tgt.collect()}
+    assert out == {1: 5, 2: 7, 3: None}  # digit-guard: garbage -> NULL
