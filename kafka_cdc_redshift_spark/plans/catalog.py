@@ -180,6 +180,42 @@ def q_cdc_pipeline_debezium(spark, sf_dir):
 
 
 @_spec(
+    "cdc_merge_skip_delete",
+    "skip_delete=true: deletes are retained as upserts of their last row "
+    "image (the reference's intended semantics at redshift_sink.py:456, "
+    "implemented without the 'ture' typo)",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice      -- delete image (latest ts) wins
+                   WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                   ELSE o_totalprice END AS o_totalprice
+       FROM orders""",
+)
+def q_cdc_merge_skip_delete(spark, sf_dir):
+    target = load_table(spark, sf_dir, "orders")
+    cl = _fixture(spark, sf_dir, "changelog", synth_orders_changelog)
+    merged = merge_changes(target, cl, ["o_orderkey"], skip_delete=True)
+    return merged.select("o_orderkey", "o_totalprice")
+
+
+@_spec(
+    "cdc_canal_json",
+    "Canal JSON end-to-end: route by database/table -> from_json (array "
+    "payload) -> posexplode with positional tiebreak -> winners",
+    "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders",
+)
+def q_cdc_canal_json(spark, sf_dir):
+    from ..operators import route_canal
+
+    orders = load_table(spark, sf_dir, "orders")
+    structs = _fixture(spark, sf_dir, "canal_topic", synth_canal_topic)
+    topic = structs.select(F.to_json(F.struct("*")).alias("value"))
+    routed = route_canal(topic, "salesdb", "orders")
+    parsed = parse_canal(routed, orders.schema)
+    winners = lww_dedup(parsed, ["o_orderkey"], ["ts_ms", "data_index_aws"])
+    return winners.select("o_orderkey", "o_totalprice")
+
+
+@_spec(
     "cdc_pipeline_dms",
     "S2+P1(DMS)+P3+W2+J2+J3 end-to-end: DMS envelopes (incl. control records "
     "to drop) -> route -> parse -> dedup on metadata.timestamp -> merge",
