@@ -117,6 +117,46 @@ def sample_frames(
     return spread(df.select(id_col, payload_col)).mapInPandas(process, FRAME_SCHEMA)
 
 
+FEATURE_BUCKETS = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType(), False), False),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Feature extraction over opaque binary payloads: a deterministic
+    16-bucket byte histogram, L1-normalized, as `array<double>` — the
+    stand-in for a real media embedding model (which isn't in this
+    container). The Spark shape is the production one: Arrow-batched
+    mapInPandas emitting a fixed-width vector column that feeds directly
+    into the similarity operators (cosine_topk / ivf_topk / near-dup).
+    """
+
+    def process(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=FEATURE_BUCKETS).astype(
+                    np.float64
+                )
+                feats.append((hist / len(b)).tolist() if len(b) else hist.tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(
+        process, FEATURE_SCHEMA
+    )
+
+
 def documents_as_binary(df: DataFrame) -> DataFrame:
     """Adapter for tests: treat document text bytes as an opaque payload."""
     return df.select("doc_id", F.encode("text", "utf-8").alias("payload"))

@@ -1,0 +1,92 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row with the same key whose
+time is <= the left row's time (backward as-of). The classic need in a
+training-data pipeline: enrich an event with the state that was true WHEN
+the event happened, never with future data (no label leakage).
+
+Implementation is the distributed union+window trick, NOT a range join:
+tag both sides, sort within each key by (time, right-first), and carry the
+last-seen right payload forward with last_value(ignorenulls). Cost = ONE
+hash shuffle on the key + a partition-local sort — the same shape as the
+LWW dedup, so it scales exactly as far. A naive inequality join would be
+O(|L|x|R|) per key and explode on hot keys.
+
+DuckDB's native ASOF JOIN replays the same semantics in the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join (left rows kept; unmatched get nulls).
+
+    `on`       : equi-key column names present in BOTH sides
+    left_time / right_time : event-time columns (comparable types)
+    right_cols : right payload columns to attach (default: all non-key,
+                 non-time columns)
+    tolerance  : optional max lookback as an INTERVAL string (e.g.
+                 '7 days') — matches older than left_time - tolerance are
+                 discarded, like pandas.merge_asof(tolerance=...).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(on) | {right_time}]
+    right_cols = list(right_cols)
+
+    l_tag = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in [right_time, *right_cols]])
+                         .alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s"))
+            .schema["s"].dataType
+        ).alias("__l"),
+        F.struct(F.col(right_time), *[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    # right rows sort BEFORE left rows at equal time => ties match (<=)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        l_tag.unionByName(r_tag)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    if tolerance is not None:
+        too_old = F.col("__match").isNotNull() & (
+            F.col(f"__match.{right_time}")
+            < F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        )
+        joined = joined.withColumn(
+            "__match", F.when(too_old, F.lit(None)).otherwise(F.col("__match"))
+        )
+    out_left = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_right = [F.col(f"__match.{c}").alias(c) for c in right_cols]
+    return joined.select(*out_left, *out_right)

@@ -105,6 +105,12 @@ def warm_fixtures(spark: SparkSession, sf_dir: str) -> None:
         ("dms_topic", synth_dms_topic),
         ("mongo_topic", synth_mongo_topic),
         ("canal_topic", synth_canal_topic),
+        (
+            "canal_json_topic",
+            lambda s, d: synth_canal_topic(s, d).select(
+                F.to_json(F.struct("*")).alias("value")
+            ),
+        ),
     ):
         _fixture(spark, sf_dir, name, builder)
 
@@ -207,8 +213,12 @@ def q_cdc_canal_json(spark, sf_dir):
     from ..operators import route_canal
 
     orders = load_table(spark, sf_dir, "orders")
-    structs = _fixture(spark, sf_dir, "canal_topic", synth_canal_topic)
-    topic = structs.select(F.to_json(F.struct("*")).alias("value"))
+    topic = _fixture(
+        spark, sf_dir, "canal_json_topic",
+        lambda s, d: synth_canal_topic(s, d).select(
+            F.to_json(F.struct("*")).alias("value")
+        ),
+    )
     routed = route_canal(topic, "salesdb", "orders")
     parsed = parse_canal(routed, orders.schema)
     winners = lww_dedup(parsed, ["o_orderkey"], ["ts_ms", "data_index_aws"])
@@ -526,6 +536,38 @@ def q_events_json(spark, sf_dir):
         .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
         .groupBy("user_id")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+@_spec(
+    "events_asof_enrich",
+    "as-of join: each event enriched with the user's most recent order "
+    "at-or-before event time (point-in-time correct, no future leakage); "
+    "single hash shuffle via the union+window formulation",
+    """WITH day_orders AS (
+         SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+                CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS day_total
+         FROM orders GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, l.ts, r.o_orderkey AS last_orderkey,
+              r.day_total
+       FROM events l
+       ASOF LEFT JOIN day_orders r
+         ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate""",
+)
+def q_events_asof_enrich(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    day_orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.sum(_dec(F.col("o_totalprice"), 12, 2)).cast("double").alias("day_total"),
+        )
+    )
+    return asof_join(
+        ev, day_orders, on=["user_id"], left_time="ts", right_time="o_orderdate"
     )
 
 

@@ -111,6 +111,43 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@_spec(
+    "text_curation_pipeline",
+    "composition: token stats + quality gate + language filter + exact-dedup "
+    "keeper selection -> curated corpus slice (the end-to-end shape of a "
+    "training-data curation job)",
+    f"""WITH {_TOKENIZED}, stats AS (
+      SELECT doc_id, len(t) AS n_tokens FROM tokenized),
+    q AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) * 0.5
+             + (1.0 - CAST(len(list_filter(t, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+               / CAST(len(t) AS DOUBLE)) * 0.5 AS quality
+      FROM tokenized),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT s.doc_id, s.n_tokens, q.quality
+    FROM stats s
+    JOIN q USING (doc_id)
+    JOIN keepers USING (doc_id)
+    WHERE q.quality >= 0.5 AND s.n_tokens >= 20""",
+)
+def q_text_curation_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.token_stats(docs).select("doc_id", "n_tokens")
+    quality = text.quality_score(docs).select("doc_id", "quality")
+    keepers = (
+        dedup_text.exact_dedup(docs)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+    )
+    return (
+        stats.join(quality, "doc_id")
+        .join(keepers, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -354,6 +391,27 @@ def q_sim_ivf_topk(spark, sf_dir):
 def q_multimodal_binary_meta(spark, sf_dir):
     docs = multimodal.documents_as_binary(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_binary_meta(docs)
+
+
+def _feature_oracle() -> str:
+    buckets = ", ".join(
+        "CAST(len(regexp_extract_all(text, '[\\x{lo:02x}-\\x{hi:02x}]')) AS DOUBLE)"
+        "/ CAST(length(text) AS DOUBLE)".format(lo=b * 16, hi=b * 16 + 15)
+        for b in range(16)
+    )
+    return f"""SELECT doc_id, [{buckets}] AS feature FROM documents"""
+
+
+@_spec(
+    "multimodal_feature_extract",
+    "feature extraction stub: 16-bucket L1-normalized byte histogram as "
+    "array<double> via mapInPandas — feeds the similarity operators",
+    _feature_oracle(),
+)
+def q_multimodal_feature_extract(spark, sf_dir):
+    # corpus is ASCII so char-class counting in the oracle == byte buckets
+    docs = multimodal.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(docs)
 
 
 @_spec(
