@@ -111,6 +111,33 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+_WINNOW = f"""t AS (SELECT doc_id, trim(lower(text)) AS s FROM documents),
+    g AS (SELECT doc_id,
+           [{_HASH60.format(x="substr(s, i, 8)")}
+            for i in generate_series(1, greatest(length(s) - 7, 0))] AS grams
+          FROM t),
+    m AS (SELECT doc_id,
+           list_distinct([list_min(grams[j:j+3])
+                          for j in generate_series(1, greatest(len(grams) - 3, 1))]) AS fps
+          FROM g WHERE len(grams) >= 1),
+    e0 AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    hot AS (SELECT fp FROM e0 GROUP BY fp HAVING count(*) > 20),
+    e AS (SELECT * FROM e0 WHERE fp NOT IN (SELECT fp FROM hot))"""
+
+
+@_spec(
+    "text_winnow_pairs",
+    "winnowing (MOSS rolling-hash) fingerprints: 8-gram hashes, window-4 "
+    "minima, stop-fingerprint cut (df>20), pairs sharing >= 5 fingerprints",
+    f"""WITH {_WINNOW}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 5""",
+)
+def q_text_winnow_pairs(spark, sf_dir):
+    return text.winnow_match_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @_spec(
     "text_curation_pipeline",
     "composition: token stats + quality gate + language filter + exact-dedup "
