@@ -1,0 +1,46 @@
+"""Skew mitigation: two-phase salted aggregation.
+
+Spark's hash aggregation already does map-side partial aggregation, which
+handles most skew for algebraic aggregates; AQE splits skewed JOIN
+partitions. The remaining hard case is a hot GROUP BY key whose partial
+states are still too large for one reducer (huge collect_set / exact
+distinct states). `salted_agg` makes the classic fix explicit: append a
+random-but-deterministic salt to the key, aggregate (key, salt) — spreading
+each hot key over `salt_buckets` reducers — then re-aggregate by key.
+
+Correct only for algebraic/decomposable aggregates: the caller supplies the
+partial and final expression lists (e.g. partial count -> final sum).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    partial: Sequence[Column],
+    final: Sequence[Column],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """groupBy(keys) in two shuffles, neither of which concentrates a hot
+    key on one task. `salt_on` picks a deterministic salting column (so the
+    operator stays replay-stable); defaults to a hash of all input columns.
+    """
+    keys = list(keys)
+    salt_src = (
+        F.col(salt_on)
+        if salt_on is not None
+        else F.hash(*[F.col(c) for c in df.columns])
+    )
+    salted = df.withColumn(
+        "__salt", F.pmod(salt_src, F.lit(salt_buckets)).cast("int")
+    )
+    stage1 = salted.groupBy(*keys, "__salt").agg(*partial)
+    return stage1.groupBy(*keys).agg(*final)

@@ -540,6 +540,66 @@ def q_events_json(spark, sf_dir):
 
 
 @_spec(
+    "events_rollup_totals",
+    "ROLLUP grouping sets: per (event_type, user_id) with subtotals and a "
+    "grand total in one pass (Catalyst expands to a single shuffle)",
+    """SELECT event_type, user_id, count(*) AS n,
+              CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY ROLLUP (event_type, user_id)""",
+)
+def q_events_rollup_totals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"), 18, 2)).cast("double").alias("sum_value"),
+    )
+
+
+@_spec(
+    "events_approx_distinct",
+    "HyperLogLog approx_count_distinct per event_type (engine-specific "
+    "sketch -> rows-only driver check; the unit test bounds the error vs "
+    "the exact count instead)",
+    None,  # sketches differ across engines by design
+)
+def q_events_approx_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_spec(
+    "events_salted_agg",
+    "two-phase salted aggregation for skewed keys: salt -> partial agg -> "
+    "re-agg; result identical to the direct groupBy, but no single reducer "
+    "ever sees a whole hot key",
+    """SELECT event_type, count(*) AS n,
+              CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       FROM events GROUP BY event_type""",
+)
+def q_events_salted_agg(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        partial=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"), 18, 2)).alias("sum_value"),
+        ],
+        final=[
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        ],
+        salt_buckets=16,
+    )
+
+
+@_spec(
     "events_asof_enrich",
     "as-of join: each event enriched with the user's most recent order "
     "at-or-before event time (point-in-time correct, no future leakage); "

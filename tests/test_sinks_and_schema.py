@@ -145,3 +145,22 @@ def test_bucketed_store_avoids_target_shuffle(spark, sf_dir, tmp_path):
     store.publish(survivors, "orders")
     assert store.current_version("orders") == 1
     assert store.read(spark, "orders").count() == orders.count() - 50
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct has no cross-engine oracle (sketches differ);
+    bound its error against the exact count instead."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.plans import SPECS
+    from kafka_cdc_redshift_spark.sources import load_table
+
+    got = {r.event_type: r.approx_users
+           for r in SPECS["events_approx_distinct"].spark(spark, sf_dir).collect()}
+    exact = {r.event_type: r.exact
+             for r in load_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact")).collect()}
+    assert got.keys() == exact.keys()
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, got[k], exact[k])
