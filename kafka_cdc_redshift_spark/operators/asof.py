@@ -90,3 +90,60 @@ def asof_join(
     out_left = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_right = [F.col(f"__match.{c}").alias(c) for c in right_cols]
     return joined.select(*out_left, *out_right)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    granule: str = "7 days",
+) -> DataFrame:
+    """Interval join: left rows matched to every right row whose
+    [right_start, right_end) interval contains left_time (inner join,
+    plus the equi-keys `on`).
+
+    A naive `l.t >= r.s AND l.t < r.e` theta-join degenerates to a per-key
+    cross join (Spark can only hash on the equi part). Instead both sides
+    are bucketed into fixed time granules: a right interval registers in
+    every granule it overlaps (sequence+explode), a left row in exactly
+    one, and the join becomes an equi-join on (keys..., granule) with the
+    exact range predicate as a residual filter. Join fan-out per row is
+    O(interval_length / granule), not O(|right per key|). Pick `granule`
+    near the typical interval length.
+    """
+    on = list(on)
+    g = F.expr(f"INTERVAL {granule}")
+    # granule index = floor(epoch_seconds / granule_seconds); granule_seconds
+    # derived as unix_timestamp(epoch + interval) so any INTERVAL string works
+
+    def granule_of(c):
+        return F.floor(
+            F.unix_timestamp(F.col(c).cast("timestamp"))
+            / F.unix_timestamp((F.lit("1970-01-01 00:00:00").cast("timestamp") + g))
+        ).cast("long")
+
+    l_g = left.withColumn("__g", granule_of(left_time))
+    r_g = right.withColumn(
+        "__g",
+        F.explode(
+            F.sequence(
+                granule_of(right_start),
+                # end is exclusive, but a row landing inside the end granule
+                # still needs it registered
+                granule_of(right_end),
+            )
+        ),
+    )
+    cond = (
+        (F.col(left_time) >= F.col(right_start))
+        & (F.col(left_time) < F.col(right_end))
+    )
+    return (
+        l_g.join(r_g, on=[*on, "__g"])
+        .filter(cond)
+        .drop("__g")
+    )

@@ -632,6 +632,42 @@ def q_events_asof_enrich(spark, sf_dir):
 
 
 @_spec(
+    "events_range_join",
+    "interval (range) join via granule bucketing: events matched into "
+    "half-day windows per user — equi-join on (key, granule) + residual "
+    "range filter instead of a per-key cross join",
+    """WITH wins AS (
+         SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS win_start,
+                date_trunc('day', ts)::TIMESTAMP + INTERVAL 12 HOUR AS win_end
+         FROM events GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, l.ts, r.win_start
+       FROM events l JOIN wins r
+         ON l.user_id = r.user_id
+        AND l.ts >= r.win_start AND l.ts < r.win_end""",
+)
+def q_events_range_join(spark, sf_dir):
+    from ..operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    wins = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("win_start"))
+        .agg(F.lit(1).alias("__one"))
+        .select(
+            "user_id",
+            F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+            (F.col("win_start") + F.expr("INTERVAL 12 HOURS"))
+            .cast("timestamp_ntz")
+            .alias("win_end"),
+        )
+    )
+    return range_join(
+        ev, wins, on=["user_id"], left_time="ts",
+        right_start="win_start", right_end="win_end", granule="12 hours",
+    ).select("event_id", "user_id", "ts", "win_start")
+
+
+@_spec(
     "events_sessionize",
     "session windows (native session_window; streaming-capable)",
     """WITH g AS (

@@ -55,3 +55,12 @@ def test_asof_single_shuffle_no_cartesian(spark):
     )
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # union window only
+
+
+def test_range_join_is_equi_not_cartesian(spark, sf_dir):
+    from kafka_cdc_redshift_spark.plans import SPECS
+
+    df = SPECS["events_range_join"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
