@@ -232,3 +232,59 @@ def simhash(
         F.when(F.col("b0") > 0, F.lit(1)).otherwise(0),
     )
     return agg.select("doc_id", sketch.cast("long").alias("simhash"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, cluster_id)
+    with cluster_id = the minimum doc_id in the component; documents in no
+    pair are singleton clusters of themselves. This is the step that turns
+    pairwise near-dup evidence into keep/drop decisions (keep cluster_id,
+    drop the rest).
+
+    Iterative min-label propagation — one groupBy+join per round, lineage
+    truncated with localCheckpoint so the plan stays flat; rounds needed =
+    graph diameter (tiny for near-dup clusters). The driver-side convergence
+    probe is one scalar count per round, the legitimate pattern for
+    iterative algorithms (the data never leaves the cluster).
+    """
+    verts = df.select(F.col(id_col).alias("id")).distinct()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        # materialize once: every propagation round reads the edge set, and
+        # its lineage (e.g. a full jaccard_pairs computation) must not be
+        # re-evaluated per round
+        .localCheckpoint()
+    )
+    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

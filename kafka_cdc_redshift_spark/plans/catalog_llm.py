@@ -206,6 +206,32 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup_text.jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@_spec(
+    "dedup_clusters",
+    "near-dup clustering: connected components over the Jaccard>=0.5 pair "
+    "graph via iterative min-label propagation; cluster_id = min doc_id; "
+    "oracle replays with a recursive CTE reachability closure",
+    f"""WITH RECURSIVE {_SH_SETS}, p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+               / CAST(len(a.sh_set) + len(b.sh_set)
+                      - len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) AS jaccard
+      FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id),
+    pe AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+          UNION ALL SELECT doc_b, doc_a FROM pe),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_text.jaccard_pairs(docs)
+    return dedup_text.duplicate_clusters(docs, pairs)
+
+
 def _minhash_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
     """Replays minhash_signatures()/minhash_lsh_pairs() exactly: one 60-bit
     md5-prefix hash per shingle, k universal hashes (a*h30+b mod P), banded
