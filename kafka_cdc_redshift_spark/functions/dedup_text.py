@@ -249,9 +249,11 @@ def duplicate_clusters(
 
     Iterative min-label propagation — one groupBy+join per round, lineage
     truncated with localCheckpoint so the plan stays flat; rounds needed =
-    graph diameter (tiny for near-dup clusters). The driver-side convergence
-    probe is one scalar count per round, the legitimate pattern for
-    iterative algorithms (the data never leaves the cluster).
+    graph diameter (tiny for near-dup clusters). Convergence detection rides
+    the same pass as the label update (a `chg` flag column), so each round is
+    exactly one materialization plus one scalar probe over it — the
+    legitimate pattern for iterative algorithms (data never leaves the
+    cluster).
     """
     verts = df.select(F.col(id_col).alias("id")).distinct()
     edges = (
@@ -269,22 +271,16 @@ def duplicate_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, labels.id == nbr.dst, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                F.coalesce(F.col("nbr_min") < F.col("label"), F.lit(False)).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("id", "label")
+        if stepped.filter("chg").limit(1).count() == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
