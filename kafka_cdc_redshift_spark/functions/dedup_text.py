@@ -247,15 +247,16 @@ def duplicate_clusters(
     pairwise near-dup evidence into keep/drop decisions (keep cluster_id,
     drop the rest).
 
-    Iterative min-label propagation — one groupBy+join per round, lineage
-    truncated with localCheckpoint so the plan stays flat; rounds needed =
-    graph diameter (tiny for near-dup clusters). Convergence detection rides
-    the same pass as the label update (a `chg` flag column), so each round is
-    exactly one materialization plus one scalar probe over it — the
-    legitimate pattern for iterative algorithms (data never leaves the
-    cluster).
+    Iterative min-label propagation over ONLY the vertices that appear in a
+    pair — at corpus scale near-dups are a small fraction of documents, so
+    the loop's joins run on a tiny relation; the (huge) singleton majority
+    joins in exactly once at the end. Lineage is truncated with
+    localCheckpoint so the plan stays flat; rounds needed = graph diameter
+    (tiny for near-dup clusters). Convergence detection rides the same pass
+    as the label update (a `chg` flag column), so each round is exactly one
+    materialization plus one scalar probe over it — the legitimate pattern
+    for iterative algorithms (data never leaves the cluster).
     """
-    verts = df.select(F.col(id_col).alias("id")).distinct()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -264,7 +265,12 @@ def duplicate_clusters(
         # re-evaluated per round
         .localCheckpoint()
     )
-    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.id)
@@ -283,4 +289,7 @@ def duplicate_clusters(
         labels = stepped.select("id", "label")
         if stepped.filter("chg").limit(1).count() == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # singletons (no pair) keep their own id; broadcast the tiny label map
+    return df.select(F.col(id_col).alias("doc_id")).distinct().join(
+        F.broadcast(labels), F.col("doc_id") == labels.id, "left"
+    ).select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
