@@ -216,9 +216,18 @@ def simhash(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """Frequency-weighted SimHash sketch over token hash60s (low `bits`)."""
-    tok = spread(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("h", hash60("tok"))
+    # explode_outer + post-filter on the generated column: a plain explode
+    # would get an inferred size(tokens)>0 filter with the whole tokenize
+    # expression substituted in (evaluated twice per row) — NOTES.md #2
+    tok = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens_col(text_col)).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", hash60("tok"))
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

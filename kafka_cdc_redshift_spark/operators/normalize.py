@@ -70,11 +70,18 @@ def parse_canal(df: DataFrame, payload: T.StructType, *, value_col: str = "value
         parsed = df.select(F.from_json(F.col(value_col), env).alias("k")).select("k.*")
     op = F.col("type")
     parsed = parsed.filter(op.isin(*_CANAL_OP))
+    # posexplode_OUTER, then drop null-payload rows on the generated index:
+    # a plain posexplode makes InferFiltersFromGenerate add size(data)>0 /
+    # isnotnull(data), and predicate pushdown substitutes the FULL-schema
+    # from_json into that filter below this projection — every envelope gets
+    # JSON-parsed ~3x (NOTES.md pathology #2). The index filter is
+    # equivalent (empty/null arrays yield a null index) and, being on a
+    # generated column, cannot be pushed below the parse.
     exploded = parsed.select(
-        F.posexplode("data").alias("data_index_aws", "row"),
+        F.posexplode_outer("data").alias("data_index_aws", "row"),
         _map_expr(op, _CANAL_OP).alias("op"),
         F.col("ts").alias("ts_ms"),
-    )
+    ).filter(F.col("data_index_aws").isNotNull())
     return exploded.select("row.*", "op", "ts_ms", "data_index_aws")
 
 
