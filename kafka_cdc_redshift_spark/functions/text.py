@@ -182,6 +182,12 @@ def winnow_match_pairs(
     stop-fingerprint cut."""
     fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
     if max_df is not None:
+        # materialize the winnowed set once: the stop-fingerprint census and
+        # the pair join would otherwise each re-evaluate the whole gram-hash
+        # pipeline through lineage (the fingerprints are the ~2/(w+1)
+        # winnowed fraction — exactly the artifact a production pipeline
+        # persists before pairing)
+        fps = fps.localCheckpoint()
         hot = (
             fps.groupBy("fp").count()
             .filter(F.col("count") > max_df)
