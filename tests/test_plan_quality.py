@@ -47,6 +47,20 @@ def test_text_ops_native(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_canal_parse_not_duplicated_by_inferred_filters(spark, sf_dir):
+    # NOTES.md pathology #2: a non-outer posexplode gets inferred
+    # size()/isnotnull() filters and pushdown substitutes the FULL-schema
+    # from_json into them — every envelope parsed ~3x. posexplode_outer +
+    # generated-column filter keeps it to exactly one.
+    plan = plan_of(spark, sf_dir, "cdc_canal_json")
+    assert plan.count("from_json(StructField(data,ArrayType") == 1
+
+
+def test_simhash_single_tokenize(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_simhash")
+    assert plan.count("split(") == 1
+
+
 def test_multimodal_uses_arrow_batches(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "multimodal_binary_meta")
     assert "MapInPandas" in plan
