@@ -1,0 +1,125 @@
+"""Corpus curation operators a large-scale training-data pipeline needs
+beyond filtering/dedup: reproducible sampling, sequence packing, and
+train/eval decontamination.
+
+Scale design (100 TB of documents):
+  * stratified_sample — hash-mod sampling: a pure map-side filter, no
+    shuffle, and deterministic (the same doc is in/out of the sample on
+    every run and every engine — unlike rand()-based sampleBy, which is
+    neither reproducible nor oracle-checkable). Stratum-aware: the hash is
+    salted with the stratum so per-stratum rates are independent.
+  * pack_sequences — next-fit packing of documents into fixed token-budget
+    training bins, computed per shard: a global greedy pack would need a
+    total order (single-partition window = one task at 100 TB); sharding by
+    hash gives each executor an independent packing problem and the bin ids
+    are globally unique (shard, bin). One shuffle on the shard key.
+  * decontaminate — remove training documents whose content fingerprint
+    (md5 over the sorted distinct token set — order/duplication
+    insensitive) appears in an eval/benchmark corpus. The eval side is
+    small by construction -> broadcast left-anti join, no shuffle of the
+    corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..util import spread
+from .text import hash60, tokens_col
+
+SAMPLE_MOD = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    hash60(stratum || ':' || id) % 1e6 < fraction(stratum) * 1e6.
+
+    `fractions` maps stratum value -> sampling rate in [0, 1]; strata not
+    listed get `default_fraction`. This is the reproducible way to build
+    training mixes ("60% web, 30% code, 10% books"): membership depends only
+    on content identity, so reruns, backfills, and the DuckDB oracle all
+    agree row-for-row.
+    """
+    frac = F.lit(float(default_fraction))
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    bucket = hash60(
+        F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))
+    ) % SAMPLE_MOD
+    return df.filter(bucket < (frac * SAMPLE_MOD).cast("long"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into fixed token-budget training bins (next-fit by
+    ascending id within each hash shard): returns
+    (doc_id, n_tokens, shard, bin_id, bin = shard * 2^32 + bin_id).
+
+    bin_id = floor((running_sum - n_tokens) / budget) — the standard
+    scalable approximation of greedy packing: bins may overflow by at most
+    one document, never underfill by more than a document, and the whole
+    computation is one window over (shard, id-order). Documents longer than
+    the budget land in their own overflowing bin, which is what a
+    truncation/splitting stage downstream consumes.
+    """
+    toks = F.size(tokens_col(text_col))
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        spread(df)
+        .select(F.col(id_col), toks.alias("n_tokens"), shard.alias("shard"))
+        .withColumn(
+            "bin_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+        )
+    )
+    return packed.withColumn(
+        "bin", F.col("shard").cast("long") * (1 << 32) + F.col("bin_id")
+    )
+
+
+def content_fingerprint(df: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, fingerprint) where fingerprint = md5 of the sorted distinct
+    token set — invariant to word order and duplication."""
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_col(text_col))), " "))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training rows whose content fingerprint does NOT appear in the
+    eval/benchmark corpus (broadcast left-anti join on the fingerprint —
+    benchmark sets are tiny next to a training corpus)."""
+    train_fp = content_fingerprint(train, id_col=id_col, text_col=text_col)
+    eval_fp = (
+        content_fingerprint(eval_df, id_col=id_col, text_col=text_col)
+        .select("fingerprint")
+        .distinct()
+    )
+    return train_fp.join(
+        F.broadcast(eval_fp), "fingerprint", "left_anti"
+    ).select(id_col)

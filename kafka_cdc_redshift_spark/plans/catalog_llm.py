@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import dedup_text, multimodal, similarity, text
+from ..functions import curation, dedup_text, multimodal, similarity, text
 from ..sources import load_table
 from .catalog import _spec
 
@@ -109,6 +109,61 @@ def q_text_langid(spark, sf_dir):
 )
 def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "doc_sample_stratified",
+    "reproducible training-mix sampling: hash-mod per-language rates "
+    "(en 0.5, zh 0.75, rest 0.25) — map-side filter, no shuffle, identical "
+    "membership on every run/engine",
+    f"""SELECT doc_id, lang, source FROM documents
+    WHERE {_HASH60.format(x="lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.75
+                  ELSE 0.25 END) * 1000000 AS BIGINT)""",
+)
+def q_doc_sample_stratified(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, {"en": 0.5, "zh": 0.75}, strata_col="lang", default_fraction=0.25
+    ).select("doc_id", "lang", "source")
+
+
+@_spec(
+    "doc_pack_sequences",
+    "sequence packing: next-fit documents into 512-token training bins, "
+    "per hash shard (no global sort; one window per shard)",
+    f"""WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             CAST({_HASH60.format(x="CAST(doc_id AS VARCHAR)")} % 32 AS INT) AS shard
+      FROM documents)
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                       - n_tokens) / 512) AS BIGINT) AS bin_id,
+           CAST(shard AS BIGINT) * 4294967296 + bin_id AS bin
+    FROM t""",
+)
+def q_doc_pack_sequences(spark, sf_dir):
+    return curation.pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=512, n_shards=32
+    )
+
+
+@_spec(
+    "doc_decontaminate",
+    "train/eval decontamination: drop training docs whose order-insensitive "
+    "content fingerprint appears in the benchmark slice (doc_id % 97 = 0); "
+    "broadcast anti-join",
+    f"""WITH {_TOKENIZED},
+    fp AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS f
+           FROM tokenized)
+    SELECT doc_id FROM fp
+    WHERE f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 97 = 0)""",
+)
+def q_doc_decontaminate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(docs, eval_df)
 
 
 _WINNOW = f"""t AS (SELECT doc_id, trim(lower(text)) AS s FROM documents),
