@@ -197,9 +197,25 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # materialize: LSH shrinks the corpus to a small candidate set, and
+        # both the id-restriction below and the final pair join consume it —
+        # without this the band join would run once per consumer
+        .localCheckpoint()
     )
-    seta = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    setb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    # verify ONLY candidate docs: recompute shingle sets for the (small)
+    # id set that survived banding instead of the whole corpus — at corpus
+    # scale the full shingle relation exists once for signatures and never
+    # again; the semi-joined rebuild touches a tiny fraction of documents
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sets = _shingle_sets(
+        df.join(F.broadcast(cand_ids), id_col, "semi"), id_col, text_col, n
+    )
+    seta = cand_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    setb = cand_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter.cast("double") / (
         F.size("set_a") + F.size("set_b") - inter
