@@ -1,0 +1,78 @@
+"""Property-style invariants of the corpus-curation operators
+(functions/curation.py) beyond the DuckDB oracle equality checks:
+
+  * stratified_sample — deterministic membership (rerun == rerun), and
+    monotone in the rate: raising a stratum's fraction only ADDS documents
+    (hash-mod sampling's key operational property: growing a training mix
+    never resamples what was already in it).
+  * pack_sequences — partition correctness: every doc lands in exactly one
+    bin; bins respect the budget in the next-fit sense (a bin's content
+    minus its last doc fits the budget); bin ids are dense per shard.
+  * decontaminate — sound and complete: no surviving doc shares a content
+    fingerprint with the eval set; every dropped doc does.
+"""
+
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.functions import curation
+from kafka_cdc_redshift_spark.sources import load_table
+
+
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_stratified_sample_deterministic_and_monotone(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    a1 = curation.stratified_sample(d, {"en": 0.5}, strata_col="lang",
+                                    default_fraction=0.25)
+    a2 = curation.stratified_sample(d, {"en": 0.5}, strata_col="lang",
+                                    default_fraction=0.25)
+    ids1 = {r.doc_id for r in a1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in a2.select("doc_id").collect()}
+    assert ids1 == ids2  # same membership on every run
+
+    bigger = curation.stratified_sample(d, {"en": 0.75}, strata_col="lang",
+                                        default_fraction=0.25)
+    ids_big = {r.doc_id for r in bigger.select("doc_id").collect()}
+    assert ids1 <= ids_big  # raising a rate only adds documents
+
+    # per-stratum rates land near their targets
+    n_en = d.filter(F.col("lang") == "en").count()
+    got_en = a1.filter(F.col("lang") == "en").count()
+    assert abs(got_en / n_en - 0.5) < 0.15
+
+
+def test_pack_sequences_partitions_and_respects_budget(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    budget = 512
+    packed = curation.pack_sequences(d, budget=budget, n_shards=8)
+    rows = packed.collect()
+    assert len(rows) == d.count()  # every doc in exactly one bin
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    by_bin: dict[int, list] = {}
+    for r in rows:
+        by_bin.setdefault(r.bin, []).append(r)
+    for binned in by_bin.values():
+        binned.sort(key=lambda r: r.doc_id)
+        # next-fit guarantee: everything except the bin's last doc fits
+        assert sum(r.n_tokens for r in binned[:-1]) <= budget
+
+    # bin ids are dense (0..max) within each shard
+    shards: dict[int, set] = {}
+    for r in rows:
+        shards.setdefault(r.shard, set()).add(r.bin_id)
+    for bin_ids in shards.values():
+        assert bin_ids == set(range(max(bin_ids) + 1))
+
+
+def test_decontaminate_sound_and_complete(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    kept = {r.doc_id for r in curation.decontaminate(d, eval_df).collect()}
+
+    fp = {r.doc_id: r.fingerprint for r in curation.content_fingerprint(d).collect()}
+    eval_fps = {f for i, f in fp.items() if i % 97 == 0}
+    expected = {i for i, f in fp.items() if f not in eval_fps}
+    assert kept == expected
