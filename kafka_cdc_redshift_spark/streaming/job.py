@@ -129,13 +129,11 @@ class CdcBatchProcessor:
                                 )
                             target = target.drop(*d.drop)
                 if target is None:
-                    first = updates.filter("op != 'd'").drop(
+                    out = updates.filter("op != 'd'").drop(
                         *[c for c in ("op", "ts_ms", "data_index_aws") if c in updates.columns]
                     )
-                    self.store.publish(first, rule.target_name)
-                    n = first.count()
                 else:
-                    merged = merge_changes(
+                    out = merge_changes(
                         target,
                         updates,
                         list(rule.primary_key),
@@ -144,8 +142,11 @@ class CdcBatchProcessor:
                         dedup_updates=False,
                         broadcast_updates=True,
                     )
-                    self.store.publish(merged, rule.target_name)
-                    n = merged.count()
+                self.store.publish(out, rule.target_name)
+                # row count from the published files' parquet footers — the
+                # publish write already computed the merge once; counting the
+                # plan again would re-run the whole join (2x per batch)
+                n = self.store.read(self.spark, rule.target_name).count()
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253
@@ -190,11 +191,17 @@ def run_file_stream(
     *,
     available_now: bool = True,
     processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Bounded (availableNow, T2) or continuous (processingTime, T1) stream
     over a directory of JSON-lines files with checkpointed recovery (T3).
-    Same contract as the Kafka source: one `value: string` column."""
-    stream = spark.readStream.schema("value string").text(source_dir).toDF("value")
+    Same contract as the Kafka source: one `value: string` column.
+    `max_files_per_trigger` is the file-source analog of the Kafka
+    `maxOffsetsPerTrigger` rate limit (T4): it bounds each micro-batch."""
+    reader = spark.readStream.schema("value string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.text(source_dir).toDF("value")
     writer = (
         stream.writeStream.outputMode("append")
         .foreachBatch(lambda df, bid: processor.process_batch(df, bid))
