@@ -502,24 +502,35 @@ def q_multimodal_binary_meta(spark, sf_dir):
 
 
 def _feature_oracle() -> str:
+    # The array<double> feature is exploded to (doc_id, bucket_idx, value)
+    # rows so the driver's canonicalizer can hash it (list columns are
+    # unhashable in pandas). The library function keeps the array shape for
+    # the similarity operators; only this catalog query flattens.
     buckets = ", ".join(
         "CAST(len(regexp_extract_all(text, '[\\x{lo:02x}-\\x{hi:02x}]')) AS DOUBLE)"
         "/ CAST(length(text) AS DOUBLE)".format(lo=b * 16, hi=b * 16 + 15)
         for b in range(16)
     )
-    return f"""SELECT doc_id, [{buckets}] AS feature FROM documents"""
+    return f"""WITH t AS (SELECT doc_id, [{buckets}] AS feature FROM documents),
+        idx AS (SELECT unnest(generate_series(0, 15)) AS bucket_idx)
+    SELECT t.doc_id, idx.bucket_idx, t.feature[idx.bucket_idx + 1] AS value
+    FROM t CROSS JOIN idx"""
 
 
 @_spec(
     "multimodal_feature_extract",
-    "feature extraction stub: 16-bucket L1-normalized byte histogram as "
-    "array<double> via mapInPandas — feeds the similarity operators",
+    "feature extraction stub: 16-bucket L1-normalized byte histogram via "
+    "mapInPandas, exploded to (doc_id, bucket_idx, value) rows — the "
+    "array-valued library function feeds the similarity operators",
     _feature_oracle(),
 )
 def q_multimodal_feature_extract(spark, sf_dir):
     # corpus is ASCII so char-class counting in the oracle == byte buckets
     docs = multimodal.documents_as_binary(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(docs)
+    feats = multimodal.extract_features(docs)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("bucket_idx", "value")
+    ).withColumn("bucket_idx", F.col("bucket_idx").cast("bigint"))
 
 
 @_spec(
