@@ -6,5 +6,9 @@ from .normalize import (  # noqa: F401
     parse_canal,
     parse_mongo,
     coalesce_delete_image,
+    route_parse_debezium,
+    route_parse_dms,
+    route_parse_canal,
+    route_parse_mongo,
 )
 from .routing import route_debezium, route_dms, route_canal, route_mongo  # noqa: F401

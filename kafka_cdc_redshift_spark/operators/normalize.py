@@ -113,3 +113,111 @@ def _map_expr(col, mapping: dict[str, str]):
         cond = F.when(col == src, F.lit(dst))
         expr = cond if expr is None else expr.when(col == src, F.lit(dst))
     return expr
+
+
+def _match(col, value: str, is_regex: bool):
+    return col.rlike(f"^(?:{value})$") if is_regex else (col == F.lit(value))
+
+
+# ---------------------------------------------------------------------------
+# Fused route + parse (single JSON tokenization per topic row)
+#
+# The two-step route_*(get_json_object probes) -> parse_*(from_json) shape
+# tokenizes each envelope up to 5x: 3 routing probes, the op filter pushed
+# below the flatten projection (re-parsing with a pruned schema), and the
+# full parse itself. Fusing both into one from_json lets Catalyst push the
+# routing+op conjuncts below the projection as ONE pruned (metadata-only)
+# parse — non-matching rows of the multiplexed topic are eliminated without
+# ever building the payload struct, and only matching rows pay the full
+# parse. Replaces the reference's per-table regex-UDF route + re-inferred
+# from_json (cdc_util/redshift_sink.py:18-51,585,592-594).
+# ---------------------------------------------------------------------------
+
+
+def route_parse_debezium(
+    df: DataFrame, db: str, table: str, payload: T.StructType, *,
+    value_col: str = "value", table_is_regex: bool = False,
+) -> DataFrame:
+    """Route + parse a Debezium/Flink-CDC multiplexed topic in one parse."""
+    env = envelopes.debezium_schema(payload)
+    k = df.select(F.from_json(F.col(value_col), env).alias("k"))
+    k = k.filter(
+        (F.col("k.source.db") == db)
+        & _match(F.col("k.source.table"), table, table_is_regex)
+        & F.col("k.op").isin("c", "u", "d", "r")
+    )
+    flat = k.select(
+        F.coalesce(F.col("k.after"), F.col("k.before")).alias("after"),
+        F.col("k.op").alias("op"),
+        F.col("k.ts_ms").alias("ts_ms"),
+    )
+    return flat.select("after.*", "op", "ts_ms")
+
+
+def route_parse_dms(
+    df: DataFrame, schema_name: str, table: str, payload: T.StructType, *,
+    value_col: str = "value", table_is_regex: bool = False,
+) -> DataFrame:
+    """Route + parse an AWS DMS topic in one parse; control records dropped
+    (redshift_sink.py:24-29)."""
+    env = envelopes.dms_schema(payload)
+    k = df.select(F.from_json(F.col(value_col), env).alias("k"))
+    op = F.col("k.metadata.operation")
+    k = k.filter(
+        (F.col("k.metadata.schema-name") == schema_name)
+        & _match(F.col("k.metadata.table-name"), table, table_is_regex)
+        & (F.col("k.metadata.record-type") != "control")
+        & op.isin(*_DMS_OP)
+    )
+    return k.select(
+        "k.data.*",
+        _map_expr(op, _DMS_OP).alias("op"),
+        F.unix_millis(F.to_timestamp(F.col("k.metadata.timestamp"))).alias("ts_ms"),
+    )
+
+
+def route_parse_canal(
+    df: DataFrame, database: str, table: str, payload: T.StructType, *,
+    value_col: str = "value", table_is_regex: bool = False,
+) -> DataFrame:
+    """Route + parse a Canal topic in one parse; data[] posexploded with the
+    positional tiebreak kept (redshift_sink.py:401-407)."""
+    env = envelopes.canal_schema(payload)
+    k = df.select(F.from_json(F.col(value_col), env).alias("k"))
+    op = F.col("k.type")
+    k = k.filter(
+        (F.col("k.database") == database)
+        & _match(F.col("k.table"), table, table_is_regex)
+        & op.isin(*_CANAL_OP)
+    )
+    exploded = k.select(
+        F.posexplode_outer("k.data").alias("data_index_aws", "row"),
+        _map_expr(op, _CANAL_OP).alias("op"),
+        F.col("k.ts").alias("ts_ms"),
+    ).filter(F.col("data_index_aws").isNotNull())  # see parse_canal note
+    return exploded.select("row.*", "op", "ts_ms", "data_index_aws")
+
+
+def route_parse_mongo(
+    df: DataFrame, db: str, coll: str, *, value_col: str = "value",
+) -> DataFrame:
+    """Route + parse a Mongo change-stream topic in one parse
+    (mongo_redshift_sink.py:16-30, 126-131)."""
+    env = envelopes.mongo_schema()
+    k = df.select(F.from_json(F.col(value_col), env).alias("k"))
+    k = k.filter(
+        (F.col("k.ns.db") == db)
+        & (F.col("k.ns.coll") == coll)
+        & F.col("k.operationType").isin(*_MONGO_OP)
+    )
+    doc_id = F.coalesce(
+        F.get_json_object(F.col("k.documentKey"), "$._id"),
+        F.col("k.documentKey"),
+    )
+    return k.select(
+        doc_id.alias("doc_id"),
+        F.coalesce(F.col("k.fullDocument"), F.lit("[]")).alias("doc"),
+        _map_expr(F.col("k.operationType"), _MONGO_OP).alias("op"),
+        F.col("k.ts_ms").alias("ts_ms"),
+        F.to_date(F.from_unixtime(F.col("k.ts_ms") / 1000)).alias("ts_date"),
+    )

@@ -26,12 +26,10 @@ from ..operators import (
     lww_dedup,
     merge_changes,
     parse_canal,
-    parse_debezium,
-    parse_dms,
-    parse_mongo,
-    route_debezium,
-    route_dms,
-    route_mongo,
+    route_parse_canal,
+    route_parse_debezium,
+    route_parse_dms,
+    route_parse_mongo,
 )
 from ..operators.dedup import lww_dedup as _lww
 from ..operators.schema_evolution import diff_schemas
@@ -179,8 +177,7 @@ def q_cdc_delete_stream(spark, sf_dir):
 def q_cdc_pipeline_debezium(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     topic = _fixture(spark, sf_dir, "debezium_topic", synth_debezium_topic)
-    routed = route_debezium(topic, "salesdb", "orders")
-    parsed = parse_debezium(routed, orders.schema)
+    parsed = route_parse_debezium(topic, "salesdb", "orders", orders.schema)
     merged = merge_changes(orders, parsed, ["o_orderkey"])
     return merged.select("o_orderkey", "o_totalprice", "o_orderdate")
 
@@ -210,8 +207,6 @@ def q_cdc_merge_skip_delete(spark, sf_dir):
     "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders",
 )
 def q_cdc_canal_json(spark, sf_dir):
-    from ..operators import route_canal
-
     orders = load_table(spark, sf_dir, "orders")
     topic = _fixture(
         spark, sf_dir, "canal_json_topic",
@@ -219,8 +214,7 @@ def q_cdc_canal_json(spark, sf_dir):
             F.to_json(F.struct("*")).alias("value")
         ),
     )
-    routed = route_canal(topic, "salesdb", "orders")
-    parsed = parse_canal(routed, orders.schema)
+    parsed = route_parse_canal(topic, "salesdb", "orders", orders.schema)
     winners = lww_dedup(parsed, ["o_orderkey"], ["ts_ms", "data_index_aws"])
     return winners.select("o_orderkey", "o_totalprice")
 
@@ -238,8 +232,7 @@ def q_cdc_canal_json(spark, sf_dir):
 def q_cdc_pipeline_dms(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     topic = _fixture(spark, sf_dir, "dms_topic", synth_dms_topic)
-    routed = route_dms(topic, "salesdb", "orders")
-    parsed = parse_dms(routed, orders.schema)
+    parsed = route_parse_dms(topic, "salesdb", "orders", orders.schema)
     merged = merge_changes(orders, parsed, ["o_orderkey"])
     return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
 
@@ -259,8 +252,7 @@ def q_cdc_pipeline_dms(spark, sf_dir):
 )
 def q_cdc_pipeline_mongo(spark, sf_dir):
     topic = _fixture(spark, sf_dir, "mongo_topic", synth_mongo_topic)
-    routed = route_mongo(topic, "appdb", "customer")
-    parsed = parse_mongo(routed)
+    parsed = route_parse_mongo(topic, "appdb", "customer")
     latest = lww_dedup(parsed, ["doc_id"], ["ts_ms"])
     alive = latest.filter(F.col("op") != "d")
     return alive.select(

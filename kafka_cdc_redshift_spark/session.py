@@ -24,6 +24,20 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    # Fixed, pre-touched heap. With a large -Xmx and a small initial heap,
+    # G1 grows the committed heap in multi-GiB steps during allocation-heavy
+    # (JSON parse) queries; 32 task threads then page-fault fresh kernel
+    # pages concurrently, and the resulting kernel storm (observed: 90-98%
+    # system CPU for 10-50 s, zero GC pauses over 205 ms) serializes the
+    # whole JVM. That was BENCH_r01's "cdc_pipeline_dms 50 s" pathology —
+    # deterministic bench ordering made the expansion always land on the
+    # same query. -Xms == -Xmx + AlwaysPreTouch commits every heap page once
+    # at startup (~1-2 s) and removes the stalls entirely (12/12 stable runs).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    jvm_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    if extra_conf and "spark.driver.extraJavaOptions" in extra_conf:
+        extra_conf = dict(extra_conf)
+        jvm_opts = f"{jvm_opts} {extra_conf.pop('spark.driver.extraJavaOptions')}"
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -33,7 +47,8 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns

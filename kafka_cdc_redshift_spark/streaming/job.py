@@ -29,25 +29,24 @@ from pyspark.sql import functions as F
 from ..config import SyncRule
 from ..operators.dedup import latest_deletes, lww_dedup
 from ..operators.merge import merge_changes
-from ..operators.normalize import parse_canal, parse_debezium, parse_dms, parse_mongo
-from ..operators.routing import route_canal, route_debezium, route_dms, route_mongo
+from ..operators.normalize import (
+    route_parse_canal,
+    route_parse_debezium,
+    route_parse_dms,
+    route_parse_mongo,
+)
 from ..operators.schema_evolution import cast_to_target, diff_schemas
 from ..operators.typeconv import apply_rule_conversions
 from .store import ParquetTargetStore
 
-_ROUTERS = {
-    "FLINK-CDC": route_debezium,
-    "MSK-DEBEZIUM-CDC": route_debezium,
-    "DMS-CDC": route_dms,
-    "CANAL-CDC": route_canal,
-    "MONGO-CDC": route_mongo,
-}
-_PARSERS = {
-    "FLINK-CDC": parse_debezium,
-    "MSK-DEBEZIUM-CDC": parse_debezium,
-    "DMS-CDC": parse_dms,
-    "CANAL-CDC": parse_canal,
-    "MONGO-CDC": parse_mongo,
+# fused route+parse: one JSON tokenization per topic row per table task
+# (replaces the two-step route_* probe + parse_* from_json — see
+# operators/normalize.py "Fused route + parse")
+_ROUTE_PARSERS = {
+    "FLINK-CDC": route_parse_debezium,
+    "MSK-DEBEZIUM-CDC": route_parse_debezium,
+    "DMS-CDC": route_parse_dms,
+    "CANAL-CDC": route_parse_canal,
 }
 
 
@@ -86,13 +85,13 @@ class CdcBatchProcessor:
             fmt = self.cdc_format
             is_regex = any(ch in rule.table for ch in ".*+?[](){}|^$\\")
             if fmt == "MONGO-CDC":
-                routed = route_mongo(batch_df, rule.db, rule.table)
-                parsed = parse_mongo(routed)
+                parsed = route_parse_mongo(batch_df, rule.db, rule.table)
             else:
-                routed = _ROUTERS[fmt](
-                    batch_df, rule.db, rule.table, table_is_regex=is_regex
+                parsed = _ROUTE_PARSERS[fmt](
+                    batch_df, rule.db, rule.table,
+                    self.payload_schemas[rule.target_name],
+                    table_is_regex=is_regex,
                 )
-                parsed = _PARSERS[fmt](routed, self.payload_schemas[rule.target_name])
             if parsed.isEmpty():
                 return TaskStatus(rule.target_name, "no-data")
             parsed = apply_rule_conversions(parsed, rule)

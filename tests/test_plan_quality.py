@@ -30,7 +30,23 @@ def test_q5_dims_broadcast(spark, sf_dir):
 def test_routing_is_native(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cdc_pipeline_debezium")
     assert "BatchEvalPython" not in plan          # reference used Python UDFs (P1/P2)
-    assert "get_json_object" in plan or "GetJsonObject" in plan
+    # fused route+parse: routing predicates live on the parsed struct, so no
+    # per-field get_json_object probes re-tokenize the envelope
+    assert "get_json_object" not in plan
+
+
+def test_route_parse_single_full_parse(spark, sf_dir):
+    # fused route+parse (normalize.py): the FULL payload from_json appears
+    # exactly once (the flatten projection); the routing/op filter pushed
+    # below it may re-parse only with a pruned metadata-only schema. A
+    # regression back to route-then-parse shows up as extra full-schema
+    # parses or get_json_object probes.
+    plan = plan_of(spark, sf_dir, "cdc_pipeline_debezium")
+    assert plan.count("from_json(StructField(before,StructType") == 1
+    assert "get_json_object" not in plan
+    plan = plan_of(spark, sf_dir, "cdc_pipeline_dms")
+    assert plan.count("from_json(StructField(data,StructType") == 1
+    assert "get_json_object" not in plan
 
 
 def test_lww_dedup_single_shuffle(spark, sf_dir):
