@@ -272,15 +272,19 @@ def duplicate_clusters(
     pairwise near-dup evidence into keep/drop decisions (keep cluster_id,
     drop the rest).
 
-    Iterative min-label propagation over ONLY the vertices that appear in a
-    pair — at corpus scale near-dups are a small fraction of documents, so
-    the loop's joins run on a tiny relation; the (huge) singleton majority
-    joins in exactly once at the end. Lineage is truncated with
-    localCheckpoint so the plan stays flat; rounds needed = graph diameter
-    (tiny for near-dup clusters). Convergence detection rides the same pass
-    as the label update (a `chg` flag column), so each round is exactly one
-    materialization plus one scalar probe over it — the legitimate pattern
-    for iterative algorithms (data never leaves the cluster).
+    Iterative min-label propagation with POINTER JUMPING over ONLY the
+    vertices that appear in a pair — at corpus scale near-dups are a small
+    fraction of documents, so the loop's joins run on a tiny relation; the
+    (huge) singleton majority joins in exactly once at the end. Each round
+    fuses (a) the min-over-neighbors step with (b) a label-of-label hop
+    (label := label[label]), which squares propagation distance per round:
+    convergence in O(log diameter) barriers instead of O(diameter). The
+    convergence probe rides the same materialization as the label update (a
+    `chg` flag column) and is skipped for the first two rounds — chains
+    shorter than 4 have already collapsed by then, so early probes only add
+    driver round-trips. Lineage is truncated with localCheckpoint so the
+    plan stays flat (the legitimate pattern for iterative algorithms — data
+    never leaves the cluster).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -296,23 +300,37 @@ def duplicate_clusters(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
+        half = labels.join(nbr, labels.id == nbr.dst, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            F.coalesce(F.col("nbr_min") < F.col("label"), F.lit(False)).alias("chg"),
+        )
+        # pointer jump: label := label[label]. min-labels only ever shrink,
+        # so following the current label's own label is always valid and
+        # doubles the hop distance covered per barrier.
+        jump = labels.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
         stepped = (
-            labels.join(nbr, labels.id == nbr.dst, "left")
+            half.join(jump, half.label == jump.jid, "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-                F.coalesce(F.col("nbr_min") < F.col("label"), F.lit(False)).alias("chg"),
+                F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
+                (
+                    F.col("chg")
+                    | F.coalesce(F.col("jlabel") < F.col("label"), F.lit(False))
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
         labels = stepped.select("id", "label")
-        if stepped.filter("chg").limit(1).count() == 0:
+        if rnd >= 2 and stepped.filter("chg").limit(1).count() == 0:
             break
     # singletons (no pair) keep their own id; broadcast the tiny label map
     return df.select(F.col(id_col).alias("doc_id")).distinct().join(

@@ -32,6 +32,7 @@ def asof_join(
     right_time: str,
     right_cols: Sequence[str] | None = None,
     tolerance: str | None = None,
+    suffix: str | None = None,
 ) -> DataFrame:
     """Backward as-of join (left rows kept; unmatched get nulls).
 
@@ -42,11 +43,25 @@ def asof_join(
     tolerance  : optional max lookback as an INTERVAL string (e.g.
                  '7 days') — matches older than left_time - tolerance are
                  discarded, like pandas.merge_asof(tolerance=...).
+    suffix     : appended to any attached right column whose name collides
+                 with a left column (like pandas.merge_asof suffixes);
+                 None (default) raises on collision instead of emitting an
+                 ambiguous duplicate name.
     """
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(on) | {right_time}]
     right_cols = list(right_cols)
+    clash = [c for c in right_cols if c in set(left.columns)]
+    if clash:
+        if suffix is None:
+            raise ValueError(
+                f"asof_join: right columns {clash} collide with left columns; "
+                "pass suffix= to disambiguate or narrow right_cols"
+            )
+        out_names = [c + suffix if c in set(left.columns) else c for c in right_cols]
+    else:
+        out_names = right_cols
 
     l_tag = left.select(
         *on,
@@ -88,7 +103,9 @@ def asof_join(
             "__match", F.when(too_old, F.lit(None)).otherwise(F.col("__match"))
         )
     out_left = [F.col(f"__l.{c}").alias(c) for c in left.columns]
-    out_right = [F.col(f"__match.{c}").alias(c) for c in right_cols]
+    out_right = [
+        F.col(f"__match.{c}").alias(n) for c, n in zip(right_cols, out_names)
+    ]
     return joined.select(*out_left, *out_right)
 
 

@@ -399,9 +399,12 @@ def q_q3(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
     revenue = _dec(F.col("l_extendedprice"), 12, 2) * (F.lit(1) - _dec(F.col("l_discount"), 4, 2))
+    # broadcast ONLY the dimension (customer); orders is fact-sided and
+    # scales with the data — a forced broadcast OOMs the driver at 100x.
+    # AQE decides the orders-side strategy from runtime sizes instead.
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -80,8 +80,17 @@ class CdcBatchProcessor:
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
 
     # -- per-table task ----------------------------------------------------
-    def _run_table(self, batch_df: DataFrame, rule: SyncRule) -> TaskStatus:
+    def _run_table(
+        self, batch_df: DataFrame, rule: SyncRule, job_group: str | None = None
+    ) -> TaskStatus:
         try:
+            if job_group is not None:
+                # tag every Spark job this task submits so the batch
+                # watchdog can cancel them (thread-local property;
+                # interruptOnCancel interrupts the running task threads)
+                self.spark.sparkContext.setJobGroup(
+                    job_group, f"cdc sync {rule.target_name}", interruptOnCancel=True
+                )
             fmt = self.cdc_format
             is_regex = any(ch in rule.table for ch in ".*+?[](){}|^$\\")
             if fmt == "MONGO-CDC":
@@ -151,6 +160,13 @@ class CdcBatchProcessor:
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253
                 prev = self.store.read(self.spark, dtable)
                 out = prev.unionByName(dels) if prev is not None else dels
+                # replay idempotency: a failed batch retried from the
+                # checkpoint re-appends the same delete images; dedup on
+                # (pk, event-time) so the append converges instead of
+                # growing (the main target's merge is naturally idempotent)
+                out = out.dropDuplicates(
+                    list(rule.primary_key) + [c for c in order if c in out.columns]
+                )
                 self.store.publish(out, dtable)
             return TaskStatus(rule.target_name, "finished", rows=n)
         except Exception as e:  # noqa: BLE001 - reported to fail-fast logic
@@ -163,17 +179,34 @@ class CdcBatchProcessor:
             self.batch_statuses.append([])
             return []
         batch_df = batch_df.persist()
+        group = f"cdc-batch-{batch_id}"
+        pool = cf.ThreadPoolExecutor(max_workers=self.max_workers)
         try:
             batch_df.count()  # materialize the cache once for all tasks
-            with cf.ThreadPoolExecutor(max_workers=self.max_workers) as pool:
-                futs = [
-                    pool.submit(self._run_table, batch_df, rule) for rule in self.rules
-                ]
+            futs = [
+                pool.submit(self._run_table, batch_df, rule, group)
+                for rule in self.rules
+            ]
+            try:
                 statuses = [
-                    f.result(timeout=batch_timeout_sec)
+                    f.result()
                     for f in cf.as_completed(futs, timeout=batch_timeout_sec)
                 ]
+            except TimeoutError:
+                # watchdog ABORT (T8): cancel the Spark jobs tagged with
+                # this batch's job group so the hung actions actually stop,
+                # and drop the pool WITHOUT waiting — a plain context-exit
+                # would block in shutdown(wait=True) behind the stuck task,
+                # reducing the timeout to a report instead of a bound
+                self.spark.sparkContext.cancelJobGroup(group)
+                pool.shutdown(wait=False, cancel_futures=True)
+                raise RuntimeError(
+                    f"batch {batch_id} exceeded batch_timeout_sec="
+                    f"{batch_timeout_sec}; spark jobs cancelled"
+                ) from None
+            pool.shutdown(wait=True)
         finally:
+            pool.shutdown(wait=False)  # idempotent; covers non-timeout errors
             batch_df.unpersist()
         errors = [s for s in statuses if s.status == "error"]
         self.batch_statuses.append(statuses)

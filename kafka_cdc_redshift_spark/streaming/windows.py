@@ -79,6 +79,33 @@ def sessionize(
 DEDUP_STATE_SCHEMA = "max_ts LONG"
 
 
+def _lww_mask(pdf, ts_col: str, max_seen: int | None):
+    """Vectorized strict-LWW filter: keep a row iff its ts is strictly
+    greater than every earlier-sorted ts in the batch AND the cross-batch
+    high-water mark. Equivalent to the sequential scan (sort ascending, emit
+    on new max) without per-row Python: prior-running-max via
+    `np.maximum.accumulate` shifted one, floored at the state's mark."""
+    import numpy as np
+
+    pdf = pdf.sort_values(ts_col, kind="stable", ignore_index=True)
+    ts = pdf[ts_col].to_numpy(dtype="int64")
+    if not len(ts):
+        return pdf
+    prior = np.empty_like(ts)
+    prior[0] = np.iinfo("int64").min
+    np.maximum.accumulate(ts[:-1], out=prior[1:])
+    if max_seen is not None:
+        np.maximum(prior, np.int64(max_seen), out=prior)
+    return pdf[ts > prior]
+
+
+def _new_high_water(pdf, ts_col: str, max_seen: int | None) -> int | None:
+    if not len(pdf):
+        return max_seen
+    batch_max = int(pdf[ts_col].max())
+    return batch_max if max_seen is None else max(max_seen, batch_max)
+
+
 def seen_keys_dedup(
     changes: DataFrame,
     keys: list[str],
@@ -101,25 +128,17 @@ def seen_keys_dedup(
     if output_schema is None:
         output_schema = changes.schema
 
-    cols = list(changes.columns)
-    ts_idx = cols.index(ts_col)
-
     def dedup_fn(key: tuple, pdfs: Iterator, state: Any) -> Iterator:
-        max_seen = state.get[0] if state.exists else None
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts = int(row.iloc[ts_idx])
-                if max_seen is None or ts > max_seen:
-                    max_seen = ts
-                    out.append(row)
-        if max_seen is not None:
-            state.update((max_seen,))
-        if out:
-            import pandas as pd
+        import pandas as pd
 
-            yield pd.DataFrame(out)
+        max_seen = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        kept = _lww_mask(pdf, ts_col, max_seen)
+        new_max = _new_high_water(pdf, ts_col, max_seen)
+        if new_max is not None:
+            state.update((new_max,))
+        if len(kept):
+            yield kept
 
     return changes.groupBy(*keys).applyInPandasWithState(
         dedup_fn,
@@ -176,17 +195,13 @@ def seen_keys_dedup_tws(
             import pandas as pd
 
             max_seen = self._max.get()[0] if self._max.exists() else None
-            out = []
-            for pdf in rows:
-                for _, row in pdf.sort_values(ts_col).iterrows():
-                    ts = int(row[ts_col])
-                    if max_seen is None or ts > max_seen:
-                        max_seen = ts
-                        out.append(row)
-            if max_seen is not None:
-                self._max.update((max_seen,))
-            if out:
-                yield pd.DataFrame(out)
+            pdf = pd.concat(list(rows), ignore_index=True)
+            kept = _lww_mask(pdf, ts_col, max_seen)
+            new_max = _new_high_water(pdf, ts_col, max_seen)
+            if new_max is not None:
+                self._max.update((new_max,))
+            if len(kept):
+                yield kept
 
         def close(self) -> None:
             pass

@@ -49,6 +49,16 @@ def test_route_parse_single_full_parse(spark, sf_dir):
     assert "get_json_object" not in plan
 
 
+def test_q3_no_forced_fact_broadcast(spark, sf_dir):
+    # only the customer dimension may carry a broadcast HINT; the orders
+    # side is fact-sided and must be left to AQE's runtime sizing (a forced
+    # broadcast is a driver OOM at 100x scale). AQE may still *choose* to
+    # broadcast at toy SF — the guard pins the absence of the hint.
+    df = SPECS["q3_shipping_priority"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") == 1
+
+
 def test_lww_dedup_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cdc_lww_dedup")
     # one hash shuffle for the window (plus AQE reads); no extra sorts beyond
