@@ -1,0 +1,158 @@
+"""Runnable sync-job entry point.
+
+    python -m kafka_cdc_redshift_spark --config job.properties
+
+Composes config -> source -> CdcBatchProcessor -> sink exactly like the
+reference's three main() scripts (glue/cdc_redshift.py:42-156,
+emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
+.properties key surface:
+
+  kafka_broker / topic / startingOffsets / max_offsets_per_trigger /
+  consumer_group            Kafka source (S1); or `source_dir` for the
+                            file-source twin (tests / local replay)
+  cdc_format                FLINK-CDC | MSK-DEBEZIUM-CDC | DMS-CDC |
+                            CANAL-CDC | MONGO-CDC
+  sync_table_list           JSON rule array (S7) — schemas are inferred
+                            per batch unless declared (S4 dynamic mode)
+  checkpoint_location       stream checkpoint dir (T3)
+  checkpoint_interval       '30 seconds' (processingTime, T1) or
+                            'availableNow' (bounded, T2)
+  thread_max_workers        per-batch table fan-out (T10)
+  batch_timeout_sec         batch watchdog (T8); unset = no timeout
+  maxerror / tempformat / redshift_tmpdir / redshift_iam_role
+                            bulk COPY-path tuning
+  redshift_host/port/database/username/password
+                            JDBC merge target; omitted -> managed parquet
+                            store at `target_store_path` (default
+                            ./cdc_target_store)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from .config import load_properties, parse_sync_rules
+from .sources import kafka
+from .streaming.job import CdcBatchProcessor, run_file_stream
+from .streaming.sinks import BulkLoadOptions, JdbcMergeSink
+from .streaming.store import ParquetTargetStore
+
+
+def build_processor(
+    spark: SparkSession, props: dict[str, str]
+) -> CdcBatchProcessor:
+    rules = parse_sync_rules(props["sync_table_list"])
+    jdbc_sink = None
+    store = ParquetTargetStore(props.get("target_store_path", "cdc_target_store"))
+    if props.get("redshift_host"):
+        url = "jdbc:redshift://{0}:{1}/{2}".format(
+            props["redshift_host"],
+            props.get("redshift_port", "5439"),
+            props.get("redshift_database", "dev"),
+        )
+        bulk = None
+        if props.get("redshift_tmpdir"):
+            bulk = BulkLoadOptions(
+                tempdir=props["redshift_tmpdir"],
+                tempformat=props.get("tempformat", "CSV"),
+                maxerror=int(props.get("maxerror", "0")),
+                region=props.get("aws_region") or None,
+                s3_endpoint=props.get("s3_endpoint") or None,
+                iam_role=props.get("redshift_iam_role") or None,
+            )
+        jdbc_sink = JdbcMergeSink(
+            url,
+            user=props.get("redshift_username", ""),
+            password=props.get("redshift_password", ""),
+            driver=props.get("jdbc_driver", "com.amazon.redshift.jdbc42.Driver"),
+            batchsize=int(props.get("jdbc_batchsize", "10000")),
+            bulk=bulk,
+        )
+    return CdcBatchProcessor(
+        spark,
+        rules,
+        store,
+        cdc_format=props.get("cdc_format", "FLINK-CDC"),
+        infer_sample_limit=(
+            int(props["infer_sample_limit"]) if props.get("infer_sample_limit") else None
+        ),
+        max_workers=int(props.get("thread_max_workers", "8")),
+        jdbc_sink=jdbc_sink,
+    )
+
+
+def start_query(spark: SparkSession, props: dict[str, str],
+                processor: CdcBatchProcessor):
+    """Wire source -> foreachBatch(processor) -> checkpointed stream and
+    start it (returns the StreamingQuery)."""
+    interval = props.get("checkpoint_interval", "30 seconds")
+    timeout = (
+        float(props["batch_timeout_sec"]) if props.get("batch_timeout_sec") else None
+    )
+    ckpt = props["checkpoint_location"]
+    if props.get("source_dir"):
+        return run_file_stream(
+            spark,
+            props["source_dir"],
+            processor,
+            ckpt,
+            available_now=(interval == "availableNow"),
+            processing_time=None if interval == "availableNow" else interval,
+            batch_timeout_sec=timeout,
+        )
+    stream = kafka.read_stream(
+        spark,
+        brokers=props["kafka_broker"],
+        topics=props["topic"],
+        max_offsets_per_trigger=int(props.get("max_offsets_per_trigger", "1000000")),
+        starting_offsets=props.get("startingOffsets", "earliest"),
+        consumer_group=props.get("consumer_group") or None,
+    )
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: processor.process_batch(
+                df, bid, batch_timeout_sec=timeout
+            )
+        )
+        .option("checkpointLocation", ckpt)
+    )
+    if interval == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kafka_cdc_redshift_spark")
+    ap.add_argument("--config", required=True, help=".properties job config")
+    ap.add_argument(
+        "--await", dest="await_termination", action="store_true", default=True,
+        help="block until the stream terminates (default)",
+    )
+    ap.add_argument(
+        "--no-await", dest="await_termination", action="store_false",
+        help="start the stream and return (tests)",
+    )
+    args = ap.parse_args(argv)
+    with open(args.config) as f:
+        props = load_properties(f.read())
+    spark = (
+        SparkSession.builder.appName(props.get("job_name", "cdc-sync"))
+        .config("spark.scheduler.mode", "FAIR")  # glue/cdc_redshift.py:26
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    processor = build_processor(spark, props)
+    query = start_query(spark, props, processor)
+    if args.await_termination:
+        query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

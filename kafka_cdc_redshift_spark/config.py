@@ -103,12 +103,25 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
 
 def load_properties(text: str) -> dict[str, str]:
     """Minimal .properties parser (reference loads via jproperties from S3,
-    glue/cdc_redshift.py:42-49). Supports ``k = v`` lines and # comments."""
+    glue/cdc_redshift.py:42-49). Supports ``k = v`` lines, # comments, and
+    trailing-backslash line continuations — the reference's shipped configs
+    spread ``sync_table_list`` over dozens of continued lines
+    (config/job-4x.properties:31+)."""
     out: dict[str, str] = {}
-    for line in text.splitlines():
-        line = line.strip()
-        if not line or line.startswith(("#", "!")):
+    logical: list[str] = []
+    pending = ""
+    for raw in text.splitlines():
+        line = (pending + raw).strip() if pending else raw.strip()
+        if not pending and (not line or line.startswith(("#", "!"))):
             continue
+        if line.endswith("\\"):
+            pending = line[:-1]
+            continue
+        pending = ""
+        logical.append(line)
+    if pending:
+        logical.append(pending)
+    for line in logical:
         if "=" in line:
             k, v = line.split("=", 1)
             out[k.strip()] = v.strip()

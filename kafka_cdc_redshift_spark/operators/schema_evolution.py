@@ -97,6 +97,79 @@ def evolve_dataframe(df: DataFrame, target: T.StructType) -> DataFrame:
     return df.select(*cols, *new)
 
 
+# ---------------------------------------------------------------------------
+# Live-catalog reverse normalization: pg_table_def type strings -> StructType
+#
+# ignore_ddl mode against a real JDBC target reads the live catalog and casts
+# the incoming batch to IT (cdc_util/redshift_schema_evolution.py:97-135:
+# "character varying(256)" -> varchar, "numeric(10,2)" -> numeric, ...).
+# `catalog_to_struct` turns those catalog rows into the StructType that
+# `cast_to_target` consumes; unknown type strings pass through uncast
+# (the reference's cast=False path) as plain strings.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def catalog_query(table: str, schema: str = "public") -> str:
+    """The reference's catalog probe (redshift_schema_evolution.py:98-100)."""
+    return (
+        'select "column", "type" from pg_table_def '
+        f"where tablename = '{table}' and schemaname='{schema}'"
+    )
+
+
+def catalog_type_to_spark(type_str: str) -> T.DataType:
+    """One catalog type string -> Spark type, mirroring the reference's
+    substring-priority normalization (redshift_schema_evolution.py:106-129)."""
+    s = type_str.strip().lower()
+    if "timestamp" in s:
+        return T.TimestampType()
+    m = _re.search(r"character\s+varying\s*\((\d+)\)", s) or _re.search(
+        r"character\s*\((\d+)\)", s
+    )
+    if m:
+        return T.StringType()  # length carried via metadata by catalog_to_struct
+    if "boolean" in s:
+        return T.BooleanType()
+    if "date" in s:
+        return T.DateType()
+    if "double precision" in s:
+        return T.DoubleType()
+    m = _re.search(r"numeric\s*\((\d+)\s*,\s*(\d+)\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if "real" in s:
+        return T.FloatType()
+    if "bigint" in s:
+        return T.LongType()
+    if "smallint" in s:
+        return T.ShortType()
+    if "integer" in s:
+        return T.IntegerType()
+    if "super" in s:
+        return T.StringType()
+    return T.StringType()  # unknown: cast=False analog — no-op string cast
+
+
+def catalog_to_struct(rows: list[tuple[str, str]]) -> T.StructType:
+    """(column, catalog type string) rows -> StructType for cast_to_target.
+    Varchar lengths land in `maxlength` metadata, SUPER in `super` metadata,
+    so ddl_type() round-trips the same DDL back out."""
+    fields = []
+    for name, type_str in rows:
+        dt = catalog_type_to_spark(type_str)
+        meta: dict = {}
+        s = type_str.strip().lower()
+        m = _re.search(r"(?:character\s+varying|character)\s*\((\d+)\)", s)
+        if m:
+            meta["maxlength"] = int(m.group(1))
+        if "super" in s:
+            meta["super"] = True
+        fields.append(T.StructField(name, dt, True, metadata=meta or None))
+    return T.StructType(fields)
+
+
 def cast_to_target(
     df: DataFrame, target: T.StructType, passthrough: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -37,6 +37,7 @@ from ..operators.normalize import (
 )
 from ..operators.schema_evolution import cast_to_target, diff_schemas
 from ..operators.typeconv import apply_rule_conversions
+from ..sources.infer import infer_payload_schema
 from .store import ParquetTargetStore
 
 # fused route+parse: one JSON tokenization per topic row per table task
@@ -66,17 +67,30 @@ class CdcBatchProcessor:
         store: ParquetTargetStore,
         *,
         cdc_format: str = "FLINK-CDC",
-        payload_schemas: dict[str, T.StructType],
+        payload_schemas: dict[str, T.StructType] | None = None,
+        infer_sample_limit: int | None = None,
         max_workers: int = 8,
         order_by: tuple[str, ...] = ("ts_ms",),
+        jdbc_sink=None,
     ):
         self.spark = spark
         self.rules = rules
         self.store = store
         self.cdc_format = cdc_format
-        self.payload_schemas = payload_schemas
+        # payload_schemas=None (or a missing table key) = the reference's
+        # zero-declaration mode: the schema is re-inferred from each batch
+        # (cdc_util/redshift_sink.py:592), so drift is picked up per batch
+        # and flows into schema evolution downstream. Declared schemas skip
+        # the inference scan — the right call at scale.
+        self.payload_schemas = payload_schemas or {}
+        self.infer_sample_limit = infer_sample_limit
         self.max_workers = max_workers
         self.order_by = list(order_by)
+        # external JDBC target (JdbcMergeSink): the warehouse runs the merge
+        # transaction (stage -> DELETE USING -> INSERT re-deduped), so the
+        # in-engine target merge is skipped — parity with the reference's
+        # Redshift write path (cdc_util/redshift_sink.py:477-527)
+        self.jdbc_sink = jdbc_sink
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
 
     # -- per-table task ----------------------------------------------------
@@ -96,9 +110,17 @@ class CdcBatchProcessor:
             if fmt == "MONGO-CDC":
                 parsed = route_parse_mongo(batch_df, rule.db, rule.table)
             else:
+                schema = self.payload_schemas.get(rule.target_name)
+                if schema is None:
+                    schema = infer_payload_schema(
+                        batch_df, fmt, rule.db, rule.table,
+                        table_is_regex=is_regex,
+                        sample_limit=self.infer_sample_limit,
+                    )
+                    if schema is None:
+                        return TaskStatus(rule.target_name, "no-data")
                 parsed = _ROUTE_PARSERS[fmt](
-                    batch_df, rule.db, rule.table,
-                    self.payload_schemas[rule.target_name],
+                    batch_df, rule.db, rule.table, schema,
                     table_is_regex=is_regex,
                 )
             if parsed.isEmpty():
@@ -109,6 +131,20 @@ class CdcBatchProcessor:
                 ["data_index_aws"] if "data_index_aws" in parsed.columns else []
             )
             n = 0
+            if self.jdbc_sink is not None:
+                if not rule.only_save_delete:
+                    updates = lww_dedup(parsed, list(rule.primary_key), order)
+                    if "data_index_aws" in updates.columns:
+                        updates = updates.drop("data_index_aws")  # P4
+                    self.jdbc_sink.apply_batch(
+                        updates, db=rule.db, table=rule.target_name,
+                        keys=list(rule.primary_key),
+                        skip_delete=rule.skip_delete,
+                    )
+                if rule.save_delete or rule.only_save_delete:
+                    dels = latest_deletes(parsed, list(rule.primary_key), order)
+                    self.jdbc_sink.append_table(dels, f"{rule.target_name}_delete")
+                return TaskStatus(rule.target_name, "finished")
             if not rule.only_save_delete:
                 updates = lww_dedup(parsed, list(rule.primary_key), order)
                 target = self.store.read(self.spark, rule.target_name)
@@ -224,6 +260,7 @@ def run_file_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
+    batch_timeout_sec: float | None = None,
 ):
     """Bounded (availableNow, T2) or continuous (processingTime, T1) stream
     over a directory of JSON-lines files with checkpointed recovery (T3).
@@ -236,7 +273,11 @@ def run_file_stream(
     stream = reader.text(source_dir).toDF("value")
     writer = (
         stream.writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: processor.process_batch(df, bid))
+        .foreachBatch(
+            lambda df, bid: processor.process_batch(
+                df, bid, batch_timeout_sec=batch_timeout_sec
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

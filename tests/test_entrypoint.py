@@ -1,0 +1,102 @@
+"""Runnable entry point: python -m kafka_cdc_redshift_spark --config ...
+(parity: glue/cdc_redshift.py:42-156 — config -> source -> foreachBatch ->
+sink composition from a bare .properties file)."""
+
+import json
+
+from kafka_cdc_redshift_spark.__main__ import build_processor, start_query
+from kafka_cdc_redshift_spark.config import load_properties
+from kafka_cdc_redshift_spark.streaming.sinks import (
+    BulkLoadOptions,
+    bulk_writer_options,
+)
+
+
+def _dz(db, table, after, op="c", ts=1):
+    return json.dumps(
+        {"source": {"db": db, "table": table}, "op": op, "ts_ms": ts,
+         "after": after, "before": None}
+    )
+
+
+PROPS_TMPL = """
+# job config (reference key surface, config/job-4x.properties)
+cdc_format = FLINK-CDC
+checkpoint_interval = availableNow
+checkpoint_location = {ckpt}
+source_dir = {src}
+target_store_path = {store}
+thread_max_workers = 4
+batch_timeout_sec = 300
+sync_table_list = [\\
+{{"db": "d", "table": "t", "primary_key": "pid"}},\\
+{{"db": "d", "table": "u", "primary_key": "uid"}}]
+"""
+
+
+def test_properties_backslash_continuations():
+    props = load_properties(PROPS_TMPL.format(ckpt="c", src="s", store="st"))
+    rules = json.loads(props["sync_table_list"])
+    assert [r["table"] for r in rules] == ["t", "u"]
+    assert props["cdc_format"] == "FLINK-CDC"
+
+
+def test_entrypoint_runs_sync_job_from_properties(spark, tmp_path):
+    src = tmp_path / "topic"
+    src.mkdir()
+    lines = [
+        _dz("d", "t", {"pid": 1, "a": "x"}),
+        _dz("d", "t", {"pid": 1, "a": "y"}, op="u", ts=2),
+        _dz("d", "u", {"uid": 9, "b": 1.5}),
+    ]
+    (src / "b1.json").write_text("\n".join(lines) + "\n")
+    cfg = tmp_path / "job.properties"
+    cfg.write_text(
+        PROPS_TMPL.format(
+            ckpt=tmp_path / "ckpt", src=src, store=tmp_path / "store"
+        )
+    )
+
+    props = load_properties(cfg.read_text())
+    processor = build_processor(spark, props)
+    q = start_query(spark, props, processor)
+    q.awaitTermination(120)
+
+    store = processor.store
+    t = {r.pid: r.a for r in store.read(spark, "t").collect()}
+    assert t == {1: "y"}  # LWW: the update won
+    assert store.read(spark, "u").collect()[0].b == 1.5
+
+
+def test_bulk_writer_options_match_reference_copy_surface():
+    bulk = BulkLoadOptions(
+        tempdir="s3://bucket/tmp/", tempformat="CSV GZIP", maxerror=100,
+        region="us-east-1", s3_endpoint="s3.us-east-1.amazonaws.com",
+        iam_role="arn:aws:iam::1:role/r",
+    )
+    opts = bulk_writer_options(
+        url="jdbc:redshift://h:5439/dev", stage_table="stage_table_d_t",
+        user="u", password="p", post_actions=["BEGIN", "END"], bulk=bulk,
+    )
+    assert opts["tempformat"] == "CSV GZIP"
+    assert opts["tempdir"] == "s3://bucket/tmp/"
+    assert opts["aws_iam_role"] == "arn:aws:iam::1:role/r"
+    assert opts["postactions"] == "BEGIN; END"
+    eco = opts["extracopyoptions"]
+    assert "TRUNCATECOLUMNS" in eco and "maxerror 100" in eco
+    assert "region 'us-east-1'" in eco and "dateformat 'auto'" in eco
+
+
+def test_jdbc_sink_built_from_redshift_properties(spark):
+    props = {
+        "sync_table_list": '[{"db": "d", "table": "t", "primary_key": "pid"}]',
+        "redshift_host": "h", "redshift_port": "5439",
+        "redshift_database": "dev", "redshift_username": "u",
+        "redshift_password": "p", "redshift_tmpdir": "s3://b/tmp/",
+        "maxerror": "100", "tempformat": "CSV",
+    }
+    proc = build_processor(spark, props)
+    sink = proc.jdbc_sink
+    assert sink is not None
+    assert sink.url == "jdbc:redshift://h:5439/dev"
+    assert sink.bulk.maxerror == 100 and sink.bulk.tempformat == "CSV"

@@ -164,3 +164,61 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert got.keys() == exact.keys()
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, got[k], exact[k])
+
+
+def test_catalog_type_normalization_reference_strings():
+    """The reference's documented pg_table_def strings
+    (redshift_schema_evolution.py:106-129) round-trip to Spark types."""
+    from kafka_cdc_redshift_spark.operators.schema_evolution import (
+        catalog_query,
+        catalog_to_struct,
+        catalog_type_to_spark,
+    )
+
+    cases = {
+        "timestamp without time zone": T.TimestampType(),
+        "timestamp with time zone": T.TimestampType(),
+        "character varying(256)": T.StringType(),
+        "character(8)": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "double precision": T.DoubleType(),
+        "numeric(10,2)": T.DecimalType(10, 2),
+        "real": T.FloatType(),
+        "integer": T.IntegerType(),
+        "bigint": T.LongType(),
+        "smallint": T.ShortType(),
+        "super": T.StringType(),
+        "geometry": T.StringType(),  # unknown -> uncast string passthrough
+    }
+    for s, expected in cases.items():
+        assert catalog_type_to_spark(s) == expected, s
+
+    st = catalog_to_struct(
+        [("name", "character varying(64)"), ("doc", "super"),
+         ("price", "numeric(12,2)")]
+    )
+    assert st["name"].metadata == {"maxlength": 64}
+    assert st["doc"].metadata == {"super": True}
+    # metadata round-trips through ddl_type (ALTER generation)
+    assert ddl_type(st["name"]) == "VARCHAR(64)"
+    assert ddl_type(st["doc"]) == "SUPER"
+    assert ddl_type(st["price"]) == "DECIMAL(12,2)"
+    assert "pg_table_def" in catalog_query("t", "public")
+
+
+def test_live_catalog_feeds_cast_to_target(spark):
+    """End-to-end ignore_ddl against a "live" catalog: catalog rows ->
+    StructType -> defensive cast of the incoming batch."""
+    from kafka_cdc_redshift_spark.operators.schema_evolution import catalog_to_struct
+
+    target = catalog_to_struct(
+        [("pid", "bigint"), ("qty", "smallint"), ("price", "numeric(10,2)")]
+    )
+    df = spark.createDataFrame(
+        [("1", "7", "3.5"), ("2", "oops", "9.25")],
+        "pid string, qty string, price string",
+    )
+    rows = {r.pid: r for r in cast_to_target(df, target).collect()}
+    assert rows[1].qty == 7 and float(rows[1].price) == 3.5
+    assert rows[2].qty is None  # digit guard: non-numeric -> NULL, not error
