@@ -44,9 +44,18 @@ def main() -> None:
     # time, which is what the baseline envelope describes. N controlled by
     # SPARK_GRAFT_BENCH_RUNS (default 2).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # localCheckpoint-barrier queries materialize intermediate state; their
+    # FIRST run folds one-time materialization + allocator growth into the
+    # measurement and best-of-2 can still report that outlier when the host
+    # is noisy. Give them one untimed warm run so every timed run measures
+    # the steady-state plan.
+    barrier = {"dedup_minhash_lsh", "dedup_clusters",
+               "dedup_ngram_jaccard", "text_winnow_pairs"}
     timings: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]
+        if name in barrier and runs > 1:
+            spec.spark(spark, sf_dir).count()  # warm, untimed
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 
 from .config import load_properties, parse_sync_rules
 from .sources import kafka
+from .sources.secrets import resolve_credentials
 from .streaming.job import CdcBatchProcessor, run_file_stream
 from .streaming.sinks import BulkLoadOptions, JdbcMergeSink
 from .streaming.store import ParquetTargetStore
@@ -47,11 +48,10 @@ def build_processor(
     rules = parse_sync_rules(props["sync_table_list"])
     jdbc_sink = None
     store = ParquetTargetStore(props.get("target_store_path", "cdc_target_store"))
-    if props.get("redshift_host"):
+    if props.get("redshift_host") or props.get("redshift_secret_id"):
+        creds = resolve_credentials(props)  # secret id > env vars > plaintext
         url = "jdbc:redshift://{0}:{1}/{2}".format(
-            props["redshift_host"],
-            props.get("redshift_port", "5439"),
-            props.get("redshift_database", "dev"),
+            creds["host"], creds["port"], creds["database"]
         )
         bulk = None
         if props.get("redshift_tmpdir"):
@@ -65,8 +65,8 @@ def build_processor(
             )
         jdbc_sink = JdbcMergeSink(
             url,
-            user=props.get("redshift_username", ""),
-            password=props.get("redshift_password", ""),
+            user=creds["user"],
+            password=creds["password"],
             driver=props.get("jdbc_driver", "com.amazon.redshift.jdbc42.Driver"),
             batchsize=int(props.get("jdbc_batchsize", "10000")),
             bulk=bulk,

@@ -228,3 +228,33 @@ def signbit_lsh_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def l2_normalize(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize the embedding column (the standard pre-step that turns
+    cosine into a plain dot product downstream). Map-only native transform;
+    zero vectors pass through unchanged (norm guarded)."""
+    v = _dbl(F.col(vec_col))
+    nrm = norm_col(F.col(vec_col))
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    return spread(emb).select(F.col(id_col), unit.alias("unit_vec"))
+
+
+def quantize_int8(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = 127/max|v|,
+    q_i = floor(v_i * scale + 0.5) — floor instead of round() because
+    half-rounding modes differ across engines while floor is exact IEEE,
+    so the oracle matches bit-for-bit. The 4x footprint cut is what makes
+    a 100 TB ANN corpus fit hot storage; dequantization error is bounded
+    by 0.5/scale per coordinate."""
+    v = _dbl(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return spread(emb).select(
+        F.col(id_col), scale.alias("scale"), q.alias("q_vec")
+    )

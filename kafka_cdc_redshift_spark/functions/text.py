@@ -208,3 +208,120 @@ def winnow_match_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+# regexes shared with the DuckDB oracle — restricted to syntax that means
+# the same thing in Java regex (Spark) and RE2 (DuckDB)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training corpora: mask emails / IPv4s / phone
+    numbers with typed placeholder tokens and count what was masked.
+
+    Pure regexp_replace/regexp_count column expressions — map-only,
+    codegen'd, no Python; at 100 TB this is one scan. Order matters: emails
+    first (their domains would otherwise partially match nothing), then
+    IPs (dotted digits), then phones.
+    """
+    df = spread(df)
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        redacted.alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )
+
+
+def repetition_score(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition metrics (the Gopher/MassiveText-style quality signals):
+    duplicate-token fraction, top-token frequency share, and duplicate
+    2-gram fraction. Degenerate, loopy machine text scores high on all
+    three. Map-only native array expressions — one scan at any scale."""
+    df = spread(df)
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    # top-token share: max multiplicity / n, via aggregate over the distinct set
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda t: t == u)),
+        )
+    )
+    # zip_with pads the shorter side with null, so its last element would be
+    # a spurious 1-gram — slice the result back to the n-1 true bigrams
+    grams = F.slice(
+        F.zip_with(
+            toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1, F.greatest(n - 1, F.lit(0)),
+    )
+    n_g = F.size(grams)
+    dup_gram = F.when(
+        n_g > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_g.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        dup_tok.alias("dup_token_frac"),
+        (top_cnt.cast("double") / n.cast("double")).alias("top_token_share"),
+        dup_gram.alias("dup_2gram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    idf is the RAW ratio N/df (no log): products and divisions of exact
+    integer counts are IEEE-deterministic across engines, so the DuckDB
+    oracle matches bit-for-bit — ln() is libm-dependent and would flake
+    the value-hash comparison.
+
+    Shape at scale: one explode+groupBy shuffle keyed (doc, term) for tf,
+    one groupBy keyed term for df (map-side partial aggs on both), and the
+    tf<-df join is keyed on term — the standard two-shuffle tf-idf. The
+    final top-k window re-partitions by doc only over k' <= |vocab per doc|
+    surviving rows.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", "tf", "df",
+        (
+            F.col("tf").cast("double")
+            * F.lit(float(n_docs)) / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

@@ -551,3 +551,137 @@ def q_multimodal_frame_sample(spark, sf_dir):
     # the corpus is ASCII so char slicing == byte slicing in the oracle
     docs = multimodal.documents_as_binary(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(docs, frame_bytes=256, every=2)
+
+
+# ---------------------------------------------------------------------------
+# curation extras: PII scrubbing, repetition metrics, tf-idf key terms,
+# embedding normalize/quantize
+# ---------------------------------------------------------------------------
+
+# deterministic PII augmentation: the synthetic corpus has no PII, so both
+# engines inject identical tokens per doc and the redaction is verified on
+# text that actually contains what the regexes target
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 call 555-867-5309'"
+)
+
+
+@_spec(
+    "text_pii_redact",
+    "PII scrubbing: mask emails/IPv4s/phones with typed placeholders + "
+    "per-class counts (map-only regexp_replace, no Python)",
+    f"""WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{text.PII_IPV4_RE}', '<IP>', 'g'),
+             '{text.PII_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text, '{text.PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{text.PII_IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(text, '{text.PII_PHONE_RE}')) AS n_phones
+    FROM aug""",
+)
+def q_text_pii_redact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call 555-867-5309"),
+        ),
+    )
+    out = text.pii_redact(aug)
+    return out.select(
+        "doc_id", "redacted",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
+
+
+@_spec(
+    "text_repetition",
+    "repetition quality signals: duplicate-token fraction, top-token "
+    "share, duplicate-bigram fraction (Gopher-style)",
+    f"""WITH r AS (SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n FROM documents),
+    g AS (SELECT doc_id, t, n,
+            [t[i] || ' ' || t[i+1] for i in generate_series(1, n-1)] AS grams
+          FROM r)
+    SELECT doc_id,
+      1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(n AS DOUBLE)
+        AS dup_token_frac,
+      CAST(list_max([len(list_filter(t, x -> x = u)) for u in list_distinct(t)])
+           AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_share,
+      CASE WHEN len(grams) > 0
+           THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                      / CAST(len(grams) AS DOUBLE)
+           ELSE 0.0 END AS dup_2gram_frac
+    FROM g""",
+)
+def q_text_repetition(spark, sf_dir):
+    return text.repetition_score(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "text_tfidf_topk",
+    "top-3 characteristic terms per doc by tf-idf (raw N/df idf: exact "
+    "IEEE arithmetic, no libm ln in the parity path)",
+    f"""WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             (CAST(tf AS DOUBLE) * CAST((SELECT count(*) FROM documents) AS DOUBLE))
+               / CAST(df AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (term))
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rnk
+      FROM scored) t WHERE rnk <= 3""",
+)
+def q_text_tfidf_topk(spark, sf_dir):
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@_spec(
+    "emb_normalize",
+    "L2 unit-normalization of the embedding column, flattened to "
+    "(vec_id, i, val) rows for the oracle hash",
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM c),
+    u AS (SELECT vec_id,
+                 CASE WHEN nrm > 0 THEN [x / nrm for x in e] ELSE e END AS uv
+          FROM n),
+    f AS (SELECT vec_id, uv, unnest(generate_series(1, len(uv))) AS j FROM u)
+    SELECT vec_id, CAST(j - 1 AS BIGINT) AS i, uv[j] AS val FROM f""",
+)
+def q_emb_normalize(spark, sf_dir):
+    unit = similarity.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    return unit.select(
+        "vec_id", F.posexplode("unit_vec").alias("i", "val")
+    ).withColumn("i", F.col("i").cast("bigint"))
+
+
+@_spec(
+    "emb_quantize",
+    "symmetric int8 quantization (scale=127/max|v|, floor(x*scale+0.5)): "
+    "the 4x ANN-corpus footprint cut, flattened rows for the oracle",
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (SELECT vec_id, e, list_max([abs(x) for x in e]) AS amax FROM c),
+    s AS (SELECT vec_id, e,
+                 CASE WHEN amax > 0 THEN CAST(127.0 AS DOUBLE) / amax
+                      ELSE CAST(1.0 AS DOUBLE) END AS scale
+          FROM m),
+    f AS (SELECT vec_id, scale, e, unnest(generate_series(1, len(e))) AS j FROM s)
+    SELECT vec_id, scale, CAST(j - 1 AS BIGINT) AS i,
+           CAST(floor(e[j] * scale + 0.5) AS INT) AS q FROM f""",
+)
+def q_emb_quantize(spark, sf_dir):
+    qv = similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return qv.select(
+        "vec_id", "scale", F.posexplode("q_vec").alias("i", "q")
+    ).withColumn("i", F.col("i").cast("bigint"))

@@ -28,6 +28,27 @@ def spread(df: DataFrame, factor: int = 1, force: bool = False) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         spark.sparkContext.defaultParallelism,
     ) * factor
-    if force or df.rdd.getNumPartitions() < target:
+    if force or _estimated_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_partitions(df: DataFrame) -> float:
+    """Scan-partition estimate from optimizer statistics, NOT `df.rdd`.
+
+    `df.rdd.getNumPartitions()` forces full physical planning + RDD DAG
+    construction on the driver at every operator head — double-planning
+    large queries just to read one number. The optimized plan's
+    sizeInBytes / maxPartitionBytes is the same signal for file scans
+    (that ratio IS how the scan gets split) without building a physical
+    plan. Falls back to the RDD probe on backends without a JVM handle."""
+    try:
+        jqe = df._jdf.queryExecution()
+        raw = jqe.optimizedPlan().stats().sizeInBytes()
+        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+        max_pb = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)).rstrip("b")
+        )
+        return size / max(max_pb, 1)
+    except Exception:  # noqa: BLE001 - connect/other backends
+        return float(df.rdd.getNumPartitions())

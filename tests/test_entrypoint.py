@@ -100,3 +100,54 @@ def test_jdbc_sink_built_from_redshift_properties(spark):
     assert sink is not None
     assert sink.url == "jdbc:redshift://h:5439/dev"
     assert sink.bulk.maxerror == 100 and sink.bulk.tempformat == "CSV"
+
+
+class _FakeSecretsClient:
+    def __init__(self, payload):
+        self.payload = payload
+        self.requested = None
+
+    def get_secret_value(self, SecretId):
+        self.requested = SecretId
+        return self.payload
+
+
+def test_secrets_source_resolution_order():
+    """S8: secret id > env vars > plaintext config
+    (reference _get_secret, cdc_util/redshift_sink.py:621-645)."""
+    import base64
+
+    from kafka_cdc_redshift_spark.sources.secrets import (
+        SecretsUnavailable,
+        fetch_secret,
+        resolve_credentials,
+    )
+
+    props = {"redshift_host": "h", "redshift_username": "plain",
+             "redshift_password": "plainpw"}
+    # no secret id, no env -> plaintext
+    c = resolve_credentials(props, environ={})
+    assert (c["user"], c["password"], c["host"]) == ("plain", "plainpw", "h")
+    # env overrides plaintext
+    c = resolve_credentials(props, environ={"REDSHIFT_USERNAME": "envu",
+                                            "REDSHIFT_PASSWORD": "envp"})
+    assert (c["user"], c["password"]) == ("envu", "envp")
+    # secret overrides everything; host/port/dbname from secret honored
+    secret = {"username": "su", "password": "sp", "host": "sh", "port": 5440,
+              "dbname": "sdb"}
+    client = _FakeSecretsClient({"SecretString": __import__("json").dumps(secret)})
+    c = resolve_credentials({**props, "redshift_secret_id": "my-secret"},
+                            client=client, environ={})
+    assert client.requested == "my-secret"
+    assert c == {"user": "su", "password": "sp", "host": "sh",
+                 "port": "5440", "database": "sdb"}
+    # binary secrets decode (reference base64 branch)
+    raw = base64.b64encode(b'{"username": "bu", "password": "bp"}')
+    got = fetch_secret("s", client=_FakeSecretsClient({"SecretBinary": raw}))
+    assert got["username"] == "bu"
+    # non-JSON secret -> clear error
+    try:
+        fetch_secret("s", client=_FakeSecretsClient({"SecretString": "not json"}))
+        raise AssertionError("should raise")
+    except SecretsUnavailable:
+        pass
