@@ -104,6 +104,28 @@ def content_fingerprint(df: DataFrame, *, id_col: str = "doc_id",
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+) -> DataFrame:
+    """The keep/drop decision that closes a near-dup pipeline: from a
+    (doc_id, cluster_id) map (duplicate_clusters output), keep exactly the
+    canonical document of each cluster (the one whose id IS the cluster id)
+    and attach its payload columns.
+
+    One equi-join on doc_id. At 100 TB the cluster map is corpus-sized, so
+    it is NOT broadcast; both sides hash-partition on doc_id (and the
+    filter halves nothing on the singleton majority — they are their own
+    canonicals, so the join is ~corpus-sized and co-partitioned)."""
+    keep = clusters.filter(F.col("cluster_id") == F.col(id_col)).select(
+        id_col, "cluster_id"
+    )
+    return docs.select(id_col, *payload_cols).join(keep, id_col)
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

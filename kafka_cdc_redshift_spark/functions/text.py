@@ -282,6 +282,75 @@ def repetition_score(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-level top-k bigrams: (gram, cnt) — the vocabulary/collocation
+    census a tokenizer-training or contamination-analysis step reads.
+
+    One explode + one groupBy(gram) shuffle with map-side partial agg, then
+    a global top-k via orderBy+limit — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps, no single-partition sort),
+    so the top-k costs no extra shuffle at any scale. Deterministic
+    boundary: ties at rank k break on the gram string."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    grams = F.slice(
+        F.zip_with(
+            toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1, F.greatest(n - 1, F.lit(0)),
+    )
+    return (
+        spread(df)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def corpus_group_stats(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group corpus census: doc count, total size, and exact
+    p25/p50/p75 of the size column — the mix dashboard a curation run
+    publishes per (language, source).
+
+    `percentile` is Spark's EXACT sort-based percentile (not approx):
+    deterministic, and over integer sizes at dyadic fractions (.25/.5/.75)
+    the interpolation arithmetic is exact in IEEE terms, so DuckDB's
+    quantile_cont reproduces it bit-for-bit. One groupBy shuffle; the
+    per-group sort is partition-local. (Use approx_percentile instead when
+    a single group would exceed executor memory.)"""
+    pct = F.percentile(F.col(size_col), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        spread(df)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(size_col)).alias("total_size"),
+            pct.alias("p"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "total_size",
+            F.col("p")[0].alias("p25_size"),
+            F.col("p")[1].alias("p50_size"),
+            F.col("p")[2].alias("p75_size"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     *,

@@ -667,6 +667,133 @@ def q_emb_normalize(spark, sf_dir):
 
 
 @_spec(
+    "dedup_keep_one",
+    "end-to-end near-dup pipeline: jaccard pairs -> connected components "
+    "-> keep the canonical doc of each cluster with its payload (the "
+    "keep/drop decision a dedup job actually ships)",
+    f"""WITH RECURSIVE {_SH_SETS}, p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+               / CAST(len(a.sh_set) + len(b.sh_set)
+                      - len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) AS jaccard
+      FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id),
+    pe AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+          UNION ALL SELECT doc_b, doc_a FROM pe),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+    cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, cl.cluster_id
+    FROM documents d JOIN cl USING (doc_id)
+    WHERE cl.cluster_id = cl.doc_id""",
+)
+def q_dedup_keep_one(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_text.duplicate_clusters(docs, dedup_text.jaccard_pairs(docs))
+    return curation.keep_canonical(docs, clusters)
+
+
+@_spec(
+    "text_ngram_counts",
+    "corpus top-100 bigram census (explode + one combinable shuffle + "
+    "TakeOrderedAndProject top-k; deterministic rank-boundary tiebreak)",
+    f"""WITH r AS (SELECT {_TOKS} AS t, len({_TOKS}) AS n FROM documents),
+    g AS (SELECT unnest([t[i] || ' ' || t[i+1]
+                         for i in generate_series(1, n-1)]) AS gram FROM r)
+    SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram LIMIT 100""",
+)
+def q_text_ngram_counts(spark, sf_dir):
+    return text.ngram_counts(load_table(spark, sf_dir, "documents"), k=100)
+
+
+@_spec(
+    "corpus_group_stats",
+    "per-(lang, source) corpus census: doc count, total chars, exact "
+    "p25/p50/p75 doc length (dyadic fractions over ints are IEEE-exact, "
+    "so Spark percentile == DuckDB quantile_cont bit-for-bit)",
+    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_size,
+              quantile_cont(n_chars, 0.25) AS p25_size,
+              quantile_cont(n_chars, 0.50) AS p50_size,
+              quantile_cont(n_chars, 0.75) AS p75_size
+       FROM documents GROUP BY lang, source""",
+)
+def q_corpus_group_stats(spark, sf_dir):
+    return text.corpus_group_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Replay every Lloyd iteration in SQL: assignment = argmin over the
+    expanded-form distance (same association as Spark), update = exact
+    fixed-point long sums -> mean (see functions/clustering.py docstring
+    for why this is bit-stable across engines)."""
+    d2 = (
+        "(list_dot_product(e, e) - 2 * list_dot_product(e, ce))"
+        " + list_dot_product(ce, ce)"
+    )
+    parts = [
+        "WITH c AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e"
+        " FROM embeddings)",
+        f"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,"
+        f" e AS ce FROM c ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, e, cent_id, {d2} AS d2"
+            f" FROM c CROSS JOIN cents{i})"
+        )
+        parts.append(
+            f"s{i} AS (SELECT vec_id, e, cent_id AS cell FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d2, cent_id) AS r FROM a{i}) t WHERE r = 1)"
+        )
+        if i == iters:
+            break
+        parts.append(
+            f"f{i} AS (SELECT cell, e, unnest(generate_series(1, len(e))) AS j"
+            f" FROM s{i})"
+        )
+        parts.append(
+            f"u{i} AS (SELECT cell, j,"
+            f" SUM(CAST(floor(e[j] * 1048576.0) AS BIGINT)) AS s,"
+            f" COUNT(*) AS n FROM f{i} GROUP BY cell, j)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cell AS cent_id,"
+            f" list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0"
+            f" ORDER BY j) AS ce FROM u{i} GROUP BY cell)"
+        )
+        parts.append(
+            f"cents{i + 1} AS (SELECT c0.cent_id, COALESCE(m.ce, c0.ce) AS ce"
+            f" FROM cents{i} c0 LEFT JOIN m{i} m ON m.cent_id = c0.cent_id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cell AS INT) AS cell,"
+        f" COUNT(*) OVER (PARTITION BY cell) AS cell_size FROM s{iters}"
+    )
+
+
+@_spec(
+    "emb_kmeans",
+    "distributed Lloyd's k-means (k=8, 2 iterations, deterministic init): "
+    "map-only broadcast-literal assignment, fixed-point exact centroid "
+    "sums; oracle replays every iteration",
+    _kmeans_oracle(),
+)
+def q_emb_kmeans(spark, sf_dir):
+    from ..functions import clustering
+
+    out = clustering.kmeans(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"),
+        F.col("cell_size").cast("long").alias("cell_size"),
+    )
+
+
+@_spec(
     "emb_quantize",
     "symmetric int8 quantization (scale=127/max|v|, floor(x*scale+0.5)): "
     "the 4x ANN-corpus footprint cut, flattened rows for the oracle",
