@@ -96,6 +96,61 @@ def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_ttr: float = 0.4,
+    min_req_stopwords: int = 1,
+) -> DataFrame:
+    """Gopher-style rule-based quality filtering (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, type-token ratio, and
+    required-stopword presence, each emitted as an auditable flag plus a
+    combined `keep`.
+
+    All counts are exact integers and every ratio is a single double
+    division of those integers, so the flags replay bit-for-bit in the SQL
+    oracle. Mean word length avoids a higher-order aggregate (interpreted,
+    not codegen'd — NOTES.md #3): sum(len(word)) == len(text with all
+    whitespace removed), a plain regexp_replace+length that stays inside
+    WholeStageCodegen. Map-only scan: no shuffle at any scale."""
+    df = spread(df)
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    word_chars = F.length(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
+    )
+    mean_wl = word_chars.cast("double") / n_words.cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words.cast("double")
+    n_req_stop = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin(*GOPHER_STOPWORDS))
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_ttr = ttr >= min_ttr
+    ok_stop = n_req_stop >= min_req_stopwords
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        ttr.alias("ttr"),
+        n_req_stop.alias("n_req_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_ttr.alias("ok_ttr"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_ttr & ok_stop).alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     df = spread(df)
     """Document fingerprinting: md5 over the sorted distinct token set (word-

@@ -691,3 +691,276 @@ def q_events_sessionize(spark, sf_dir):
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic query breadth: filter-agg pushdown, semi-join, fact-fact joins,
+# conditional aggregation, having-filter, funnel / cohort analytics
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "q6_forecast_revenue",
+    "pushdown showcase: tight filter + single scalar agg; the three "
+    "predicates reach the parquet scan (PushedFilters) and only 4 columns "
+    "are read (ReadSchema)",
+    """SELECT CAST(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)) AS DOUBLE) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q_q6(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"), 12, 2) * _dec(F.col("l_discount"), 4, 2))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_spec(
+    "q4_order_priority",
+    "EXISTS semi-join: orders with at least one returned line, counted per "
+    "priority (left_semi keeps the probe side un-duplicated — no distinct "
+    "needed, one shuffle on the join key)",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def q_q4(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_spec(
+    "q10_returned_items",
+    "returned-item revenue ranking: fact-fact join left to AQE, only the "
+    "nation dim broadcast; deterministic top-20",
+    """SELECT c_custkey, c_name, n_name,
+              CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-04-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q_q10(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec(F.col("l_extendedprice"), 12, 2) * (
+        F.lit(1) - _dec(F.col("l_discount"), 4, 2)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_spec(
+    "q14_promo_effect",
+    "conditional aggregation over a broadcast dim join: promo revenue share "
+    "for one ship month (both sums in one pass, no second scan)",
+    """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
+                     ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS DOUBLE)
+              AS DOUBLE) AS promo_pct,
+              count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         AND l_shipdate <  TIMESTAMP '1996-10-01'""",
+)
+def q_q14(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    revenue = _dec(F.col("l_extendedprice"), 12, 2) * (
+        F.lit(1) - _dec(F.col("l_discount"), 4, 2)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast(T.DecimalType(18, 4))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).cast("double").alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_spec(
+    "q18_large_orders",
+    "having-filter on a grouped fact, re-joined to orders + customer: the "
+    "qty aggregation shuffles once on l_orderkey; the survivors (tiny) are "
+    "what joins back — AQE sees the post-filter size at runtime",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice, qty_sum
+       FROM (SELECT l_orderkey,
+                    CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS qty_sum
+             FROM lineitem GROUP BY l_orderkey) big
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       WHERE qty_sum > 250
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def q_q18(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), 12, 2)).cast("double").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "qty_sum",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_spec(
+    "events_funnel",
+    "funnel conversion: first signup per user, any purchase within 7 days, "
+    "weekly cohort conversion rate. Two aggregations + one semi-join, all "
+    "hash-partitioned on user_id (exchange reuse keeps it to one shuffle "
+    "of the events fact per leg)",
+    """WITH s AS (SELECT user_id, min(ts) AS st FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (SELECT DISTINCT s.user_id, s.st FROM s
+             JOIN events p ON p.user_id = s.user_id
+                          AND p.event_type = 'purchase'
+                          AND p.ts >= s.st
+                          AND p.ts <= s.st + INTERVAL 7 DAY),
+    base AS (SELECT CAST(date_trunc('week', st) AS TIMESTAMP) AS cohort_week,
+                    count(*) AS n_signups FROM s GROUP BY 1),
+    conv_w AS (SELECT CAST(date_trunc('week', st) AS TIMESTAMP) AS cohort_week,
+                      count(*) AS n_converted FROM conv GROUP BY 1)
+    SELECT b.cohort_week, b.n_signups,
+           COALESCE(c.n_converted, 0) AS n_converted,
+           CAST(COALESCE(c.n_converted, 0) AS DOUBLE) / b.n_signups AS conversion_rate
+    FROM base b LEFT JOIN conv_w c ON b.cohort_week = c.cohort_week""",
+)
+def q_events_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    converted = signups.alias("s").join(
+        purchases.alias("p"),
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.st"))
+        & (F.col("p.ts") <= F.col("s.st") + F.expr("INTERVAL 7 DAYS")),
+        "left_semi",
+    )
+    week = lambda c: F.date_trunc("week", F.col(c)).cast("timestamp_ntz")  # noqa: E731
+    base = signups.groupBy(week("st").alias("cohort_week")).agg(
+        F.count(F.lit(1)).alias("n_signups")
+    )
+    conv_w = converted.groupBy(week("st").alias("cohort_week")).agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return (
+        base.join(conv_w, "cohort_week", "left")
+        .withColumn("n_converted", F.coalesce("n_converted", F.lit(0)))
+        .withColumn(
+            "conversion_rate",
+            F.col("n_converted").cast("double") / F.col("n_signups").cast("double"),
+        )
+    )
+
+
+@_spec(
+    "events_retention_cohort",
+    "cohort retention matrix: users bucketed by first-seen week, activity "
+    "counted per (cohort, week-offset). Both leg aggregations shuffle on "
+    "user_id -> the join is exchange-reuse co-partitioned",
+    """WITH f AS (SELECT user_id,
+                         CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+                  FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+          FROM events)
+    SELECT f.cohort_week,
+           date_diff('day', f.cohort_week, a.activity_week) // 7 AS week_offset,
+           count(*) AS n_users
+    FROM f JOIN a ON f.user_id = a.user_id
+    GROUP BY 1, 2""",
+)
+def q_events_retention(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c).cast("timestamp_ntz")  # noqa: E731
+    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    active = ev.select(
+        "user_id", week(F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -812,3 +812,33 @@ def q_emb_quantize(spark, sf_dir):
     return qv.select(
         "vec_id", "scale", F.posexplode("q_vec").alias("i", "q")
     ).withColumn("i", F.col("i").cast("bigint"))
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+
+
+@_spec(
+    "text_gopher_filters",
+    "Gopher-style rule-based quality filters (word-count bounds, mean word "
+    "length, type-token ratio, required stopwords) with auditable per-rule "
+    "flags and a combined keep decision; map-only codegen'd scan",
+    f"""WITH t AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id, len(t) AS n_words,
+                 CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS DOUBLE)
+                   / len(t) AS mean_word_len,
+                 CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+                 len(list_filter(list_distinct(t),
+                     x -> x IN ({_GOPHER_STOP_SQL}))) AS n_req_stopwords
+          FROM t)
+    SELECT doc_id, n_words, mean_word_len, ttr, n_req_stopwords,
+           (n_words >= 20 AND n_words <= 1000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+           (ttr >= 0.4) AS ok_ttr,
+           (n_req_stopwords >= 1) AS ok_stopwords,
+           ((n_words >= 20 AND n_words <= 1000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (ttr >= 0.4) AND (n_req_stopwords >= 1)) AS keep
+    FROM m""",
+)
+def q_text_gopher_filters(spark, sf_dir):
+    return text.gopher_flags(load_table(spark, sf_dir, "documents"))
