@@ -13,6 +13,16 @@ def plan_of(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def formatted_plan(spark, sf_dir, name: str) -> str:
+    # executedPlan().toString() truncates long expression lists (the cutoff
+    # shifts with expression-ID width, which makes substring guards flaky);
+    # the formatted explain prints scan PushedFilters/ReadSchema in full
+    df = SPECS[name].spark(spark, sf_dir)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
@@ -95,3 +105,47 @@ def test_multimodal_uses_arrow_batches(spark, sf_dir):
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = formatted_plan(spark, sf_dir, "q6_forecast_revenue")
+    # only the 4 referenced columns reach the scan...
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in rs
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs
+    # ...and all three predicates are pushed down to the parquet reader
+    pf = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pf
+    assert "LessThan(l_quantity" in pf
+    assert "GreaterThanOrEqual(l_discount" in pf
+
+
+def test_q4_semi_join_no_forced_broadcast(spark, sf_dir):
+    # EXISTS compiles to a LeftSemi join; neither side carries a broadcast
+    # hint (lineitem-R is fact-scale at 100x — AQE decides from runtime size)
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    df = SPECS["q4_order_priority"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed
+
+
+def test_q10_only_nation_broadcast_forced(spark, sf_dir):
+    # exactly one broadcast HINT (the nation dim); customer/orders/lineitem
+    # are data-scaled and stay with AQE
+    df = SPECS["q10_returned_items"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") == 1
+
+
+def test_gopher_flags_native_single_tokenize(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_gopher_filters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # all tokenizations live in ONE Project node, where whole-stage-codegen
+    # subexpression elimination evaluates split() once per row; the pathology
+    # to pin is a split() duplicated into a Filter / pushed below an
+    # exchange (NOTES.md #2), where CSE can't reach it
+    lines = plan.splitlines()
+    assert sum(1 for l in lines if "Project" in l and "split(" in l) == 1
+    assert not any("Filter" in l and "split(" in l for l in lines)
