@@ -1,0 +1,99 @@
+"""Physical data-layout operators: range-clustered writes and small-file
+compaction.
+
+The reference delegates physical layout to Redshift — CTAS with
+`sortkey(pk)` (cdc_util/redshift_sink.py:498-501) and the implicit vacuum/
+analyze cycle. A Spark-native engine owns its files, so the two halves of
+that contract become explicit operators:
+
+- `write_range_layout`: cluster a table's files on chosen columns so each
+  parquet file covers a narrow value range. Parquet row-group/file min-max
+  stats (zone maps) then let a filtered scan skip whole files — the Spark
+  analog of a Redshift sortkey. At 100 TB this is the difference between a
+  time-window query scanning one day's files and scanning the fleet.
+- `compact_table`: a CDC store accumulates one file-set per micro-batch
+  publish; thousands of small files destroy scan throughput (per-file open
+  cost, tiny row groups, scheduler overhead). Compaction republishes the
+  table at a target file size through the store's atomic version swap, so
+  readers never see a partial rewrite — the analog of Redshift VACUUM.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    range_cols: list[str],
+    sort_cols: list[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Write `df` as parquet clustered on `range_cols`.
+
+    `repartitionByRange` samples the columns and assigns contiguous value
+    ranges to partitions (one output file each), so file-level min/max
+    stats are tight and disjoint; `sortWithinPartitions` additionally
+    tightens row-group stats inside each file. Filters on the range columns
+    then prune at both the file and row-group level.
+
+    The range exchange is one full shuffle — this is a layout/maintenance
+    job, not a hot-path operator. `num_files` defaults to the session's
+    shuffle parallelism.
+    """
+    part = (
+        df.repartitionByRange(num_files, *range_cols)
+        if num_files
+        else df.repartitionByRange(*range_cols)
+    )
+    part.sortWithinPartitions(*(sort_cols or range_cols)).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _dir_data_files(path: str) -> list[tuple[str, int]]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
+def compact_table(
+    store,
+    spark: SparkSession,
+    table: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+) -> int | None:
+    """Compact a store table's current version to ~`target_bytes` files.
+
+    Reads the live version, coalesces to ceil(total_bytes / target_bytes)
+    partitions (coalesce, not repartition — compaction must not pay a
+    shuffle), and republishes through the store's atomic pointer flip.
+    Returns the new version, or None when the table is already compact
+    (fewer than `min_files_to_compact` files or already at target size).
+
+    Works against any `ParquetTargetStore`-shaped store (local FS here; the
+    same listing maps to an object-store inventory at scale).
+    """
+    p = store.path(table)
+    if p is None:
+        return None
+    files = _dir_data_files(p)
+    total = sum(sz for _, sz in files)
+    if len(files) < min_files_to_compact or total / max(len(files), 1) >= target_bytes:
+        return None
+    n = max(1, math.ceil(total / target_bytes))
+    if n >= len(files):
+        return None
+    df = store.read(spark, table)
+    return store.publish(df.coalesce(n), table)

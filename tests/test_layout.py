@@ -1,0 +1,71 @@
+"""Layout operators: range-clustered writes must enable file pruning, and
+store compaction must shrink file counts without changing table contents."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_cdc_redshift_spark.operators.layout import (
+    _dir_data_files,
+    compact_table,
+    write_range_layout,
+)
+from kafka_cdc_redshift_spark.sources import load_table
+from kafka_cdc_redshift_spark.streaming.store import ParquetTargetStore
+
+
+def test_range_layout_prunes_files(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_ts")
+    write_range_layout(ev, out, range_cols=["ts"], num_files=8)
+
+    written = spark.read.parquet(out)
+    assert written.count() == ev.count()
+    n_files = written.select(F.input_file_name()).distinct().count()
+    assert n_files == 8
+
+    # a narrow time filter must touch a small subset of the range-clustered
+    # files (disjoint min/max per file -> zone-map pruning); grab an actual
+    # narrow window from the data so the test is SF-independent
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 16
+    touched = (
+        written.filter(F.col("ts") <= F.lit(cut))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert touched <= 2, f"narrow scan touched {touched}/8 files"
+
+
+def test_compact_table_shrinks_files_preserves_rows(spark, sf_dir, tmp_path):
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    ev = load_table(spark, sf_dir, "events")
+    # simulate many tiny per-batch files
+    store.publish(ev.repartition(32), "events")
+    before = _dir_data_files(store.path("events"))
+    assert len(before) == 32
+
+    v = compact_table(store, spark, "events", target_bytes=1 << 30)
+    assert v is not None and v == 1
+    after = _dir_data_files(store.path("events"))
+    assert len(after) < len(before)
+
+    compacted = store.read(spark, "events")
+    assert compacted.count() == ev.count()
+    # contents identical (exact set compare on the pk)
+    a = {r[0] for r in ev.select("event_id").collect()}
+    b = {r[0] for r in compacted.select("event_id").collect()}
+    assert a == b
+
+
+def test_compact_table_noop_when_already_compact(spark, sf_dir, tmp_path):
+    store = ParquetTargetStore(str(tmp_path / "store2"))
+    ev = load_table(spark, sf_dir, "events")
+    store.publish(ev.coalesce(1), "events")
+    assert compact_table(store, spark, "events", target_bytes=1 << 30) is None
+    assert store.current_version("events") == 0
+
+
+def test_compact_missing_table_is_none(spark, tmp_path):
+    store = ParquetTargetStore(str(tmp_path / "store3"))
+    assert compact_table(store, spark, "nope") is None
