@@ -132,16 +132,20 @@ def decontaminate(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Training rows whose content fingerprint does NOT appear in the
     eval/benchmark corpus (broadcast left-anti join on the fingerprint —
-    benchmark sets are tiny next to a training corpus)."""
+    benchmark sets are tiny next to a training corpus). Set
+    `broadcast_eval=False` when the contamination set itself is corpus-
+    scale (e.g. cross-corpus dedup): the anti-join then shuffles both
+    sides on the fingerprint instead of building a driver-side broadcast."""
     train_fp = content_fingerprint(train, id_col=id_col, text_col=text_col)
     eval_fp = (
         content_fingerprint(eval_df, id_col=id_col, text_col=text_col)
         .select("fingerprint")
         .distinct()
     )
-    return train_fp.join(
-        F.broadcast(eval_fp), "fingerprint", "left_anti"
-    ).select(id_col)
+    if broadcast_eval:
+        eval_fp = F.broadcast(eval_fp)
+    return train_fp.join(eval_fp, "fingerprint", "left_anti").select(id_col)

@@ -44,3 +44,43 @@ def salted_agg(
     )
     stage1 = salted.groupBy(*keys, "__salt").agg(*partial)
     return stage1.groupBy(*keys).agg(*final)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join where a hot key on `left` would overload one reducer:
+    spread each left key over `salt_buckets` sub-partitions with a
+    deterministic row-level salt, replicate `right` across every salt
+    value (a `salt_buckets`-way fan-out of the SMALLER side only), and
+    join on (keys, salt).
+
+    When to use: AQE's skew-join split already covers most shuffle-join
+    skew at runtime — reach for explicit salting only where AQE can't act
+    (a skewed key feeding a window/groupBy downstream of the join, forced
+    sort-merge plans, or engines/modes without AQE). `right` must be the
+    smaller side (it is replicated); if it broadcasts, just broadcast it.
+
+    Multiplicity is preserved for `inner` and `left` joins: each left row
+    carries exactly one salt value and every right row exists at every
+    salt, so each (left row, right row) key match pairs exactly once.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = list(keys)
+    salted_left = left.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    salted_right = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_left.join(salted_right, [*keys, "__salt"], how).drop("__salt")

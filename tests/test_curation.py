@@ -76,3 +76,34 @@ def test_decontaminate_sound_and_complete(spark, sf_dir):
     eval_fps = {f for i, f in fp.items() if i % 97 == 0}
     expected = {i for i, f in fp.items() if f not in eval_fps}
     assert kept == expected
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from kafka_cdc_redshift_spark.operators.skew import salted_join
+    from kafka_cdc_redshift_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    # synthesize a skewed key: 80% of rows map to key 0
+    left = ev.select(
+        "event_id",
+        F.when(F.pmod("event_id", F.lit(10)) < 8, 0)
+        .otherwise(F.pmod("event_id", F.lit(10)))
+        .cast("int")
+        .alias("k"),
+        "value",
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(10)], ["k", "label"]
+    )
+    plain = left.join(right, "k").select("event_id", "k", "label")
+    salted = salted_join(left, right, ["k"]).select("event_id", "k", "label")
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+    plain_l = left.join(right.filter("k < 5"), "k", "left").select(
+        "event_id", "k", "label"
+    )
+    salted_l = salted_join(left, right.filter("k < 5"), ["k"], how="left").select(
+        "event_id", "k", "label"
+    )
+    assert sorted(plain_l.collect()) == sorted(salted_l.collect())
