@@ -72,6 +72,8 @@ class CdcBatchProcessor:
         max_workers: int = 8,
         order_by: tuple[str, ...] = ("ts_ms",),
         jdbc_sink=None,
+        compact_every_n_batches: int | None = None,
+        compact_target_bytes: int = 128 * 1024 * 1024,
     ):
         self.spark = spark
         self.rules = rules
@@ -91,6 +93,14 @@ class CdcBatchProcessor:
         # in-engine target merge is skipped — parity with the reference's
         # Redshift write path (cdc_util/redshift_sink.py:477-527)
         self.jdbc_sink = jdbc_sink
+        # periodic small-file compaction (operators/layout.py): every batch
+        # publish writes a fresh file-set, so long-running jobs accrue tiny
+        # files; every N successful batches the targets are republished at
+        # ~compact_target_bytes through the store's atomic version swap —
+        # the VACUUM half of the reference's Redshift-side maintenance
+        self.compact_every_n_batches = compact_every_n_batches
+        self.compact_target_bytes = compact_target_bytes
+        self._batches_since_compact = 0
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
 
     # -- per-table task ----------------------------------------------------
@@ -248,7 +258,27 @@ class CdcBatchProcessor:
         self.batch_statuses.append(statuses)
         if errors:
             raise RuntimeError(f"batch {batch_id} failed: {errors}")
+        self._maybe_compact()
         return statuses
+
+    def _maybe_compact(self) -> None:
+        if not self.compact_every_n_batches:
+            return
+        self._batches_since_compact += 1
+        if self._batches_since_compact < self.compact_every_n_batches:
+            return
+        self._batches_since_compact = 0
+        from ..operators.layout import compact_table
+
+        for rule in self.rules:
+            tables = [rule.target_name]
+            if rule.save_delete or rule.only_save_delete:
+                tables.append(f"{rule.target_name}_delete")
+            for t in tables:
+                compact_table(
+                    self.store, self.spark, t,
+                    target_bytes=self.compact_target_bytes,
+                )
 
 
 def run_file_stream(

@@ -218,3 +218,41 @@ def test_ignore_ddl_casts_to_fixed_target_schema(spark, tmp_path):
     assert dict(tgt.dtypes)["qty"] == "int"
     out = {r.pid: r.qty for r in tgt.collect()}
     assert out == {1: 5, 2: 7, 3: None}  # digit-guard: garbage -> NULL
+
+
+def test_periodic_compaction_in_batch_loop(spark, sf_dir, tmp_path):
+    from kafka_cdc_redshift_spark.operators.layout import _dir_data_files
+
+    store = ParquetTargetStore(str(tmp_path / "cstore"))
+    rules = [SyncRule(db="salesdb", table="orders", primary_key=("o_orderkey",))]
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+        max_workers=2,
+        compact_every_n_batches=2,
+        compact_target_bytes=1 << 30,  # everything compacts to ~1 file
+    )
+    topic = synth_debezium_topic(
+        spark, sf_dir, ops=("c",), include_customer=False
+    )
+
+    # batches run normally with compaction enabled; AQE-coalesced merge
+    # output is already compact, so the every-2-batches pass is a no-op
+    proc.process_batch(topic, 0)
+    proc.process_batch(topic, 1)
+    orders = load_table(spark, sf_dir, "orders")
+    assert store.read(spark, "orders").count() == orders.count()
+    v = store.current_version("orders")
+
+    # simulate a fragmented target that the batch did NOT rewrite (an
+    # un-routed table keeps its files; a merge republish would defragment
+    # as a side effect): the scheduled compaction pass must collapse it
+    # through an atomic republish without changing contents
+    store.publish(store.read(spark, "orders").repartition(32), "orders")
+    assert len(_dir_data_files(store.path("orders"))) == 32
+    proc._batches_since_compact = proc.compact_every_n_batches - 1
+    proc._maybe_compact()
+    assert store.current_version("orders") == v + 2  # frag publish + compact
+    assert len(_dir_data_files(store.path("orders"))) < 4
+    assert store.read(spark, "orders").count() == orders.count()
+    assert proc._batches_since_compact == 0  # cadence counter reset
