@@ -49,8 +49,8 @@ def main() -> None:
     # measurement and best-of-2 can still report that outlier when the host
     # is noisy. Give them one untimed warm run so every timed run measures
     # the steady-state plan.
-    barrier = {"dedup_minhash_lsh", "dedup_clusters",
-               "dedup_ngram_jaccard", "text_winnow_pairs"}
+    barrier = {"dedup_minhash_lsh", "dedup_clusters", "dedup_keep_one",
+               "dedup_ngram_jaccard", "text_winnow_pairs", "emb_kmeans"}
     timings: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]
