@@ -21,6 +21,9 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
   batch_timeout_sec         batch watchdog (T8); unset = no timeout
   maxerror / tempformat / redshift_tmpdir / redshift_iam_role
                             bulk COPY-path tuning
+  compact_every_n_batches / compact_target_mb
+                            periodic store small-file compaction
+                            (operators/layout.py); unset = off
   redshift_host/port/database/username/password
                             JDBC merge target; omitted -> managed parquet
                             store at `target_store_path` (default
@@ -81,6 +84,14 @@ def build_processor(
         ),
         max_workers=int(props.get("thread_max_workers", "8")),
         jdbc_sink=jdbc_sink,
+        compact_every_n_batches=(
+            int(props["compact_every_n_batches"])
+            if props.get("compact_every_n_batches")
+            else None
+        ),
+        compact_target_bytes=(
+            int(props.get("compact_target_mb", "128")) * 1024 * 1024
+        ),
     )
 
 
