@@ -878,8 +878,8 @@ def q_q18(spark, sf_dir):
     "events_funnel",
     "funnel conversion: first signup per user, any purchase within 7 days, "
     "weekly cohort conversion rate. Two aggregations + one semi-join, all "
-    "hash-partitioned on user_id (exchange reuse keeps it to one shuffle "
-    "of the events fact per leg)",
+    "hash-partitioned on user_id (each leg scans and shuffles the events "
+    "fact exactly once; the cohort join moves only weekly aggregates)",
     """WITH s AS (SELECT user_id, min(ts) AS st FROM events
                   WHERE event_type = 'signup' GROUP BY user_id),
     conv AS (SELECT DISTINCT s.user_id, s.st FROM s
@@ -933,8 +933,10 @@ def q_events_funnel(spark, sf_dir):
 @_spec(
     "events_retention_cohort",
     "cohort retention matrix: users bucketed by first-seen week, activity "
-    "counted per (cohort, week-offset). Both leg aggregations shuffle on "
-    "user_id -> the join is exchange-reuse co-partitioned",
+    "counted per (cohort, week-offset). Each leg scans/shuffles the events "
+    "fact exactly once (min-agg on user_id; distinct on (user_id, week)); "
+    "the user_id join then moves only the per-user aggregates, never raw "
+    "events",
     """WITH f AS (SELECT user_id,
                          CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
                   FROM events GROUP BY user_id),
