@@ -449,3 +449,50 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def token_commonness(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = 5,
+) -> DataFrame:
+    """Corpus-relative commonness scoring (a ccnet-style LM filter reduced
+    to exact arithmetic): how ordinary is each document's vocabulary,
+    measured against the corpus's own unigram counts.
+
+    Emits per doc: `n_tokens`, `avg_token_freq` (mean corpus count of the
+    doc's tokens) and `rare_ratio` (fraction of tokens whose corpus count
+    is <= rare_max_count). Docs of globally rare tokens (OCR noise,
+    boilerplate hashes, other languages) score low/high respectively —
+    the corpus-relative signal the doc-local quality ops can't see.
+
+    Determinism contract: all aggregates are exact integer sums (token
+    counts), combined with single IEEE divisions — no ln() (libm-
+    dependent, see tfidf_top_terms) and no double accumulation (order-
+    dependent), so the DuckDB oracle matches bit-for-bit.
+
+    Shape at scale: explode -> one groupBy shuffle keyed on token for the
+    unigram census, token-keyed join back (map-side partial aggs both
+    sides), one groupBy shuffle keyed on doc. The census relation is
+    |vocab|-sized — join it un-broadcast; AQE will broadcast when small.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(census, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_token_freq"),
+            (
+                F.sum((F.col("cnt") <= rare_max_count).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_ratio"),
+        )
+    )

@@ -966,3 +966,39 @@ def q_events_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@_spec(
+    "events_anomaly_zscore",
+    "per-group z-score outlier detection: grouped moments from exact "
+    "decimal sums (order-independent -> cross-engine deterministic; a "
+    "naive double stddev would flake on partial-agg order), stats "
+    "broadcast back onto the fact as a map-side join",
+    """WITH m AS (
+         SELECT event_type, count(*) AS n,
+                CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS s1,
+                CAST(sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) AS DOUBLE) AS s2
+         FROM events GROUP BY event_type)
+       SELECT event_id, e.event_type, value,
+              (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+       FROM events e JOIN m ON e.event_type = m.event_type
+       WHERE abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3""",
+)
+def q_events_anomaly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    vdec = _dec(F.col("value"), 18, 2)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    # per-type stats are bounded by |event types| — broadcast is safe at
+    # any fact scale, keeping the enrichment map-side
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+    )

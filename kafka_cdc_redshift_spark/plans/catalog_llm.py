@@ -842,3 +842,21 @@ _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
 )
 def q_text_gopher_filters(spark, sf_dir):
     return text.gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "text_commonness",
+    "corpus-relative unigram commonness: per-doc mean corpus frequency of "
+    "its tokens + rare-token ratio (exact integer sums -> deterministic "
+    "divisions; the corpus-vocabulary signal doc-local quality ops miss)",
+    f"""WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    census AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_token_freq,
+           CAST(sum(CASE WHEN cnt <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_ratio
+    FROM toks JOIN census USING (tok)
+    GROUP BY doc_id""",
+)
+def q_text_commonness(spark, sf_dir):
+    return text.token_commonness(load_table(spark, sf_dir, "documents"))
