@@ -5,4 +5,5 @@ from .windows import (  # noqa: F401
     seen_keys_dedup,
     seen_keys_dedup_tws,
     sessionize,
+    watermarked_dedup,
 )

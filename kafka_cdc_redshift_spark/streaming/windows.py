@@ -212,3 +212,25 @@ def seen_keys_dedup_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+def watermarked_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Exact at-least-once -> exactly-once key dedup with BOUNDED state:
+    Spark's built-in `dropDuplicatesWithinWatermark`. Rows sharing `keys`
+    whose event times fall within `delay` of the first-seen row are
+    dropped; state for a key is evicted once the watermark passes, so
+    state size is O(keys per delay window), not O(all keys ever).
+
+    This is the zero-custom-code complement to the applyInPandasWithState
+    / transformWithStateInPandas LWW operators above: use it when "drop
+    exact redelivery duplicates" is the need (Kafka at-least-once), and
+    the stateful LWW operators when the per-key *latest image* must win
+    across batches. The reference has no analog (its redelivery safety is
+    merge-by-pk idempotency, SURVEY §2.8 T7)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)

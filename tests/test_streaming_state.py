@@ -141,3 +141,34 @@ def test_seen_keys_dedup_rejects_batch_dataframe(spark):
     df = spark.createDataFrame([(1, 1, "x")], ["k", "ts_ms", "v"])
     with pytest.raises(Exception):
         seen_keys_dedup(df, ["k"]).collect()
+
+
+def test_watermarked_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    from kafka_cdc_redshift_spark.streaming import watermarked_dedup
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    src = tmp_path / "dup_json"
+    # simulate at-least-once redelivery: every event arrives 3x
+    tripled = events.unionAll(events).unionAll(events)
+    tripled.select(F.to_json(F.struct("*")).alias("value")).coalesce(2).write.text(
+        str(src)
+    )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = watermarked_dedup(stream, ["event_id"], delay="24 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("wm_dedup_sink")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
