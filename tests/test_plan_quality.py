@@ -149,3 +149,13 @@ def test_gopher_flags_native_single_tokenize(spark, sf_dir):
     lines = plan.splitlines()
     assert sum(1 for l in lines if "Project" in l and "split(" in l) == 1
     assert not any("Filter" in l and "split(" in l for l in lines)
+
+
+def test_anomaly_stats_broadcast_only(spark, sf_dir):
+    # the per-type moments (bounded by |event types|) carry the ONLY
+    # broadcast hint; the events fact never does
+    df = SPECS["events_anomaly_zscore"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") == 1
+    plan = plan_of(spark, sf_dir, "events_anomaly_zscore")
+    assert "BatchEvalPython" not in plan
