@@ -1002,3 +1002,34 @@ def q_events_anomaly(spark, sf_dir):
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 3)
     )
+
+
+@_spec(
+    "events_salted_join",
+    "skew-mitigated equi-join: a hot key (80% of rows) spread over salt "
+    "sub-partitions, the small side replicated per salt — result provably "
+    "identical to the plain join (the oracle IS the plain join)",
+    """WITH l AS (SELECT event_id,
+                         CASE WHEN event_id % 10 < 8 THEN 0
+                              ELSE CAST(event_id % 10 AS INT) END AS k,
+                         value
+                  FROM events),
+    d AS (SELECT CAST(i AS INT) AS k, 'dim_' || i AS label FROM range(10) t(i))
+    SELECT event_id, l.k, label FROM l JOIN d USING (k)""",
+)
+def q_events_salted_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id",
+        F.when(F.pmod("event_id", F.lit(10)) < 8, 0)
+        .otherwise(F.pmod("event_id", F.lit(10)))
+        .cast("int")
+        .alias("k"),
+        "value",
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(10)], ["k", "label"]
+    )
+    return salted_join(left, right, ["k"]).select("event_id", "k", "label")
