@@ -43,11 +43,46 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
+# The driver's correctness check records at most ~50 queries per round, in
+# registration order. Queries with no green driver row yet (new this round,
+# or never reached in a prior round) are listed here so they register FIRST;
+# everything else follows in catalog order (all of those have green rows in
+# CORRECTNESS_r01/r02 already).
+_DRIVER_CHECK_FIRST = [
+    # never driver-checked as of round 2 (CORRECTNESS_r02 capped at 50/66)
+    "corpus_group_stats",
+    "dedup_embedding",
+    "dedup_keep_one",
+    "emb_kmeans",
+    "emb_normalize",
+    "emb_quantize",
+    "multimodal_binary_meta",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "sim_ivf_topk",
+    "text_commonness",
+    "text_gopher_filters",
+    "text_ngram_counts",
+    "text_pii_redact",
+    "text_repetition",
+    "text_tfidf_topk",
+]
+
+
+def _ordered_specs():
+    first = [n for n in _DRIVER_CHECK_FIRST if n in SPECS]
+    rest = [n for n in SPECS if n not in set(first)]
+    for n in first + rest:
+        yield n, SPECS[n]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap(spec.spark) for name, spec in SPECS.items()}
+    return {name: _wrap(spec.spark) for name, spec in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in SPECS.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in _ordered_specs()
+        if spec.oracle is not None
     }

@@ -90,8 +90,8 @@ def build_processor(
             else None
         ),
         compact_target_bytes=(
-            int(props.get("compact_target_mb", "128")) * 1024 * 1024
-        ),
+            int(props["compact_target_mb"]) if props.get("compact_target_mb") else 128
+        ) * 1024 * 1024,
     )
 
 

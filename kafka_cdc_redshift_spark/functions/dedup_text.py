@@ -61,6 +61,16 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+# stop-shingle document-frequency cut, ON by default: a shingle present in
+# d documents emits O(d^2) join rows — one common 3-gram with df=10^4 is
+# 10^8 pairs before any pruning can act, which is the operator's only
+# quadratic escape hatch at corpus scale. df > max_df shingles carry no
+# near-dup signal (they are corpus-common phrases), so cutting them bounds
+# the blowup at O(max_df^2) per shingle. Pass max_df=None for the exact
+# all-shingles variant (small/verification workloads only).
+DEFAULT_MAX_DF = 1000
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,
@@ -68,12 +78,16 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
-    Exact: any pair with Jaccard > 0 shares >= 1 shingle, so the
-    shingle-keyed self-join loses nothing (when max_df is None).
+    Exact when max_df is None: any pair with Jaccard > 0 shares >= 1
+    shingle, so the shingle-keyed self-join loses nothing. With the
+    (default) stop-shingle cut, the intersection is counted over surviving
+    shingles while set sizes stay pre-cut, so the reported jaccard is a
+    conservative lower bound — a pair can only be dropped if its overlap
+    rides on corpus-hot shingles.
     """
     sets_ = _shingle_sets(df, id_col, text_col, n)
     # carry the set size on every exploded row: the pair join can then

@@ -34,6 +34,8 @@ def salted_agg(
     operator stays replay-stable); defaults to a hash of all input columns.
     """
     keys = list(keys)
+    if "__salt" in df.columns:
+        raise ValueError("input already has a '__salt' column")
     salt_src = (
         F.col(salt_on)
         if salt_on is not None
@@ -69,15 +71,27 @@ def salted_join(
     Multiplicity is preserved for `inner` and `left` joins: each left row
     carries exactly one salt value and every right row exists at every
     salt, so each (left row, right row) key match pairs exactly once.
+
+    The salt is PER ROW, not per row-content: a content hash alone would
+    send fully identical rows (the common skew shape — hot key, low
+    payload cardinality) to one bucket, defeating the mitigation exactly
+    when it is needed. Mixing in `monotonically_increasing_id()` (partition
+    ordinal + per-partition row counter) spreads duplicates round-robin
+    across the buckets; the salt only shapes the shuffle, never the result,
+    so it does not need to be replay-stable.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("input already has a '__salt' column")
     keys = list(keys)
     salted_left = left.withColumn(
         "__salt",
-        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast(
-            "int"
-        ),
+        F.pmod(
+            F.hash(*[F.col(c) for c in left.columns])
+            + F.monotonically_increasing_id(),
+            F.lit(salt_buckets),
+        ).cast("int"),
     )
     salted_right = right.withColumn(
         "__salt",

@@ -982,7 +982,8 @@ def q_events_retention(spark, sf_dir):
        SELECT event_id, e.event_type, value,
               (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
        FROM events e JOIN m ON e.event_type = m.event_type
-       WHERE abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3""",
+       WHERE n > 1 AND s2 - s1 * s1 / n > 0
+         AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3""",
 )
 def q_events_anomaly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -995,10 +996,16 @@ def q_events_anomaly(spark, sf_dir):
     # per-type stats are bounded by |event types| — broadcast is safe at
     # any fact scale, keeping the enrichment map-side
     mean = F.col("s1") / F.col("n")
-    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    std = F.sqrt(var_num / (F.col("n") - 1))
     z = (F.col("value") - mean) / std
+    # degenerate groups (n=1 or zero variance) are excluded EXPLICITLY on
+    # both sides: Spark's Divide yields NULL on /0 while DuckDB's IEEE
+    # float path yields NaN/Inf (and DuckDB sorts NaN above any number),
+    # so leaving the guard implicit is a data-dependent oracle mismatch
     return (
         ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n") > 1) & (var_num > 0))
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 3)
     )

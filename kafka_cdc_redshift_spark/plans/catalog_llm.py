@@ -33,6 +33,26 @@ _SH_SETS = f"""sh_sets AS (
 
 _HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+# Replays jaccard_pairs() INCLUDING its default stop-shingle cut
+# (functions/dedup_text.py DEFAULT_MAX_DF): explode the shingle sets, drop
+# shingles with df > max_df, count intersections over surviving shingles
+# against PRE-cut set sizes. Produces CTEs ending in `pe(doc_a, doc_b)` /
+# `pj(doc_a, doc_b, jaccard)`.
+_JACCARD_CUT = f"""{_SH_SETS},
+    ex AS (SELECT doc_id, len(sh_set) AS sz, unnest(sh_set) AS sh FROM sh_sets),
+    kept AS (SELECT sh FROM ex GROUP BY sh
+             HAVING count(*) <= {dedup_text.DEFAULT_MAX_DF}),
+    exk AS (SELECT ex.doc_id, ex.sz, ex.sh FROM ex JOIN kept USING (sh)),
+    pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+           FROM exk a JOIN exk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+    pj AS (SELECT doc_a, doc_b,
+                  CAST(inter AS DOUBLE)
+                    / CAST(sz_a + sz_b - inter AS DOUBLE) AS jaccard
+           FROM pc),
+    pe AS (SELECT doc_a, doc_b FROM pj WHERE jaccard >= 0.5)"""
+
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 
 
@@ -247,15 +267,11 @@ def q_dedup_exact(spark, sf_dir):
 
 @_spec(
     "dedup_ngram_jaccard",
-    "exact near-dup pairs: 3-gram shingle sets, Jaccard >= 0.5 "
-    "(shingle-keyed self-join; oracle brute-forces all pairs)",
-    f"""WITH {_SH_SETS}, p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
-               / CAST(len(a.sh_set) + len(b.sh_set)
-                      - len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) AS jaccard
-      FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5""",
+    "near-dup pairs: 3-gram shingle sets, Jaccard >= 0.5, default "
+    "stop-shingle df cut active (shingle-keyed self-join; oracle replays "
+    "the cut via the same exploded-join formulation)",
+    f"""WITH {_JACCARD_CUT}
+    SELECT doc_a, doc_b, jaccard FROM pj WHERE jaccard >= 0.5""",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup_text.jaccard_pairs(load_table(spark, sf_dir, "documents"))
@@ -266,13 +282,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     "near-dup clustering: connected components over the Jaccard>=0.5 pair "
     "graph via iterative min-label propagation; cluster_id = min doc_id; "
     "oracle replays with a recursive CTE reachability closure",
-    f"""WITH RECURSIVE {_SH_SETS}, p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
-               / CAST(len(a.sh_set) + len(b.sh_set)
-                      - len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) AS jaccard
-      FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id),
-    pe AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+    f"""WITH RECURSIVE {_JACCARD_CUT},
     e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
           UNION ALL SELECT doc_b, doc_a FROM pe),
     reach AS (
@@ -671,13 +681,7 @@ def q_emb_normalize(spark, sf_dir):
     "end-to-end near-dup pipeline: jaccard pairs -> connected components "
     "-> keep the canonical doc of each cluster with its payload (the "
     "keep/drop decision a dedup job actually ships)",
-    f"""WITH RECURSIVE {_SH_SETS}, p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
-               / CAST(len(a.sh_set) + len(b.sh_set)
-                      - len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) AS jaccard
-      FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id),
-    pe AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+    f"""WITH RECURSIVE {_JACCARD_CUT},
     e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
           UNION ALL SELECT doc_b, doc_a FROM pe),
     reach AS (

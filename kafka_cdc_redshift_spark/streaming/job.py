@@ -102,6 +102,7 @@ class CdcBatchProcessor:
         self.compact_target_bytes = compact_target_bytes
         self._batches_since_compact = 0
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
+        self.compact_errors: list[tuple[str, str]] = []  # (table, error)
 
     # -- per-table task ----------------------------------------------------
     def _run_table(
@@ -275,10 +276,16 @@ class CdcBatchProcessor:
             if rule.save_delete or rule.only_save_delete:
                 tables.append(f"{rule.target_name}_delete")
             for t in tables:
-                compact_table(
-                    self.store, self.spark, t,
-                    target_bytes=self.compact_target_bytes,
-                )
+                # maintenance must not fail a batch whose data work already
+                # committed: a transient compaction error is recorded, not
+                # raised (the next cycle retries it)
+                try:
+                    compact_table(
+                        self.store, self.spark, t,
+                        target_bytes=self.compact_target_bytes,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self.compact_errors.append((t, repr(e)))
 
 
 def run_file_stream(

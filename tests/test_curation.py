@@ -107,3 +107,36 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         "event_id", "k", "label"
     )
     assert sorted(plain_l.collect()) == sorted(salted_l.collect())
+
+
+def test_jaccard_stop_shingle_cut_preserves_recall(spark, sf_dir):
+    """The default stop-shingle df cut (jaccard_pairs max_df) bounds the
+    quadratic pair blowup at scale; on the synthetic corpus it must not
+    change WHICH pairs are found — near-dup overlap does not ride on
+    corpus-hot shingles."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import dedup_text
+    from kafka_cdc_redshift_spark.functions.dedup_text import (
+        _shingle_sets,
+    )
+
+    d = docs(spark, sf_dir)
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup_text.jaccard_pairs(d, max_df=None).collect()}
+    assert exact  # corpus contains synthetic near-dups
+
+    default = {(r.doc_a, r.doc_b) for r in dedup_text.jaccard_pairs(d).collect()}
+    assert default == exact
+
+    # an aggressive cut that provably DROPS shingles still finds every pair
+    sets_ = _shingle_sets(d, "doc_id", "text", 3)
+    df_counts = (
+        sets_.select(F.explode("sh_set").alias("sh"))
+        .groupBy("sh").count()
+    )
+    n_cut = df_counts.filter(F.col("count") > 8).count()
+    assert n_cut > 0, "test corpus has no shingle with df > 8; pick a lower cut"
+    active = {(r.doc_a, r.doc_b)
+              for r in dedup_text.jaccard_pairs(d, max_df=8).collect()}
+    assert active == exact
