@@ -24,6 +24,9 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
   compact_every_n_batches / compact_target_mb
                             periodic store small-file compaction
                             (operators/layout.py); unset = off
+  offset_log_path           JSON-lines log of per-batch source end offsets
+                            (T6 consumer-lag monitoring analog,
+                            streaming/listener.py); unset = off
   redshift_host/port/database/username/password
                             JDBC merge target; omitted -> managed parquet
                             store at `target_store_path` (default
@@ -159,6 +162,15 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     processor = build_processor(spark, props)
+    if props.get("offset_log_path"):
+        # T6 analog: per-batch source offsets to a JSON-lines log for
+        # consumer-lag monitoring (reference: KafkaOffsetCommitterListener,
+        # glue/cdc_redshift.py:99)
+        from .streaming.listener import OffsetCommitListener
+
+        spark.streams.addListener(
+            OffsetCommitListener(log_path=props["offset_log_path"])
+        )
     query = start_query(spark, props, processor)
     if args.await_termination:
         query.awaitTermination()

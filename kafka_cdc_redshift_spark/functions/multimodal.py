@@ -35,12 +35,24 @@ META_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes):
-    """Real media decode — requires an image library not present here."""
-    raise NotImplementedError(
-        "media decode requires an image library (e.g. PIL); not available in "
-        "this environment — extract_binary_meta uses the deterministic stub"
-    )
+def decode_image(payload: bytes, *, decoder=None):
+    """Decode an image payload. `decoder` (bytes -> decoded object) makes
+    the decode injectable — a deployment plugs its own library without
+    editing this module; with none given, PIL is used when importable,
+    otherwise this raises (media libraries are not in this container)."""
+    if decoder is not None:
+        return decoder(payload)
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        raise NotImplementedError(
+            "media decode requires an image library (e.g. PIL); not available "
+            "in this environment — pass decoder=, or use the deterministic "
+            "stub paths (extract_binary_meta / default extract_features)"
+        ) from None
+    return Image.open(io.BytesIO(payload))
 
 
 def extract_binary_meta(df: DataFrame, *, id_col: str = "doc_id",
@@ -127,29 +139,43 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def byte_histogram_features(payload: bytes) -> list[float]:
+    """Default featurizer stub: deterministic 16-bucket byte histogram,
+    L1-normalized — the stand-in for a real media embedding model."""
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(b >> 4, minlength=FEATURE_BUCKETS).astype(np.float64)
+    return (hist / len(b)).tolist() if len(b) else hist.tolist()
+
+
 def extract_features(
-    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decode=None,
 ) -> DataFrame:
-    """Feature extraction over opaque binary payloads: a deterministic
-    16-bucket byte histogram, L1-normalized, as `array<double>` — the
-    stand-in for a real media embedding model (which isn't in this
-    container). The Spark shape is the production one: Arrow-batched
-    mapInPandas emitting a fixed-width vector column that feeds directly
-    into the similarity operators (cosine_topk / ivf_topk / near-dup).
+    """Feature extraction over opaque binary payloads as `array<double>`.
+
+    `decode` (bytes -> sequence of floats) is the injectable decode/embed
+    step: a real deployment passes its model (e.g. PIL decode + encoder)
+    and the callable ships to executors via cloudpickle; the default is the
+    deterministic byte-histogram stub. The Spark shape is the production
+    one either way: Arrow-batched mapInPandas emitting a fixed-width vector
+    column that feeds directly into the similarity operators (cosine_topk /
+    ivf_topk / near-dup).
     """
+    featurize = decode if decode is not None else byte_histogram_features
 
     def process(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            feats = []
-            for payload in pdf[payload_col]:
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(b >> 4, minlength=FEATURE_BUCKETS).astype(
-                    np.float64
-                )
-                feats.append((hist / len(b)).tolist() if len(b) else hist.tolist())
+            feats = [
+                [float(x) for x in featurize(bytes(payload))]
+                for payload in pdf[payload_col]
+            ]
             yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
 
     return spread(df.select(id_col, payload_col)).mapInPandas(

@@ -69,7 +69,25 @@ def _spec(name: str, doc: str, oracle: str | None):
     return deco
 
 
-_FIXTURE_CACHE: dict[tuple, DataFrame] = {}
+# value = (session, df): holding the session object keeps its id() from
+# being reused by a successor session (which would alias the cache key)
+_FIXTURE_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 - connect/other backends: can't probe
+        return False
+
+
+def _evict_stopped_sessions() -> None:
+    """Cached DataFrames must not outlive their session: a long-lived
+    library consumer that stops one session and starts another would
+    otherwise hold (and maybe be handed) plans bound to a dead JVM state."""
+    dead = [k for k, (sess, _) in _FIXTURE_CACHE.items() if _session_stopped(sess)]
+    for k in dead:
+        del _FIXTURE_CACHE[k]
 
 
 def _fixture(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
@@ -81,6 +99,7 @@ def _fixture(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
     engine work. Caching it keeps both tests and bench measuring the engine
     path — route -> parse -> dedup -> merge — the way BASELINE.md's
     records-per-trigger envelope is defined."""
+    _evict_stopped_sessions()
     key = (id(spark), sf_dir, name)
     if key not in _FIXTURE_CACHE:
         # force-spread before caching: the cached partitioning is what every
@@ -89,8 +108,8 @@ def _fixture(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
         # partition COUNT looks fine but 3 tasks would carry all rows
         df = spread(builder(spark, sf_dir), force=True).cache()
         df.count()
-        _FIXTURE_CACHE[key] = df
-    return _FIXTURE_CACHE[key]
+        _FIXTURE_CACHE[key] = (spark, df)
+    return _FIXTURE_CACHE[key][1]
 
 
 def warm_fixtures(spark: SparkSession, sf_dir: str) -> None:

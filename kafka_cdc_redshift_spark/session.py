@@ -51,6 +51,16 @@ def build_session(
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split sizing: Spark splits files at
+        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)).
+        # The 4 MB openCost default floors small-table scans at ~3 tasks on
+        # a 32-core host (a 10 MB compressed fact scanned by 3 tasks is 29
+        # idle cores; measured q1 3.3 s -> 1.3 s with the floor lowered).
+        # 256 KB still amortizes file-open overhead but lets the
+        # totalBytes/parallelism term win, so SMALL inputs fan out to the
+        # cluster while big data keeps full 128 MB splits — the term that
+        # governs at 100 TB is maxPartitionBytes, which stays default.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
         # (converted back to µs NTZ in sources.files.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -76,6 +76,15 @@ def payload_strings(
         # raw top-level ARRAY of row images; the JSON reader explodes
         # top-level arrays into one record per element during inference
         payload = F.get_json_object(v, "$.data")
+    elif fmt == "MONGO-CDC":
+        # route by ns.db/ns.coll, infer over the fullDocument strings
+        # (reference: mongo_redshift_sink.py:221). Delete events carry no
+        # fullDocument and are skipped by the isNotNull filter below —
+        # they contribute no payload columns to infer.
+        cond = (F.get_json_object(v, "$.ns.db") == db) & _match(
+            F.get_json_object(v, "$.ns.coll"), table, table_is_regex
+        )
+        payload = F.get_json_object(v, "$.fullDocument")
     else:
         raise ValueError(f"unsupported cdc_format for schema inference: {fmt}")
     return df.filter(cond & payload.isNotNull()).select(payload.alias("payload"))

@@ -1,0 +1,35 @@
+"""Fixture-cache hygiene: cached topic DataFrames must not survive their
+SparkSession (plans/catalog.py _FIXTURE_CACHE). Runs in a subprocess so the
+two-session lifecycle can't disturb the shared test session."""
+
+import subprocess
+import sys
+
+SCRIPT = r"""
+from kafka_cdc_redshift_spark.session import build_session
+from kafka_cdc_redshift_spark.plans import catalog
+
+sf = "/root/testdata/sf0.001"
+s1 = build_session("cache-a", shuffle_partitions=4)
+catalog._fixture(s1, sf, "changelog", catalog.synth_orders_changelog)
+assert len(catalog._FIXTURE_CACHE) == 1
+s1.stop()
+
+s2 = build_session("cache-b", shuffle_partitions=4)
+df = catalog._fixture(s2, sf, "changelog", catalog.synth_orders_changelog)
+assert df.count() > 0
+live = [sess for sess, _ in catalog._FIXTURE_CACHE.values()]
+assert all(sess is s2 for sess in live), "stale session entries survived"
+assert len(catalog._FIXTURE_CACHE) == 1
+s2.stop()
+print("OK")
+"""
+
+
+def test_cache_evicts_stopped_sessions():
+    r = subprocess.run(
+        [sys.executable, "-c", SCRIPT], capture_output=True, text=True,
+        cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout

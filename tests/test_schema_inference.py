@@ -92,3 +92,21 @@ def test_processor_no_rows_for_rule_is_no_data(spark, tmp_path):
     proc = CdcBatchProcessor(spark, [rule], store, max_workers=2)
     st = proc.process_batch(_topic(spark, [_dz("d", "t", {"pid": 1})]), 0)
     assert st[0].status == "no-data"
+
+
+def test_infer_mongo_fulldocument(spark, sf_dir):
+    """MONGO-CDC branch (reference mongo_redshift_sink.py:221): infer over
+    fullDocument strings routed by ns.db/ns.coll; deletes (no fullDocument)
+    contribute nothing; absent collection -> None."""
+    from kafka_cdc_redshift_spark.sources.envelopes import synth_mongo_topic
+
+    topic = synth_mongo_topic(spark, sf_dir)
+    s = infer_payload_schema(topic, "MONGO-CDC", "appdb", "customer")
+    assert s is not None
+    assert set(s.names) == {"c_custkey", "c_name", "c_nationkey", "c_acctbal"}
+    assert infer_payload_schema(topic, "MONGO-CDC", "appdb", "nope") is None
+    # regex collection names route the same way as other formats
+    s2 = infer_payload_schema(
+        topic, "MONGO-CDC", "appdb", "cust.*", table_is_regex=True
+    )
+    assert s2 is not None and set(s2.names) == set(s.names)

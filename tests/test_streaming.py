@@ -256,3 +256,46 @@ def test_periodic_compaction_in_batch_loop(spark, sf_dir, tmp_path):
     assert len(_dir_data_files(store.path("orders"))) < 4
     assert store.read(spark, "orders").count() == orders.count()
     assert proc._batches_since_compact == 0  # cadence counter reset
+
+
+def test_offset_listener_records_per_batch_offsets(spark, sf_dir, tmp_path, processor):
+    """T6 analog: the listener observes every completed micro-batch's source
+    end offsets (what a Kafka-group commit would push for lag monitoring),
+    and persists them as JSON lines."""
+    import json
+    import time
+
+    from kafka_cdc_redshift_spark.streaming import OffsetCommitListener
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    log = str(tmp_path / "offsets.jsonl")
+    committed = []
+    listener = OffsetCommitListener(log_path=log, committer=committed.append)
+    spark.streams.addListener(listener)
+    try:
+        n = _write_lines(
+            synth_debezium_topic(spark, sf_dir, ops=("c",)), src / "b1.json"
+        )
+        q = run_file_stream(spark, str(src), processor, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        # the listener bus is async — wait for the progress event to land
+        # the file source may count a trailing blank line, so match >= n
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(
+            r["num_input_rows"] >= n for r in listener.records
+        ):
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+
+    data_batches = [r for r in listener.records if r["num_input_rows"] >= n]
+    assert data_batches, f"no progress event with >={n} rows: {listener.records}"
+    rec = data_batches[0]
+    src0 = rec["sources"][0]
+    assert "logOffset" in src0["end_offset"]  # file-source twin's offset log
+    assert committed and any(c["num_input_rows"] >= n for c in committed)
+    with open(log) as f:
+        persisted = [json.loads(line) for line in f]
+    assert any(r["num_input_rows"] >= n for r in persisted)
+    assert listener.last_offsets() is not None
