@@ -66,6 +66,21 @@ _DRIVER_CHECK_FIRST = [
     "text_pii_redact",
     "text_repetition",
     "text_tfidf_topk",
+    # new in round 3 (plans/catalog_ext.py) — no driver rows yet
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "events_moving_avg",
+    "events_pivot_counts",
+    "orders_cube",
+    "customers_lapsed",
+    "doc_len_quantiles",
 ]
 
 

@@ -1,0 +1,538 @@
+"""Catalog section 3 (round 3): wider relational surface.
+
+TPC-H-shaped analytics adapted to the driver's tables (no partsupp /
+commitdate / shipmode / phone columns exist, so q9/q16/q17/q22 use the
+nearest expressible formulation), plus window-frame, pivot, CUBE
+grouping-set, set-op, and exact rank-based quantile coverage that the
+catalog did not exercise yet.
+
+Conventions follow plans/catalog.py: decimal-exact money sums cast to
+double at the edge, identical aliases both sides, deterministic tiebreaks,
+years cast to INT in both engines so Arrow schemas line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load_table
+from .catalog import _dec, _spec
+
+
+def _rev(ep="l_extendedprice", disc="l_discount"):
+    return _dec(F.col(ep), 12, 2) * (F.lit(1) - _dec(F.col(disc), 4, 2))
+
+
+_REV_SQL = "l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped joins/aggregations
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "q7_volume_shipping",
+    "nation-pair trade volume by year (TPC-H Q7 shape): fact joins two "
+    "broadcast dim chains (cust->nation, supp->nation), disjunctive pair "
+    "predicate, shipdate pushdown",
+    f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INT) AS yr,
+              CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1998-01-01'
+       GROUP BY 1, 2, 3""",
+)
+def q_q7(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    # orders is fact-sized: equi-join; every dim chain broadcasts
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@_spec(
+    "q8_market_share",
+    "market share of one nation's suppliers in a region's PROMO-part "
+    "revenue by year (TPC-H Q8 shape): conditional share in one pass over "
+    "a 6-table broadcast-dim join",
+    f"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+              CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                 THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+                   / CAST(sum({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS mkt_share
+       FROM lineitem
+       JOIN part     ON l_partkey = p_partkey
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+       JOIN region   ON cn.n_regionkey = r_regionkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1998-01-01'
+       GROUP BY 1""",
+)
+def q_q8(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev()
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast(T.DecimalType(18, 4))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            (F.sum(nation_rev).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@_spec(
+    "q9_product_profit",
+    "profit by supplier nation and order year for a part-name family "
+    "(TPC-H Q9 shape, no partsupp table -> revenue stands in for profit): "
+    "LIKE pushdown on the dim, fact joins stay on join keys",
+    f"""SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+              CAST(sum({_REV_SQL}) AS DOUBLE) AS profit
+       FROM lineitem
+       JOIN part     ON l_partkey = p_partkey
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY 1, 2""",
+)
+def q_q9(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(_rev()).cast("double").alias("profit"))
+    )
+
+
+@_spec(
+    "q13_order_distribution",
+    "customer order-count distribution (TPC-H Q13 shape): LEFT join with "
+    "an extra join-time predicate, then a two-level aggregation",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count""",
+)
+def q_q13(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_spec(
+    "q15_top_supplier",
+    "top revenue supplier for a quarter (TPC-H Q15 shape): aggregate once, "
+    "compare against its own broadcast max — decimal-exact equality, no "
+    "double-compare flake",
+    f"""WITH rev AS (
+         SELECT l_suppkey AS suppkey, sum({_REV_SQL}) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+       FROM supplier JOIN rev ON s_suppkey = suppkey
+       WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+)
+def q_q15(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_rev()).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev)
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@_spec(
+    "q16_supplier_variety",
+    "distinct suppliers per part family (TPC-H Q16 shape over lineitem as "
+    "the part-supplier relation): count(DISTINCT) after dim pushdown",
+    """SELECT p_brand, p_type, p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#1' AND p_size <= 10
+       GROUP BY p_brand, p_type, p_size""",
+)
+def q_q16(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 10)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_spec(
+    "q17_small_qty_revenue",
+    "below-average-quantity revenue for one brand (TPC-H Q17 shape): the "
+    "per-part average via a window sharing the partkey partitioning — no "
+    "separate aggregate+rejoin",
+    f"""WITH b AS (
+         SELECT l_quantity, l_extendedprice,
+                CAST(sum(l_quantity::DECIMAL(12,2))
+                     OVER (PARTITION BY l_partkey) AS DOUBLE)
+                  / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#2')
+       SELECT CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / 7.0
+                AS avg_yearly,
+              count(*) AS n_lines
+       FROM b WHERE l_quantity < 0.2 * avg_qty""",
+)
+def q_q17(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    w = Window.partitionBy("l_partkey")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn(
+            "avg_qty",
+            F.sum(_dec(F.col("l_quantity"), 12, 2)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
+    )
+    return b.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        (F.sum(_dec(F.col("l_extendedprice"), 12, 2)).cast("double") / F.lit(7.0))
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_spec(
+    "q19_disjunctive_revenue",
+    "disjunctive multi-clause predicate join (TPC-H Q19 shape): three "
+    "brand/size/quantity clauses OR-ed inside one join — Catalyst extracts "
+    "the common part-side conjuncts below the join",
+    f"""SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue, count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q_q19(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_spec(
+    "q22_dormant_customers",
+    "above-average-balance customers with no orders, per nation (TPC-H Q22 "
+    "shape): scalar subquery broadcast + anti-join against the fact",
+    """WITH avg_bal AS (
+         SELECT CAST(sum(c_acctbal::DECIMAL(12,2)) AS DOUBLE) / count(*) AS v
+         FROM customer WHERE c_acctbal > 0)
+       SELECT n_name AS nation, count(*) AS numcust,
+              CAST(sum(c_acctbal::DECIMAL(12,2)) AS DOUBLE) AS totacctbal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_acctbal > (SELECT v FROM avg_bal)
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       GROUP BY n_name""",
+)
+def q_q22(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_dec(F.col("c_acctbal"), 12, 2)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), cust.c_acctbal > F.col("v"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"), 12, 2)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window frames / pivot / grouping sets / set ops / exact quantiles
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "events_moving_avg",
+    "per-user rolling window frame (ROWS BETWEEN 4 PRECEDING AND CURRENT): "
+    "decimal-exact frame sum (association-order independent -> identical "
+    "across engines) + lag delta; one shuffle on user_id serves both "
+    "window functions",
+    """SELECT event_id, user_id, value,
+              CAST(sum(value::DECIMAL(18,6))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS mov_avg,
+              value - lag(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS delta
+       FROM events""",
+)
+def q_events_moving_avg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(_dec(F.col("value"), 18, 6)).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("mov_avg"),
+        (F.col("value") - F.lag("value").over(order)).alias("delta"),
+    )
+
+
+@_spec(
+    "events_pivot_counts",
+    "per-user event-type pivot (fixed value list -> deterministic columns; "
+    "one shuffle, conditional counts)",
+    """SELECT user_id,
+              count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+              count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+       FROM events GROUP BY user_id""",
+)
+def q_events_pivot(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent combos NULL; the conditional-count twin yields 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@_spec(
+    "orders_cube",
+    "CUBE grouping sets over (status, priority) with an explicit grouping "
+    "id (2*g(status)+g(priority), same bit order both engines)",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(2 * grouping(o_orderstatus)
+                   + grouping(o_orderpriority) AS INT) AS gid,
+              count(*) AS n_orders,
+              CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_orders_cube(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.lit(2) * F.grouping("o_orderstatus")
+                + F.grouping("o_orderpriority")
+            ).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"), 18, 2)).cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total")
+    )
+
+
+@_spec(
+    "customers_lapsed",
+    "set difference (EXCEPT DISTINCT): customers ordering in the first "
+    "year but not in the last — hash-partitioned distinct on both legs",
+    """SELECT o_custkey AS custkey FROM orders
+       WHERE o_orderdate < TIMESTAMP '1996-01-01'
+       EXCEPT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '2001-01-01'""",
+)
+def q_customers_lapsed(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    first_year = orders.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("custkey"))
+    last_year = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return first_year.subtract(last_year)  # EXCEPT DISTINCT
+
+
+@_spec(
+    "doc_len_quantiles",
+    "exact rank-based quantiles per language (deterministic: value at "
+    "ceil(q*n) of the (n_chars, doc_id)-sorted run — no interpolation "
+    "semantics to disagree on across engines)",
+    """WITH r AS (
+         SELECT lang, n_chars,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS rn,
+                count(*) OVER (PARTITION BY lang) AS n
+         FROM documents)
+       SELECT lang,
+              max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                       THEN n_chars END) AS median_chars,
+              max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                       THEN n_chars END) AS p90_chars,
+              max(n) AS n_docs
+       FROM r GROUP BY lang""",
+)
+def q_doc_len_quantiles(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.col("n") * q).cast("bigint"), F.col("n_chars")
+        )
+    )
+    return r.groupBy("lang").agg(
+        at(0.5).alias("median_chars"),
+        at(0.9).alias("p90_chars"),
+        F.max("n").alias("n_docs"),
+    )
