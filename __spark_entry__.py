@@ -81,6 +81,9 @@ _DRIVER_CHECK_FIRST = [
     "orders_cube",
     "customers_lapsed",
     "doc_len_quantiles",
+    "doc_chunks",
+    "sim_pair_hist",
+    "events_sliding_rollup",
 ]
 
 

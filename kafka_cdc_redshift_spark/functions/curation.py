@@ -149,3 +149,51 @@ def decontaminate(
     if broadcast_eval:
         eval_fp = F.broadcast(eval_fp)
     return train_fp.join(eval_fp, "fingerprint", "left_anti").select(id_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows (the context-window
+    chunking step before embedding or sequence training): chunk k covers
+    tokens [k*stride, k*stride + chunk_tokens), 1-based slice; the final
+    chunk is short rather than padded. n_chunks = 1 for docs that fit,
+    else ceil((n_tokens - chunk_tokens) / stride) + 1 — every token is
+    covered and consecutive chunks overlap by chunk_tokens - stride.
+
+    Map-side explode only: the 1->K fan-out happens inside the scan
+    partition, no shuffle at any size. Emits (doc_id, chunk_idx,
+    n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1
+    )
+    start = lambda k: k * stride + 1  # noqa: E731 - 1-based slice position
+    return (
+        spread(df)
+        .filter(n > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("t"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_k"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(chunk_tokens), F.size("t") - start(F.col("_k")) + 1
+            ).alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice("t", start(F.col("_k")), chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )

@@ -258,3 +258,43 @@ def quantize_int8(
     return spread(emb).select(
         F.col(id_col), scale.alias("scale"), q.alias("q_vec")
     )
+
+
+def cosine_pair_hist(
+    emb: DataFrame,
+    *,
+    sample_mod: int = 4,
+    buckets: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Histogram of pairwise cosine similarity over a deterministic
+    id-hash sample — the corpus-geometry diagnostic a dedup/ANN pipeline
+    runs before choosing thresholds (is the corpus clumped near cos=1? is
+    a 0.9 near-dup cutoff separating anything?).
+
+    Sampling keeps ids with id % sample_mod == 0, so the pair set is
+    reproducible and the quadratic cost is bounded at (N/sample_mod)^2/2 —
+    at corpus scale pick sample_mod so the sample is ~10^4-10^5 vectors.
+    Bucket i covers cos in [-1 + 2i/buckets, -1 + 2(i+1)/buckets); cos=1.0
+    exactly is clamped into the top bucket. All arithmetic is the same
+    sequential fold the other similarity ops use (bit-identical to the
+    DuckDB oracle), and floor() of identical doubles is exact — bucket
+    boundaries cannot flake.
+    """
+    sample = spread(emb).filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("id"), _dbl(F.col(vec_col)).alias("e")
+    )
+    a, b = sample.alias("a"), sample.alias("b")
+    cos = dot_col(F.col("a.e"), F.col("b.e")) / (
+        norm_col(F.col("a.e")) * norm_col(F.col("b.e"))
+    )
+    bucket = F.least(
+        F.floor((cos + 1.0) * buckets / 2.0).cast("int"), F.lit(buckets - 1)
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -536,3 +536,81 @@ def q_doc_len_quantiles(spark, sf_dir):
         at(0.9).alias("p90_chars"),
         F.max("n").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 LLM-pipeline additions: chunking, corpus geometry, sliding windows
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "doc_chunks",
+    "overlapping context-window chunking (64-token windows, stride 48) — "
+    "map-side 1->K explode, no shuffle; the pre-embedding/training split",
+    r"""WITH tok AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+         FROM documents),
+       c AS (
+         SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) <= 64 THEN 1
+                     ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1
+                END AS nc
+         FROM tok WHERE len(t) > 0),
+       x AS (
+         SELECT doc_id, t, n, unnest(range(0, CAST(nc AS BIGINT))) AS k
+         FROM c)
+       SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+              CAST(least(64, n - (k * 48 + 1) + 1) AS INT) AS n_chunk_tokens,
+              array_to_string(t[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
+       FROM x""",
+)
+def q_doc_chunks(spark, sf_dir):
+    from ..functions.curation import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+@_spec(
+    "sim_pair_hist",
+    "pairwise-cosine histogram over a deterministic id-sample (corpus "
+    "geometry diagnostic for picking dedup/ANN thresholds); exact fold "
+    "arithmetic, floor-bucketed",
+    """WITH s AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+                 FROM embeddings WHERE vec_id % 4 = 0),
+       p AS (SELECT least(CAST(floor(
+                     (list_dot_product(a.e, b.e)
+                      / (sqrt(list_dot_product(a.e, a.e))
+                         * sqrt(list_dot_product(b.e, b.e)))
+                      + 1.0) * 20 / 2.0) AS INT), 19) AS bucket
+             FROM s a JOIN s b ON a.id < b.id)
+       SELECT bucket, count(*) AS n_pairs FROM p GROUP BY bucket""",
+)
+def q_sim_pair_hist(spark, sf_dir):
+    from ..functions.similarity import cosine_pair_hist
+
+    return cosine_pair_hist(
+        load_table(spark, sf_dir, "embeddings"), sample_mod=4, buckets=20
+    )
+
+
+@_spec(
+    "events_sliding_rollup",
+    "sliding-window aggregation (1 hour window, 15 minute slide -> each "
+    "event in 4 windows; streaming twin: window(ts, '1h', '15m') with "
+    "watermark)",
+    """SELECT time_bucket(INTERVAL '15 minutes', ts)
+                - INTERVAL '15 minutes' * k AS window_start,
+              event_type, count(*) AS n_events,
+              CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       FROM events CROSS JOIN generate_series(0, 3) t(k)
+       GROUP BY 1, 2""",
+)
+def q_events_sliding_rollup(spark, sf_dir):
+    from ..streaming.windows import hourly_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hourly_rollup(ev, window="1 hour", slide="15 minutes")
+    return out.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )

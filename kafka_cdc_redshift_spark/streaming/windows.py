@@ -27,14 +27,18 @@ def hourly_rollup(
     ts_col: str = "ts",
     watermark: str | None = None,
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count+sum per event_type. With `watermark` set on a
-    streaming input, late rows beyond the bound are dropped and closed
-    windows are emitted/finalized (append mode capable)."""
+    """Tumbling-window count+sum per event_type; pass `slide` for sliding
+    windows (each event lands in window/slide overlapping windows, e.g.
+    '1 hour'/'15 minutes' -> 4). With `watermark` set on a streaming input,
+    late rows beyond the bound are dropped and closed windows are
+    emitted/finalized (append mode capable)."""
     if watermark is not None:
         events = events.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
-        events.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        events.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(T.DecimalType(18, 2)))
@@ -234,3 +238,39 @@ def watermarked_dedup(
     across batches. The reference has no analog (its redelivery safety is
     merge-by-pk idempotency, SURVEY §2.8 T7)."""
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    within: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound: pairs
+    rows sharing `on` where right event time falls in
+    [left_ts, left_ts + within] (attribution joins: view->purchase,
+    request->response, click->conversion).
+
+    Both sides are watermarked and the join condition bounds the time
+    skew, so Spark's symmetric hash join can EVICT state once the
+    watermark passes — without the interval bound a stream-stream join
+    buffers both streams forever. State per key is O(rows inside
+    watermark+within), the 100 TB-stream requirement. Works identically
+    on batch DataFrames (the watermark is a no-op there), which is how
+    the oracle twin verifies the join semantics."""
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l_.join(r_, cond, how)

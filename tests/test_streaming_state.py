@@ -172,3 +172,65 @@ def test_watermarked_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     got = spark.table("wm_dedup_sink")
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_interval_join_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (view->purchase attribution within 30
+    min): watermarks on both sides bound join state; every pair the stream
+    emits must exist in the batch twin, and all but the watermark-pending
+    tail must be emitted."""
+    from kafka_cdc_redshift_spark.streaming.windows import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    for df, d in ((views, "views"), (buys, "buys")):
+        df.select(F.to_json(F.struct("*")).alias("value")).coalesce(1).write.text(
+            str(tmp_path / d)
+        )
+
+    v_stream = (
+        spark.readStream.schema("user_id long, view_ts string, view_id long")
+        .json(str(tmp_path / "views"))
+        .withColumn("view_ts", F.col("view_ts").cast("timestamp"))
+    )
+    b_stream = (
+        spark.readStream.schema("user_id long, buy_ts string, buy_id long")
+        .json(str(tmp_path / "buys"))
+        .withColumn("buy_ts", F.col("buy_ts").cast("timestamp"))
+    )
+    joined = stream_interval_join(
+        v_stream, b_stream,
+        on="user_id", left_ts="view_ts", right_ts="buy_ts",
+        watermark="1 hour", within="30 minutes",
+    ).select("l.view_id", "r.buy_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.view_id, r.buy_id) for r in spark.table("attrib_sink").collect()}
+    batch = {
+        (r.view_id, r.buy_id)
+        for r in stream_interval_join(
+            views, buys,
+            on="user_id", left_ts="view_ts", right_ts="buy_ts",
+            watermark="1 hour", within="30 minutes",
+        ).select("l.view_id", "r.buy_id").collect()
+    }
+    assert batch, "batch twin found no attributable pairs"
+    assert got <= batch
+    # inner stream-stream joins emit matches as they arrive; only pairs
+    # still inside the watermark tail may be missing
+    assert len(got) >= int(0.8 * len(batch)), (len(got), len(batch))
