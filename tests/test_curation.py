@@ -140,3 +140,57 @@ def test_jaccard_stop_shingle_cut_preserves_recall(spark, sf_dir):
     active = {(r.doc_a, r.doc_b)
               for r in dedup_text.jaccard_pairs(d, max_df=8).collect()}
     assert active == exact
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark, sf_dir):
+    """Partition properties of the chunker: concatenating each doc's chunks
+    at stride offsets reconstructs the token sequence exactly (full
+    coverage, correct overlap), chunk indexes are dense, and only the last
+    chunk may be short."""
+    from kafka_cdc_redshift_spark.functions.curation import chunk_documents
+
+    d = docs(spark, sf_dir).limit(100)
+    chunk_tokens, stride = 16, 10
+    out = chunk_documents(
+        d, chunk_tokens=chunk_tokens, stride=stride
+    ).collect()
+    originals = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in d.collect()
+    }
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert set(by_doc) == {k for k, v in originals.items() if v}
+    for doc_id, chunks in by_doc.items():
+        toks = originals[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))  # dense indexes
+        for idx, r in chunks.items():
+            start = idx * stride
+            expect = toks[start:start + chunk_tokens]
+            assert r.chunk_text.split() == expect, (doc_id, idx)
+            assert r.n_chunk_tokens == len(expect)
+            if idx < len(chunks) - 1:
+                assert r.n_chunk_tokens == chunk_tokens  # only last is short
+        # last chunk reaches the end of the doc
+        last = chunks[len(chunks) - 1]
+        assert (len(chunks) - 1) * stride + last.n_chunk_tokens == len(toks)
+
+
+def test_jaccard_cut_strategies_agree(spark, sf_dir):
+    """'window' (shared-shuffle df count) and 'prefilter' (broadcast-anti
+    hot set) are two physical plans for the same cut — identical output."""
+    from kafka_cdc_redshift_spark.functions import dedup_text
+
+    d = docs(spark, sf_dir)
+    win = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup_text.jaccard_pairs(d, max_df=6, cut_strategy="window").collect()
+    }
+    pre = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup_text.jaccard_pairs(
+            d, max_df=6, cut_strategy="prefilter"
+        ).collect()
+    }
+    assert win == pre and win

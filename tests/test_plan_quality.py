@@ -159,3 +159,39 @@ def test_anomaly_stats_broadcast_only(spark, sf_dir):
     assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") == 1
     plan = plan_of(spark, sf_dir, "events_anomaly_zscore")
     assert "BatchEvalPython" not in plan
+
+
+def test_doc_chunks_is_map_side_only(spark, sf_dir):
+    # the 1->K chunk fan-out must happen inside the scan partition: a
+    # Generate (posexplode) with no hash-partitioned shuffle anywhere
+    plan = plan_of(spark, sf_dir, "doc_chunks")
+    assert "Generate" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_jaccard_cut_shares_join_shuffle(spark, sf_dir):
+    # the stop-shingle df count rides the SAME shingle partitioning the
+    # sort-merge self-join needs: the b-side's posting-list exchange must be
+    # REUSED from the a-side. AQE performs this reuse when stages
+    # materialize, so assert on the final adaptive plan, post-execution.
+    df = SPECS["dedup_ngram_jaccard"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "ReusedExchange" in plan   # b-side reuses the a-side exchange
+    assert "BatchEvalPython" not in plan
+
+
+def test_q19_part_conjuncts_pushed_below_join(spark, sf_dir):
+    # Catalyst must extract the common part-side disjunction (brand IN ... /
+    # size bounds) below the join so the dim scan prefilters
+    plan = formatted_plan(spark, sf_dir, "q19_disjunctive_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l or "p_size" in l for l in pushed), pushed
+
+
+def test_moving_avg_single_window_shuffle(spark, sf_dir):
+    # both window functions (frame sum/count + lag) share one user_id sort
+    plan = plan_of(spark, sf_dir, "events_moving_avg")
+    assert plan.count("Exchange hashpartitioning") == 1
