@@ -84,6 +84,7 @@ _DRIVER_CHECK_FIRST = [
     "doc_chunks",
     "sim_pair_hist",
     "events_sliding_rollup",
+    "dedup_minhash_eval",
 ]
 
 

@@ -864,3 +864,65 @@ def q_text_gopher_filters(spark, sf_dir):
 )
 def q_text_commonness(spark, sf_dir):
     return text.token_commonness(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_eval_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    """Combined replay: exact cut-jaccard pairs AND the MinHash-LSH
+    pipeline, joined into one recall row. CTE names are disjoint from both
+    source oracles so the two algorithms compose in one WITH clause."""
+    from ..functions.dedup_text import _MH_H30, _MH_P, _mh_params
+
+    mins = ",\n              ".join(
+        f"min(({a} * h30 + {b}) % {_MH_P}) AS mh{s}"
+        for s, (a, b) in ((s, _mh_params(s)) for s in range(num_hashes))
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_size + r}::VARCHAR" for r in range(band_size)
+            ),
+        )
+        for bi in range(num_hashes // band_size)
+    )
+    return f"""WITH {_JACCARD_CUT},
+mh_ex AS (SELECT doc_id, {_HASH60.format(x="sh")} % {_MH_H30} AS h30
+          FROM (SELECT doc_id, unnest(sh_set) AS sh FROM sh_sets) u),
+sig AS (SELECT doc_id,
+              {mins}
+        FROM mh_ex GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+lsh_j AS (SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+               / CAST(len(sa.sh_set) + len(sb.sh_set)
+                      - len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN sh_sets sa ON sa.doc_id = cand.doc_a
+      JOIN sh_sets sb ON sb.doc_id = cand.doc_b),
+lsh_pe AS (SELECT doc_a, doc_b FROM lsh_j WHERE jaccard >= 0.5)
+SELECT (SELECT count(*) FROM pe) AS n_exact,
+       (SELECT count(*) FROM lsh_pe) AS n_lsh,
+       (SELECT count(*) FROM pe JOIN lsh_pe USING (doc_a, doc_b)) AS n_common"""
+
+
+@_spec(
+    "dedup_minhash_eval",
+    "LSH quality gate: MinHash-LSH pair set vs the exact cut-jaccard pair "
+    "set in one row (n_exact/n_lsh/n_common) — the recall check a dedup "
+    "job runs before trusting an LSH config at corpus scale, where only "
+    "the LSH path is affordable and this sampled audit is the evidence",
+    _minhash_eval_oracle(),
+)
+def q_dedup_minhash_eval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup_text.jaccard_pairs(docs).select("doc_a", "doc_b")
+    lsh = dedup_text.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_common = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return n_exact.crossJoin(n_lsh).crossJoin(n_common)
