@@ -85,6 +85,12 @@ _DRIVER_CHECK_FIRST = [
     "sim_pair_hist",
     "events_sliding_rollup",
     "dedup_minhash_eval",
+    # late round 3 (remaining TPC-H shapes + LLM-pipeline ops)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipping",
+    "q20_excess_suppliers",
+    "q21_sole_late_supplier",
 ]
 
 

@@ -614,3 +614,247 @@ def q_events_sliding_rollup(spark, sf_dir):
     return out.withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 late additions: the remaining TPC-H query shapes (Q2/Q11/Q12/
+# Q20/Q21 adapted — no partsupp/commitdate/receiptdate/shipmode columns
+# exist, so lineitem stands in as the part-supplier relation and
+# "late" = shipped > 60 days after the order date).  Each one exercises a
+# decorrelation pattern Spark users need: window-min join-back (Q2),
+# broadcast scalar subquery (Q11), join-time range predicate (Q12),
+# correlated-agg semi-join chain (Q20), exists/not-exists self-join
+# collapsed to one window pass (Q21).
+# ---------------------------------------------------------------------------
+
+@_spec(
+    "q2_min_cost_supplier",
+    "min-cost supplier per part in a region (TPC-H Q2 shape): the "
+    "correlated min subquery decorrelates to a window min over the "
+    "part key — one extra shuffle, no self-join re-scan",
+    """WITH ps AS (
+         SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                min(l_extendedprice::DECIMAL(12,2)) AS cost
+         FROM lineitem GROUP BY 1, 2),
+       rps AS (
+         SELECT partkey, suppkey, cost, s_name, s_acctbal, n_name
+         FROM ps JOIN supplier ON suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'AMERICA')
+       SELECT p_partkey, s_name, n_name, s_acctbal,
+              CAST(cost AS DOUBLE) AS min_cost
+       FROM rps JOIN part ON partkey = p_partkey
+       WHERE p_size = 5
+         AND cost = (SELECT min(r2.cost) FROM rps r2
+                     WHERE r2.partkey = p_partkey)""",
+)
+def q_q2(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(_dec(F.col("l_extendedprice"), 12, 2)).alias("cost"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 5).select(
+        "p_partkey"
+    )
+    rps = (
+        ps.join(F.broadcast(supp), ps.suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        rps.withColumn("min_cost_d", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost_d"))
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "s_name", "n_name", "s_acctbal",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+@_spec(
+    "q11_important_parts",
+    "parts whose one-nation revenue exceeds a fraction of the nation "
+    "total (TPC-H Q11 shape): the scalar subquery becomes a 1-row "
+    "broadcast cross join; the threshold compare stays decimal-exact",
+    f"""WITH v AS (
+         SELECT l_partkey AS partkey, sum({_REV_SQL}) AS val
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_5' GROUP BY 1)
+       SELECT partkey, CAST(val AS DOUBLE) AS val FROM v
+       WHERE val > (SELECT sum(val) * 0.001::DECIMAL(4,3) FROM v)""",
+)
+def q_q11(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    ).select("n_nationkey")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    thresh = v.agg(
+        (F.sum("val") * F.lit("0.001").cast(T.DecimalType(4, 3))).alias("cut")
+    )
+    return (
+        v.join(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("cut"))
+        .select("partkey", F.col("val").cast("double").alias("val"))
+    )
+
+
+@_spec(
+    "q12_late_shipping",
+    "late-shipment priority mix (TPC-H Q12 shape): equi-join carries a "
+    "non-equi lateness predicate (shipdate > orderdate + 60 days) plus a "
+    "pushed shipdate range; conditional counts in one pass",
+    """SELECT l_returnflag AS flag,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate <  TIMESTAMP '1999-01-01'
+       GROUP BY 1""",
+)
+def q_q12(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_spec(
+    "q20_excess_suppliers",
+    "suppliers holding excess share of a part family (TPC-H Q20 shape): "
+    "correlated avg subquery decorrelates to an agg re-joined on the SAME "
+    "part key (co-partitioned), then a distinct semi-join up to supplier",
+    """WITH sq AS (
+         SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                sum(l_quantity::DECIMAL(12,2)) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type = 'SMALL' GROUP BY 1, 2),
+       aq AS (SELECT partkey, CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty
+              FROM sq GROUP BY 1),
+       excess AS (SELECT DISTINCT suppkey FROM sq JOIN aq USING (partkey)
+                  WHERE CAST(qty AS DOUBLE) > 1.3 * avg_qty)
+       SELECT s_suppkey, s_name FROM supplier
+       JOIN excess ON s_suppkey = suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_7','NATION_8','NATION_9')""",
+)
+def q_q20(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    sq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_dec(F.col("l_quantity"), 12, 2)).alias("qty"))
+    )
+    # exact decimal sum -> one deterministic double divide (order-free)
+    aq = sq.groupBy("partkey").agg(
+        (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    excess = (
+        sq.join(aq, "partkey")
+        .filter(F.col("qty").cast("double") > F.lit(1.3) * F.col("avg_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
+    ).select("n_nationkey")
+    return (
+        supp.join(excess, supp.s_suppkey == F.col("suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_spec(
+    "q21_sole_late_supplier",
+    "suppliers who alone held up multi-supplier orders (TPC-H Q21 shape): "
+    "the EXISTS / NOT EXISTS self-join pair collapses to ONE window pass "
+    "over the order key — supplier count and late count per order in a "
+    "single shuffle instead of two self-join re-scans",
+    """WITH l AS (
+         SELECT l_orderkey AS ok, l_suppkey AS sk,
+                max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+       SELECT s_name, count(*) AS numwait
+       FROM l l1 JOIN supplier ON l1.sk = s_suppkey
+       WHERE l1.late = 1
+         AND EXISTS (SELECT 1 FROM l l2
+                     WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+         AND NOT EXISTS (SELECT 1 FROM l l3
+                         WHERE l3.ok = l1.ok AND l3.sk <> l1.sk
+                           AND l3.late = 1)
+       GROUP BY 1""",
+)
+def q_q21(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("ok")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
