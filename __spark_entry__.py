@@ -91,6 +91,10 @@ _DRIVER_CHECK_FIRST = [
     "q12_late_shipping",
     "q20_excess_suppliers",
     "q21_sole_late_supplier",
+    "dedup_semantic",
+    "doc_source_mix",
+    "doc_chunk_dedup",
+    "doc_contamination",
 ]
 
 

@@ -197,3 +197,127 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def budget_mix(
+    df: DataFrame,
+    *,
+    base_budget: int,
+    boosts: dict[str, int] | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget fill per stratum (the "sample each source up to
+    N tokens" step of assembling a training mix): order each stratum's
+    docs by a content-stable hash, keep docs while the running token total
+    BEFORE the doc is under the stratum's budget (so the first doc always
+    survives and membership is insensitive to how far past the budget the
+    last doc runs). `boosts` overrides the budget for named strata —
+    up-weighting curated sources is the standard use.
+
+    One shuffle (hash partition by stratum for the window); token counts
+    and the ordering hash are map-side. Deterministic: ordering depends
+    only on (id, stratum), so reruns and the SQL oracle agree exactly.
+    """
+    budget = F.lit(int(base_budget))
+    for value, b in (boosts or {}).items():
+        budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(budget)
+    h = hash60(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("n_tokens", F.size(tokens_col(text_col)).cast("long"))
+        .withColumn("__cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("__cum") < budget)
+        .select(id_col, strata_col, "n_tokens")
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level exact deduplication across the corpus (the paragraph-
+    dedup analog for token-window chunks): chunk every document, hash each
+    chunk's text, and keep the lexicographically-first (doc_id, chunk_idx)
+    occurrence of every distinct chunk. Emits per-doc
+    (doc_id, n_chunks, n_kept) — n_kept < n_chunks means part of the doc
+    is repeated verbatim elsewhere in the corpus.
+
+    Shuffles once on the chunk hash (map-side chunking + hashing), then
+    once on doc_id for the per-doc rollup — no text moves after the first
+    projection, only 16-byte hashes.
+    """
+    from pyspark.sql import Window as W
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, stride=stride,
+        id_col=id_col, text_col=text_col,
+    ).select("doc_id", "chunk_idx", F.md5("chunk_text").alias("h"))
+    w = W.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("__r", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__r") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+def contamination_score(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document eval-set contamination ratio (the scored variant of
+    `decontaminate`): fraction of a training doc's distinct word n-grams
+    that appear anywhere in the eval corpus. Emits
+    (doc_id, n_shingles, n_matched, contamination) for docs with >= n
+    tokens; a threshold filter on `contamination` is the usual next step.
+
+    The eval side reduces to distinct 60-bit shingle hashes BEFORE the
+    join (eval/benchmark sets are tiny next to a training corpus), so the
+    membership probe is a broadcast join on longs — no eval text shuffles
+    and the train side is a single explode + rollup on doc_id.
+    """
+    from .dedup_text import shingles_col
+
+    tr = (
+        train.filter(F.size(tokens_col(text_col)) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(text_col, n)).alias("g"),
+        )
+        .select("doc_id", hash60(F.col("g")).alias("gh"))
+    )
+    ev = (
+        eval_df.filter(F.size(tokens_col(text_col)) >= n)
+        .select(F.explode(shingles_col(text_col, n)).alias("g"))
+        .select(hash60(F.col("g")).alias("gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        tr.join(F.broadcast(ev), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+        )
+        .withColumn(
+            "contamination", F.col("n_matched") / F.col("n_shingles")
+        )
+    )

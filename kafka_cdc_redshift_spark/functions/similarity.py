@@ -298,3 +298,49 @@ def cosine_pair_hist(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to its
+    nearest centroid (broadcast scoring, see ivf_assign), then mark as
+    duplicate any vector whose cell contains a LOWER-id vector within
+    `threshold` cosine. Emits (id, cell, is_dup).
+
+    Scale design: the pairwise compare never crosses cells — the self-join
+    key is the cell id, so shuffle volume is one corpus pass and each
+    reduce task handles one cell's pairs (cluster counts are chosen so
+    cells stay small; skewed giant cells are exactly what the centroid
+    count knob controls). The greedy keep-lowest-id rule needs no
+    iteration, unlike connected components: dedup decisions are local to
+    a cell.
+    """
+    cells = ivf_assign(emb, centroids, n_cells=1, id_col=id_col, vec_col=vec_col)
+    a = cells.select(
+        F.col("cell"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_e")
+    )
+    b = cells.select(
+        F.col("cell"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_e")
+    )
+    cos = dot_col(F.col("a_e"), F.col("b_e")) / (
+        norm_col(F.col("a_e")) * norm_col(F.col("b_e"))
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return cells.join(dups, id_col, "left").select(
+        id_col,
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )

@@ -724,10 +724,10 @@ def q_q11(spark, sf_dir):
     "non-equi lateness predicate (shipdate > orderdate + 60 days) plus a "
     "pushed shipdate range; conditional counts in one pass",
     """SELECT l_returnflag AS flag,
-              sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
          AND l_shipdate >= TIMESTAMP '1997-01-01'

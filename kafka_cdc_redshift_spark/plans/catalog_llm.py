@@ -926,3 +926,132 @@ def q_dedup_minhash_eval(spark, sf_dir):
         F.count(F.lit(1)).alias("n_common")
     )
     return n_exact.crossJoin(n_lsh).crossJoin(n_common)
+
+
+# ---------------------------------------------------------------------------
+# round-3 late additions: SemDeDup-style semantic dedup, token-budget
+# source mixing, chunk-level exact dedup, and scored contamination
+# ---------------------------------------------------------------------------
+
+def _semantic_oracle(nlist: int = 8, threshold: float = 0.3) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id < {nlist}),
+    asn AS (SELECT vec_id, e, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c_sim DESC, cent_id) AS c_rnk
+            FROM (SELECT c.vec_id, c.e, cent.cent_id,
+                         {cos.format(a="c.e", b="cent.ce")} AS c_sim
+                  FROM c CROSS JOIN cent) s),
+    cells AS (SELECT vec_id, e, cent_id AS cell FROM asn WHERE c_rnk = 1),
+    dup AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {cos.format(a="a.e", b="b.e")} >= {threshold})
+    SELECT cells.vec_id, CAST(cell AS INT) AS cell,
+           (dup.vec_id IS NOT NULL) AS is_dup
+    FROM cells LEFT JOIN dup ON cells.vec_id = dup.vec_id"""
+
+
+@_spec(
+    "dedup_semantic",
+    "SemDeDup-style semantic dedup: nearest-centroid cells (broadcast "
+    "scoring), within-cell cosine pairs only, greedy keep-lowest-id — "
+    "dedup decisions are cell-local, no iteration",
+    _semantic_oracle(),
+)
+def q_dedup_semantic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    return similarity.semantic_dedup(emb, centroids, threshold=0.3)
+
+
+@_spec(
+    "doc_source_mix",
+    "token-budget training-mix assembly: greedy per-source fill in "
+    "content-hash order (boosted budgets for named sources); one window "
+    "shuffle on the source key",
+    r"""WITH d AS (SELECT doc_id, source,
+                  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM documents),
+       w AS (SELECT doc_id, source, n_tokens,
+                    COALESCE(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+             FROM d)
+       SELECT doc_id, source, n_tokens FROM w
+       WHERE cum < CASE WHEN source IN ('src0','src1')
+                        THEN 900 ELSE 400 END""",
+)
+def q_doc_source_mix(spark, sf_dir):
+    return curation.budget_mix(
+        load_table(spark, sf_dir, "documents"),
+        base_budget=400,
+        boosts={"src0": 900, "src1": 900},
+    )
+
+
+@_spec(
+    "doc_chunk_dedup",
+    "chunk-level exact dedup across the corpus (paragraph-dedup analog): "
+    "chunk, hash, keep first occurrence per distinct chunk; only 16-byte "
+    "hashes shuffle",
+    r"""WITH tok AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+         FROM documents),
+       c AS (SELECT doc_id, t, len(t) AS n,
+                    CASE WHEN len(t) <= 64 THEN 1
+                         ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1
+                    END AS nc
+             FROM tok WHERE len(t) > 0),
+       x AS (SELECT doc_id, t, unnest(range(0, CAST(nc AS BIGINT))) AS k
+             FROM c),
+       ch AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+                     md5(array_to_string(t[k*48+1 : k*48+64], ' ')) AS h
+              FROM x),
+       r AS (SELECT doc_id, chunk_idx,
+                    row_number() OVER (PARTITION BY h
+                                       ORDER BY doc_id, chunk_idx) AS rn
+             FROM ch)
+       SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM r GROUP BY 1""",
+)
+def q_doc_chunk_dedup(spark, sf_dir):
+    return curation.chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "doc_contamination",
+    "scored train/eval contamination: fraction of each doc's distinct "
+    "3-gram shingles present in the eval slice (doc_id % 97 = 0); eval "
+    "reduces to distinct 60-bit hashes, broadcast membership join",
+    r"""WITH tok AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+         FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t)-2)])) AS g
+              FROM tok WHERE len(t) >= 3),
+       shh AS (SELECT doc_id,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+               FROM sh),
+       ev AS (SELECT DISTINCT gh FROM shh WHERE doc_id % 97 = 0)
+       SELECT shh.doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+              CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS contamination
+       FROM shh LEFT JOIN ev ON shh.gh = ev.gh
+       GROUP BY 1""",
+)
+def q_doc_contamination(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.contamination_score(docs, eval_df)
