@@ -295,17 +295,26 @@ def contamination_score(
     """
     from .dedup_text import shingles_col
 
+    # explode_outer, not explode: a bare explode of the shingle expression
+    # triggers InferFiltersFromGenerate + pushdown, which substitutes the
+    # WHOLE shingle expression into a size(..)>0 filter below the spread()
+    # repartition — recomputing it on the scan's few partitions (NOTES
+    # pathology #2). The empty-array rows explode_outer keeps become one
+    # NULL each; the post-Generate IS NOT NULL filter drops them and
+    # cannot be pushed below the Generate.
     tr = (
-        train.filter(F.size(tokens_col(text_col)) >= n)
+        spread(train)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.explode(shingles_col(text_col, n)).alias("g"),
+            F.explode_outer(shingles_col(text_col, n)).alias("g"),
         )
+        .filter(F.col("g").isNotNull())
         .select("doc_id", hash60(F.col("g")).alias("gh"))
     )
     ev = (
-        eval_df.filter(F.size(tokens_col(text_col)) >= n)
-        .select(F.explode(shingles_col(text_col, n)).alias("g"))
+        spread(eval_df)
+        .select(F.explode_outer(shingles_col(text_col, n)).alias("g"))
+        .filter(F.col("g").isNotNull())
         .select(hash60(F.col("g")).alias("gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
