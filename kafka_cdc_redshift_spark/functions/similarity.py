@@ -321,7 +321,13 @@ def semantic_dedup(
     iteration, unlike connected components: dedup decisions are local to
     a cell.
     """
-    cells = ivf_assign(emb, centroids, n_cells=1, id_col=id_col, vec_col=vec_col)
+    # the assignment feeds three consumers (both self-join sides + the
+    # final flag join); materialize it once instead of recomputing the
+    # broadcast scoring + assignment window per consumer — this is the
+    # "cluster then dedup within cluster" barrier SemDeDup itself has
+    cells = ivf_assign(
+        emb, centroids, n_cells=1, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     a = cells.select(
         F.col("cell"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_e")
     )

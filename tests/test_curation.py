@@ -194,3 +194,78 @@ def test_jaccard_cut_strategies_agree(spark, sf_dir):
         ).collect()
     }
     assert win == pre and win
+
+
+# ---------------------------------------------------------------------------
+# round-3 late additions: budget_mix / chunk_dedup / contamination_score /
+# semantic_dedup invariants beyond the oracle equality checks
+# ---------------------------------------------------------------------------
+
+def test_budget_mix_respects_budget_and_keeps_first(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    out = curation.budget_mix(d, base_budget=300).collect()
+    per_src: dict[str, int] = {}
+    for r in out:
+        per_src[r.source] = per_src.get(r.source, 0) + r.n_tokens
+    n_docs = {r.source: 0 for r in out}
+    for r in out:
+        n_docs[r.source] += 1
+    max_doc = max(r.n_tokens for r in out)
+    for src, total in per_src.items():
+        # greedy fill: the PRE-doc running total is under budget, so the
+        # overshoot is bounded by one document
+        assert total < 300 + max_doc
+        assert n_docs[src] >= 1  # the first doc always survives
+    # deterministic membership
+    again = {(r.doc_id) for r in curation.budget_mix(d, base_budget=300).collect()}
+    assert {r.doc_id for r in out} == again
+
+    # a boosted source keeps at least as many tokens as unboosted
+    boosted = curation.budget_mix(d, base_budget=300, boosts={"src0": 900}).collect()
+    b_src0 = sum(r.n_tokens for r in boosted if r.source == "src0")
+    assert b_src0 >= per_src.get("src0", 0)
+
+
+def test_chunk_dedup_flags_verbatim_copies(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(200))),          # original
+        (2, " ".join(f"w{i}" for i in range(200))),          # full copy
+        (3, " ".join(f"x{i}" for i in range(200))),          # unique
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in curation.chunk_dedup(d).collect()}
+    assert out[1].n_kept == out[1].n_chunks          # first occurrence keeps all
+    assert out[2].n_kept == 0                        # verbatim copy keeps none
+    assert out[3].n_kept == out[3].n_chunks          # unique doc untouched
+
+
+def test_contamination_score_bounds_and_eval_self_hit(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    out = curation.contamination_score(d, ev).collect()
+    eval_ids = {r.doc_id for r in ev.select("doc_id").collect()}
+    for r in out:
+        assert 0 <= r.n_matched <= r.n_shingles
+        assert abs(r.contamination - r.n_matched / r.n_shingles) < 1e-12
+        if r.doc_id in eval_ids:
+            # an eval doc's shingles are all in the eval set by construction
+            assert r.contamination == 1.0
+
+
+def test_semantic_dedup_keeps_cell_minimum(spark, sf_dir):
+    from kafka_cdc_redshift_spark.functions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    out = semantic_dedup(emb, cent, threshold=0.3).collect()
+    assert len(out) == emb.count()  # every vector classified exactly once
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rows in by_cell.items():
+        lowest = min(rows, key=lambda r: r.vec_id)
+        # the greedy keep-lowest-id rule can never mark a cell's lowest id
+        # as duplicate (no lower-id neighbor exists in the cell)
+        assert not lowest.is_dup

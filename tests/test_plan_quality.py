@@ -195,3 +195,61 @@ def test_moving_avg_single_window_shuffle(spark, sf_dir):
     # both window functions (frame sum/count + lag) share one user_id sort
     plan = plan_of(spark, sf_dir, "events_moving_avg")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# round-3 late additions
+# ---------------------------------------------------------------------------
+
+def test_q21_exists_pair_collapses_to_one_window(spark, sf_dir):
+    # EXISTS + NOT EXISTS decorrelated to one window pass: supplier count
+    # and late count per order share a single Window (one shuffle), and
+    # there is no self-join re-scan of the flagged relation
+    plan = plan_of(spark, sf_dir, "q21_sole_late_supplier")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q2_window_min_decorrelation(spark, sf_dir):
+    # the correlated min subquery is a window over partkey, not a second
+    # aggregation joined back; all four dims broadcast
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert plan.count("Window") == 1
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q11_threshold_is_broadcast_scalar(spark, sf_dir):
+    # the scalar subquery threshold joins as a single-row broadcast
+    # nested-loop, never a shuffle
+    plan = plan_of(spark, sf_dir, "q11_important_parts")
+    assert plan.count("BroadcastNestedLoop") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_contamination_eval_broadcast_one_explode_per_side(spark, sf_dir):
+    # eval membership is a broadcast hash join on 60-bit longs; each side
+    # shingle-explodes exactly once (a pushed inferred filter would add a
+    # third Generate / re-evaluated shingle expression below the spread)
+    plan = plan_of(spark, sf_dir, "doc_contamination")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Generate") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_assignment_materialized_once(spark, sf_dir):
+    # the cell assignment is localCheckpoint'ed: its scoring cross-join +
+    # assignment window must NOT be replayed per consumer (three consumers
+    # would otherwise each recompute it — 12 exchanges observed pre-fix)
+    plan = plan_of(spark, sf_dir, "dedup_semantic")
+    assert plan.count("Window") == 0
+    assert plan.count("Exchange") <= 5
+
+
+def test_source_mix_single_shuffle(spark, sf_dir):
+    # one hash exchange on the stratum for the running-total window; token
+    # counting and the ordering hash stay map-side
+    plan = plan_of(spark, sf_dir, "doc_source_mix")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan
