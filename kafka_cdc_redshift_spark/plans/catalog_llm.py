@@ -918,8 +918,17 @@ SELECT (SELECT count(*) FROM pe) AS n_exact,
 )
 def q_dedup_minhash_eval(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    exact = dedup_text.jaccard_pairs(docs).select("doc_a", "doc_b")
-    lsh = dedup_text.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # each pair set feeds two consumers (its own count + the overlap join);
+    # materialize the tiny pair relations once instead of replaying the
+    # full jaccard/LSH pipelines per consumer
+    exact = (
+        dedup_text.jaccard_pairs(docs).select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    lsh = (
+        dedup_text.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_common = exact.join(lsh, ["doc_a", "doc_b"]).agg(
