@@ -95,6 +95,7 @@ _DRIVER_CHECK_FIRST = [
     "doc_source_mix",
     "doc_chunk_dedup",
     "doc_contamination",
+    "events_gapfill_locf",
 ]
 
 

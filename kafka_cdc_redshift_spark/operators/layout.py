@@ -103,3 +103,81 @@ def compact_table(
         return None
     df = store.read(spark, table)
     return store.publish(df.coalesce(n), table)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], *, bits: int = 12
+):
+    """Z-order (Morton) interleave key over `cols` as a native Column.
+
+    Each column is min-max scaled to `bits` bits (one stats pass — a
+    layout job already reads the table once more to rewrite it), then the
+    bit planes are interleaved so nearby (x, y, ...) points share key
+    prefixes. Pure shift/and/or expressions — codegen'd, no Python.
+
+    Returns (key_column, stats_row) — stats are exposed so callers can log
+    the ranges the scaling was computed from.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    stats = df.agg(*aggs).first()
+    k = len(cols)
+    max_q = (1 << bits) - 1
+    planes = []
+    for i, c in enumerate(cols):
+        mn = float(stats[f"__mn_{c}"])
+        mx = float(stats[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(max_q),
+            F.greatest(
+                F.lit(0),
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * max_q)
+                .cast("long"),
+            ),
+        )
+        # spread column i's bit b to interleaved position b*k + i
+        planes += [
+            F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * k + i)
+            for b in range(bits)
+        ]
+    key = planes[0]
+    for p in planes[1:]:
+        key = key.bitwiseOR(p)
+    return key, stats
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+) -> None:
+    """Write `df` as parquet clustered on the Z-order curve of
+    `zorder_cols` — the multi-dimensional analog of `write_range_layout`.
+
+    Range-clustering one column gives perfect pruning on that column and
+    none on any other; interleaving bit planes gives every z-order column
+    partial pruning (each file covers a small hyper-rectangle, so its
+    min/max stats are tight on ALL the curve's dimensions). This is the
+    standard layout for tables filtered on several independent columns
+    (e.g. user_id AND event value, tenant AND time).
+
+    Cost model matches write_range_layout: one stats pass + one range
+    shuffle — a maintenance job, not a hot-path operator.
+    """
+    key, _ = zorder_key(df, zorder_cols, bits=bits)
+    tagged = df.withColumn("__z", key)
+    part = (
+        tagged.repartitionByRange(num_files, "__z")
+        if num_files
+        else tagged.repartitionByRange("__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(
+        path
+    )

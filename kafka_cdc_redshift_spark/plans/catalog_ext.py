@@ -858,3 +858,64 @@ def q_q21(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@_spec(
+    "events_gapfill_locf",
+    "time-series gap fill with last-observation-carried-forward: hourly "
+    "rollup, per-series dense hour grid (sequence + explode), left join "
+    "back on the rollup keys, LOCF window per series — the resample step "
+    "before any downstream window/anomaly pass over regular intervals",
+    """WITH agg AS (
+         SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+                sum(value::DECIMAL(18,2)) AS sv
+         FROM events GROUP BY 1, 2),
+       rng AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+               FROM agg GROUP BY 1),
+       grid AS (SELECT event_type,
+                       unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+                FROM rng),
+       j AS (SELECT g.event_type, g.h, a.n, a.sv
+             FROM grid g LEFT JOIN agg a
+               ON g.event_type = a.event_type AND g.h = a.h)
+       SELECT event_type, h AS hour_start,
+              COALESCE(n, 0) AS n_events,
+              CAST(last_value(sv IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_value,
+              (n IS NULL) AS filled
+       FROM j""",
+)
+def q_events_gapfill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"), 18, 2)).alias("sv"),
+    )
+    # per-series dense grid: the range agg is tiny (one row per series) and
+    # the explode fans it back out map-side; no extra corpus shuffle
+    rng = agg.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(agg, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("h").cast("timestamp_ntz").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("sv", ignorenulls=True).over(w).cast("double").alias("sum_value"),
+        F.col("n").isNull().alias("filled"),
+    )

@@ -69,3 +69,34 @@ def test_compact_table_noop_when_already_compact(spark, sf_dir, tmp_path):
 def test_compact_missing_table_is_none(spark, tmp_path):
     store = ParquetTargetStore(str(tmp_path / "store3"))
     assert compact_table(store, spark, "nope") is None
+
+
+def test_zorder_layout_prunes_on_both_dims(spark, sf_dir, tmp_path):
+    from kafka_cdc_redshift_spark.operators.layout import write_zorder_layout
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_z")
+    write_zorder_layout(ev, out, zorder_cols=["user_id", "value"], num_files=16)
+
+    written = spark.read.parquet(out)
+    assert written.count() == ev.count()
+    n_files = written.select(F.input_file_name()).distinct().count()
+    assert n_files == 16
+
+    # narrow rectangles on EITHER interleaved dimension prune files —
+    # the property a single-column range layout cannot give both of
+    u_lo, u_hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    v_lo, v_hi = ev.agg(F.min("value"), F.max("value")).first()
+    u_cut = u_lo + (u_hi - u_lo) // 8
+    v_cut = v_lo + (v_hi - v_lo) / 8
+    for pred in (F.col("user_id") <= u_cut, F.col("value") <= v_cut):
+        touched = (
+            written.filter(pred).select(F.input_file_name()).distinct().count()
+        )
+        assert touched < n_files, f"{pred}: no pruning ({touched}/{n_files})"
+    # and a rectangle on both dims prunes harder than either alone
+    both = (
+        written.filter((F.col("user_id") <= u_cut) & (F.col("value") <= v_cut))
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert both <= 8, f"2-dim rectangle touched {both}/16 files"
