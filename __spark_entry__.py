@@ -96,6 +96,7 @@ _DRIVER_CHECK_FIRST = [
     "doc_chunk_dedup",
     "doc_contamination",
     "events_gapfill_locf",
+    "cdc_scd2_history",
 ]
 
 

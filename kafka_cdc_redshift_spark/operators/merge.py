@@ -112,3 +112,32 @@ def merge_changes(
     drop_cols = [c for c in (op_col, "ts_ms", "data_index_aws") if c in incoming.columns]
     incoming = incoming.drop(*drop_cols)
     return survivors.unionByName(incoming.select(*target.columns))
+
+
+def scd2_history(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    *,
+    order_col: str = "ts_ms",
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a flat changelog: one
+    row per non-delete change event, valid from its own timestamp until
+    the NEXT event on the key (any op — an update supersedes, a delete
+    closes). The open version (`valid_to` NULL) is flagged `is_current`;
+    a key whose last event is a delete ends with no current row.
+
+    This is the warehouse-side companion of `merge_changes`: merge keeps
+    only latest state, SCD2 keeps every state with its validity interval —
+    the standard dimension-history build (Kimball type 2) downstream of a
+    CDC feed. One window shuffle on the key; no self-join.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col))
+    return (
+        changelog.withColumn("valid_to", F.lead(order_col).over(w))
+        .filter(F.col(op_col) != delete_op)
+        .withColumn("valid_from", F.col(order_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_col, order_col)
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources import load_table
+from ..sources.envelopes import ORDERS_CHANGELOG_SQL
 from .catalog import _dec, _spec
 
 
@@ -918,4 +919,30 @@ def q_events_gapfill(spark, sf_dir):
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("sv", ignorenulls=True).over(w).cast("double").alias("sum_value"),
         F.col("n").isNull().alias("filled"),
+    )
+
+
+@_spec(
+    "cdc_scd2_history",
+    "SCD type-2 dimension history from the changelog: one row per "
+    "non-delete event with [valid_from, valid_to) from a single lead() "
+    "window on the key — deletes close the prior version and emit "
+    "nothing; merge keeps latest state, this keeps every state",
+    f"""WITH {ORDERS_CHANGELOG_SQL}
+    SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM (SELECT op, o_orderkey, o_totalprice, ts_ms AS valid_from,
+                 lead(ts_ms) OVER (PARTITION BY o_orderkey
+                                   ORDER BY ts_ms) AS valid_to
+          FROM changelog) v
+    WHERE op <> 'd'""",
+)
+def q_cdc_scd2(spark, sf_dir):
+    from ..operators.merge import scd2_history
+    from .catalog import _fixture
+    from ..sources.envelopes import synth_orders_changelog
+
+    cl = _fixture(spark, sf_dir, "changelog", synth_orders_changelog)
+    return scd2_history(cl, ["o_orderkey"]).select(
+        "o_orderkey", "o_totalprice", "valid_from", "valid_to", "is_current"
     )

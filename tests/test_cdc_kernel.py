@@ -132,3 +132,31 @@ def test_mongo_parse(spark):
     parsed = parse_mongo(df).orderBy("ts_ms").collect()
     assert parsed[0].doc_id == "1.0" and parsed[0].op == "c"
     assert parsed[1].doc == "[]" and parsed[1].op == "d"
+
+
+def test_scd2_history_intervals(spark, sf_dir):
+    from kafka_cdc_redshift_spark.operators.merge import scd2_history
+    from kafka_cdc_redshift_spark.sources.envelopes import synth_orders_changelog
+
+    cl = synth_orders_changelog(spark, sf_dir)
+    hist = scd2_history(cl, ["o_orderkey"]).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.o_orderkey, []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from)
+        # intervals chain: each version's valid_to is the next valid_from
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+        open_rows = [r for r in rows if r.valid_to is None]
+        if key % 7 == 0:
+            # delete closes the history: every version has an end
+            assert not open_rows
+            assert all(not r.is_current for r in rows)
+        else:
+            # exactly one open, current version
+            assert len(open_rows) == 1 and open_rows[0] is rows[-1]
+            assert open_rows[0].is_current
+        # keys with an update carry two versions (insert + update)
+        expected = 2 if key % 3 == 0 else 1
+        assert len(rows) == expected
