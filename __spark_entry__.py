@@ -97,6 +97,7 @@ _DRIVER_CHECK_FIRST = [
     "doc_contamination",
     "events_gapfill_locf",
     "cdc_scd2_history",
+    "curation_pipeline_v2",
 ]
 
 

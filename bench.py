@@ -50,7 +50,9 @@ def main() -> None:
     # is noisy. Give them one untimed warm run so every timed run measures
     # the steady-state plan.
     barrier = {"dedup_minhash_lsh", "dedup_clusters", "dedup_keep_one",
-               "dedup_ngram_jaccard", "text_winnow_pairs", "emb_kmeans"}
+               "dedup_ngram_jaccard", "text_winnow_pairs", "emb_kmeans",
+               # r3: localCheckpoint-materialized relations
+               "dedup_semantic", "dedup_minhash_eval"}
     timings: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]

@@ -1064,3 +1064,71 @@ def q_doc_contamination(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     return curation.contamination_score(docs, eval_df)
+
+
+@_spec(
+    "curation_pipeline_v2",
+    "composed curation flow over the round-3 operators: exact dedup "
+    "(keep min id per content hash) -> scored contamination filter "
+    "(< 0.5 vs the doc_id % 97 eval slice; eval docs score 1.0 and drop) "
+    "-> token-budget source mixing. Each stage is the standalone "
+    "oracle-verified operator; this pins that they compose",
+    r"""WITH ex AS (SELECT doc_id, source, text FROM (
+         SELECT doc_id, source, text,
+                row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+         FROM documents) t WHERE rn = 1),
+       tok AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS t
+               FROM ex),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t)-2)])) AS g
+              FROM tok WHERE len(t) >= 3),
+       shh AS (SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS gh
+               FROM sh),
+       evtok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                 FROM documents WHERE doc_id % 97 = 0),
+       evsh AS (SELECT DISTINCT ('0x'||substr(md5(g),1,15))::BIGINT AS gh
+                FROM (SELECT unnest(list_distinct(
+                               [array_to_string(t[i:i+2], ' ')
+                                for i in generate_series(1, len(t)-2)])) AS g
+                      FROM evtok WHERE len(t) >= 3) u),
+       cont AS (SELECT shh.doc_id,
+                       CAST(sum(CASE WHEN evsh.gh IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*) AS c
+                FROM shh LEFT JOIN evsh ON shh.gh = evsh.gh GROUP BY 1),
+       keep AS (SELECT ex.doc_id, ex.source, ex.text
+                FROM ex JOIN cont ON ex.doc_id = cont.doc_id WHERE c < 0.5),
+       d2 AS (SELECT doc_id, source,
+                     len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS n_tokens,
+                     ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h
+              FROM keep),
+       w AS (SELECT doc_id, source, n_tokens,
+                    COALESCE(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+             FROM d2)
+       SELECT doc_id, source, n_tokens FROM w
+       WHERE cum < CASE WHEN source IN ('src0','src1')
+                        THEN 900 ELSE 400 END""",
+)
+def q_curation_pipeline_v2(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = dedup_text.exact_dedup(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    clean_ids = (
+        curation.contamination_score(kept, ev)
+        .filter(F.col("contamination") < 0.5)
+        .select("doc_id")
+    )
+    clean = kept.join(clean_ids, "doc_id", "left_semi")
+    return curation.budget_mix(
+        clean, base_budget=400, boosts={"src0": 900, "src1": 900}
+    )
