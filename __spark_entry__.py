@@ -98,6 +98,7 @@ _DRIVER_CHECK_FIRST = [
     "events_gapfill_locf",
     "cdc_scd2_history",
     "curation_pipeline_v2",
+    "profile_documents",
 ]
 
 

@@ -1132,3 +1132,35 @@ def q_curation_pipeline_v2(spark, sf_dir):
     return curation.budget_mix(
         clean, base_budget=400, boosts={"src0": 900, "src1": 900}
     )
+
+
+@_spec(
+    "profile_documents",
+    "one-scan table profile: per-column row / null / exact-distinct "
+    "counts (single aggregation pass, stack() unpivot — no driver loop); "
+    "the pre-ingest data-quality gate",
+    """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+              CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null,
+              count(DISTINCT doc_id) AS n_distinct FROM documents
+       UNION ALL
+       SELECT 'text', count(*),
+              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              count(DISTINCT text) FROM documents
+       UNION ALL
+       SELECT 'lang', count(*),
+              CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              count(DISTINCT lang) FROM documents
+       UNION ALL
+       SELECT 'source', count(*),
+              CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              count(DISTINCT source) FROM documents
+       UNION ALL
+       SELECT 'n_chars', count(*),
+              CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              count(DISTINCT n_chars) FROM documents""",
+)
+def q_profile_documents(spark, sf_dir):
+    from ..functions.profiling import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "documents"))
