@@ -99,6 +99,8 @@ _DRIVER_CHECK_FIRST = [
     "cdc_scd2_history",
     "curation_pipeline_v2",
     "profile_documents",
+    "events_value_deciles",
+    "events_value_percentiles",
 ]
 
 

@@ -946,3 +946,51 @@ def q_cdc_scd2(spark, sf_dir):
     return scd2_history(cl, ["o_orderkey"]).select(
         "o_orderkey", "o_totalprice", "valid_from", "valid_to", "is_current"
     )
+
+
+@_spec(
+    "events_value_deciles",
+    "ntile decile summary per series (deterministic tiebreak on event_id): "
+    "bucket counts + exact value bounds — the rank-based histogram for "
+    "threshold picking; one window shuffle",
+    """SELECT event_type, decile, count(*) AS n,
+              CAST(min(value) AS DOUBLE) AS lo,
+              CAST(max(value) AS DOUBLE) AS hi
+       FROM (SELECT event_type, value,
+                    ntile(10) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS decile
+             FROM events) t
+       GROUP BY 1, 2""",
+)
+def q_events_deciles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+@_spec(
+    "events_value_percentiles",
+    "exact interpolated percentiles per series (percentile / "
+    "quantile_cont): p50/p90/p99 in one aggregation — engines agree "
+    "bit-for-bit on the linear-interpolation arithmetic",
+    """SELECT event_type,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.9) AS p90,
+              quantile_cont(value, 0.99) AS p99
+       FROM events GROUP BY 1""",
+)
+def q_events_percentiles(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
