@@ -101,6 +101,7 @@ _DRIVER_CHECK_FIRST = [
     "profile_documents",
     "events_value_deciles",
     "events_value_percentiles",
+    "events_winsorize_bounds",
 ]
 
 

@@ -994,3 +994,39 @@ def q_events_percentiles(spark, sf_dir):
         F.percentile("value", F.lit(0.9)).alias("p90"),
         F.percentile("value", F.lit(0.99)).alias("p99"),
     )
+
+
+@_spec(
+    "events_winsorize_bounds",
+    "winsorization prep per series: p05/p95 clip bounds (exact "
+    "interpolated) + how many values each bound would clip — bounds agg "
+    "broadcasts back against the fact, one aggregation pass each side",
+    """WITH b AS (SELECT event_type,
+                        quantile_cont(value, 0.05) AS lo,
+                        quantile_cont(value, 0.95) AS hi
+                 FROM events GROUP BY 1)
+       SELECT e.event_type, count(*) AS n,
+              CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_lo,
+              CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hi,
+              lo, hi
+       FROM events e JOIN b ON e.event_type = b.event_type
+       GROUP BY 1, 5, 6""",
+)
+def q_events_winsorize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias("n_hi"),
+        )
+        .select("event_type", "n", "n_lo", "n_hi", "lo", "hi")
+    )
