@@ -28,6 +28,7 @@ class SyncRule:
     save_delete: bool = False     # also append delete images to <table>_delete
     only_save_delete: bool = False
     skip_delete: bool = False     # intended semantics: keep deletes as upserts
+    scd2_history: bool = False    # also maintain <table>_history (SCD type 2)
     super_columns: tuple[str, ...] = ()       # JSON-string passthrough columns
     timestamp_columns: tuple[str, ...] = ()   # string -> timestamp
     timestamp_format: str = DEFAULT_TS_FORMAT
@@ -88,6 +89,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 save_delete=_flag(it.get("save_delete", False)),
                 only_save_delete=_flag(it.get("only_save_delete", False)),
                 skip_delete=_flag(it.get("skip_delete", False)),
+                scd2_history=_flag(it.get("scd2_history", False)),
                 super_columns=_split(it.get("super_columns", "")),
                 timestamp_columns=ts_cols,
                 timestamp_format=ts_fmt or DEFAULT_TS_FORMAT,
@@ -95,6 +97,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
+                    "scd2_history",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

@@ -141,3 +141,50 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(op_col, order_col)
     )
+
+
+def scd2_merge_batch(
+    history: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    *,
+    order_col: str = "ts_ms",
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """Incrementally maintain an SCD2 history table from one micro-batch of
+    changelog rows (the streaming counterpart of `scd2_history`): close the
+    table's open version for every key the batch touches (its `valid_to`
+    becomes the batch's first event time for that key), then append the
+    batch's own versions. Replaying a changelog batch-by-batch from an
+    empty history produces EXACTLY `scd2_history` of the full changelog —
+    property-tested — provided per-key event-time order is preserved
+    across batches (the Kafka-partition-by-key contract the reference
+    pipeline already relies on).
+
+    Scale shape: the only join is history against the batch's one-row-
+    per-key first-event aggregate — broadcastable at any history size
+    (a micro-batch is rate-limited); the batch's own window is batch-local.
+    `history=None` bootstraps from empty.
+    """
+    new_versions = scd2_history(
+        batch, keys, order_col=order_col, op_col=op_col, delete_op=delete_op
+    )
+    first_ts = batch.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min(order_col).alias("__batch_start")
+    )
+    if history is None:
+        return new_versions
+    closed = (
+        history.join(F.broadcast(first_ts), list(keys), "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("is_current") & F.col("__batch_start").isNotNull(),
+                F.col("__batch_start"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__batch_start")
+    )
+    return closed.unionByName(new_versions.select(*closed.columns))

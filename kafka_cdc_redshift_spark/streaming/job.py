@@ -202,6 +202,25 @@ class CdcBatchProcessor:
                 # publish write already computed the merge once; counting the
                 # plan again would re-run the whole join (2x per batch)
                 n = self.store.read(self.spark, rule.target_name).count()
+            if rule.scd2_history:
+                # SCD2 dimension history alongside the latest-state target:
+                # close the open version for every batch key, append the
+                # batch's own versions (operators/merge.py scd2_merge_batch;
+                # replaying batches == one-shot scd2_history, property-
+                # tested). Uses ALL batch events, not the LWW-deduped set —
+                # every intermediate state is a version.
+                from ..operators.merge import scd2_merge_batch
+
+                htable = f"{rule.target_name}_history"
+                ev = parsed.drop(
+                    *[c for c in ("data_index_aws",) if c in parsed.columns]
+                )
+                prev_hist = self.store.read(self.spark, htable)
+                new_hist = scd2_merge_batch(
+                    prev_hist, ev, list(rule.primary_key),
+                    order_col=self.order_by[0],
+                )
+                self.store.publish(new_hist, htable)
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253

@@ -160,3 +160,26 @@ def test_scd2_history_intervals(spark, sf_dir):
         # keys with an update carry two versions (insert + update)
         expected = 2 if key % 3 == 0 else 1
         assert len(rows) == expected
+
+
+def test_scd2_incremental_replay_equals_full_rebuild(spark, sf_dir):
+    from kafka_cdc_redshift_spark.operators.merge import (
+        scd2_history,
+        scd2_merge_batch,
+    )
+    from kafka_cdc_redshift_spark.sources.envelopes import synth_orders_changelog
+
+    cl = synth_orders_changelog(spark, sf_dir)
+    # per-key event-time order is preserved by splitting on op: every 'c'
+    # (ts base) precedes every 'u' (+1h) precedes every 'd' (+2h)
+    batches = [cl.filter(F.col("op") == o) for o in ("c", "u", "d")]
+    hist = None
+    for b in batches:
+        hist = scd2_merge_batch(hist, b, ["o_orderkey"])
+    full = scd2_history(cl, ["o_orderkey"])
+
+    cols = sorted(full.columns)
+    inc_rows = sorted(map(tuple, hist.select(*cols).collect()))
+    full_rows = sorted(map(tuple, full.select(*cols).collect()))
+    assert len(inc_rows) == len(full_rows)
+    assert inc_rows == full_rows

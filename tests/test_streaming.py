@@ -299,3 +299,48 @@ def test_offset_listener_records_per_batch_offsets(spark, sf_dir, tmp_path, proc
         persisted = [json.loads(line) for line in f]
     assert any(r["num_input_rows"] >= n for r in persisted)
     assert listener.last_offsets() is not None
+
+
+def test_scd2_history_stream_matches_full_rebuild(spark, sf_dir, tmp_path):
+    from kafka_cdc_redshift_spark.operators.merge import scd2_history
+    from kafka_cdc_redshift_spark.sources.envelopes import synth_orders_changelog
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    rules = [
+        SyncRule(
+            db="salesdb", table="orders", primary_key=("o_orderkey",),
+            scd2_history=True,
+        )
+    ]
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+    )
+    src = tmp_path / "topic"
+    src.mkdir()
+    # split the multiplexed topic so per-key event-time order is preserved
+    # across micro-batches: inserts (ts base) -> updates (+1h) + deletes (+2h)
+    topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+    _write_lines(topic.filter(F.col("value").contains('"op":"c"')), src / "b1.json")
+    _write_lines(topic.filter(F.col("value").contains('"op":"u"')
+                              | F.col("value").contains('"op":"d"')), src / "b2.json")
+    q = run_file_stream(spark, str(src), proc, str(tmp_path / "ckpt"),
+                        max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    hist = store.read(spark, "orders_history")
+    assert hist is not None
+    # the streamed history must equal the one-shot rebuild over the same
+    # changelog (incremental == batch, the scd2_merge_batch contract)
+    full = scd2_history(
+        synth_orders_changelog(spark, sf_dir).select(
+            "op", "ts_ms", "o_orderkey", "o_totalprice"
+        ),
+        ["o_orderkey"],
+    )
+    cols = ["o_orderkey", "valid_from", "valid_to", "is_current"]
+    got = sorted(map(tuple, hist.select(*cols).collect()))
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+    # the latest-state target still merges normally alongside
+    assert store.read(spark, "orders").count() > 0
