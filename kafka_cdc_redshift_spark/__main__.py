@@ -13,7 +13,11 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
   cdc_format                FLINK-CDC | MSK-DEBEZIUM-CDC | DMS-CDC |
                             CANAL-CDC | MONGO-CDC
   sync_table_list           JSON rule array (S7) — schemas are inferred
-                            per batch unless declared (S4 dynamic mode)
+                            per batch unless declared (S4 dynamic mode).
+                            Per-rule flags: ignore_ddl, save_delete,
+                            only_save_delete, skip_delete, scd2_history
+                            (maintain <table>_history, SCD type 2),
+                            super_columns, timestamp_columns, date_columns
   checkpoint_location       stream checkpoint dir (T3)
   checkpoint_interval       '30 seconds' (processingTime, T1) or
                             'availableNow' (bounded, T2)
