@@ -49,17 +49,17 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # everything else follows in catalog order (all of those have green rows in
 # CORRECTNESS_r01/r02 already).
 _DRIVER_CHECK_FIRST = [
-    # never driver-checked as of round 2 (CORRECTNESS_r02 capped at 50/66)
+    # never driver-checked as of round 2 (CORRECTNESS_r02 capped at 50/66).
+    # dedup_embedding / sim_ivf_topk / multimodal_binary_meta /
+    # multimodal_frame_sample are NOT re-listed: they hold green r1 driver
+    # rows (VERDICT r2), and the cap is ~50 — their slots go to queries
+    # with no driver row in ANY round.
     "corpus_group_stats",
-    "dedup_embedding",
     "dedup_keep_one",
     "emb_kmeans",
     "emb_normalize",
     "emb_quantize",
-    "multimodal_binary_meta",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "sim_ivf_topk",
     "text_commonness",
     "text_gopher_filters",
     "text_ngram_counts",
@@ -102,6 +102,7 @@ _DRIVER_CHECK_FIRST = [
     "events_value_deciles",
     "events_value_percentiles",
     "events_winsorize_bounds",
+    "doc_sample_k_per_source",
 ]
 
 

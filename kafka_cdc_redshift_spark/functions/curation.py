@@ -330,3 +330,30 @@ def contamination_score(
             "contamination", F.col("n_matched") / F.col("n_shingles")
         )
     )
+
+
+def sample_k_per_stratum(
+    df: DataFrame,
+    k: int,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank each stratum's rows
+    by a content-stable hash and keep the first k. The fixed-SIZE
+    counterpart of `stratified_sample` (fixed-RATE): eval-set construction
+    and per-source inspection pulls want "give me exactly 200 of each",
+    reproducibly, regardless of stratum size.
+
+    One window shuffle on the stratum; rank truncation is deterministic
+    (hash then id tiebreak), so reruns and engines agree row-for-row.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", hash60(F.col(id_col).cast("string")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__h", "__rk")
+    )

@@ -1164,3 +1164,23 @@ def q_profile_documents(spark, sf_dir):
     from ..functions.profiling import profile_table
 
     return profile_table(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "doc_sample_k_per_source",
+    "exactly-k-per-stratum deterministic sample (fixed SIZE, vs "
+    "stratified_sample's fixed RATE): rank by content-stable hash, keep "
+    "the first 5 per source; one window shuffle",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                           doc_id) AS rk
+         FROM documents) t
+       WHERE rk <= 5""",
+)
+def q_doc_sample_k(spark, sf_dir):
+    return curation.sample_k_per_stratum(
+        load_table(spark, sf_dir, "documents"), 5
+    ).select("doc_id", "source")
