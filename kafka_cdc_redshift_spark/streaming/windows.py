@@ -274,3 +274,27 @@ def stream_interval_join(
         )
     )
     return l_.join(r_, cond, how)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to every
+    streaming row. Structured Streaming re-evaluates the STATIC side's
+    plan each micro-batch, so a dim table backed by files picks up
+    republished versions between batches without restarting the query —
+    the standard slowly-refreshing-dimension pattern.
+
+    The dim side broadcasts by default (dimensions are small next to a
+    stream); pass `broadcast_dim=False` for a corpus-scale static side,
+    where each batch then shuffles on the key instead. No streaming state
+    is kept either way — a stream-static join is stateless, unlike
+    stream-stream (see stream_interval_join).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, keys, how)

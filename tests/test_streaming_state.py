@@ -234,3 +234,41 @@ def test_stream_interval_join_matches_batch_twin(spark, sf_dir, tmp_path):
     # inner stream-stream joins emit matches as they arrive; only pairs
     # still inside the watermark tail may be missing
     assert len(got) >= int(0.8 * len(batch)), (len(got), len(batch))
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
+    from kafka_cdc_redshift_spark.sources import load_table
+    from kafka_cdc_redshift_spark.streaming.windows import enrich_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = tmp_path / "ev"
+    events.coalesce(2).write.json(str(src))
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).json(str(src))
+    out = enrich_stream(stream, dim, ["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.table("enriched")
+            .select("event_id", "user_id", "c_mktsegment").collect())
+    )
+    want = sorted(
+        map(tuple, enrich_stream(events, dim, ["user_id"])
+            .select("event_id", "user_id", "c_mktsegment").collect())
+    )
+    assert got == want
+    assert len(got) == events.count()  # left join preserves every event
