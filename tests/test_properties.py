@@ -121,3 +121,54 @@ def test_time_split_batches_converge(spark, t, cl, cut):
     assert sorted((r.k, r.v) for r in stepped.collect()) == sorted(
         (r.k, r.v) for r in one_shot.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 properties: incremental maintenance == one-shot rebuild for ANY
+# time-split of ANY changelog, and intervals are always well-formed
+# ---------------------------------------------------------------------------
+
+@given(rows=changelogs, cut=st.integers(min_value=0, max_value=50))
+@settings(**SETTINGS)
+def test_scd2_incremental_equals_full_for_any_time_split(spark, rows, cut):
+    from kafka_cdc_redshift_spark.operators.merge import (
+        scd2_history,
+        scd2_merge_batch,
+    )
+
+    cl = _cl_df(spark, rows)
+    full = scd2_history(cl, ["k"])
+
+    # any split on a time boundary preserves per-key event-time order
+    b1 = cl.filter(f"ts_ms < {cut}")
+    b2 = cl.filter(f"ts_ms >= {cut}")
+    hist = None
+    for b in (b1, b2):
+        if b.isEmpty():
+            continue
+        hist = scd2_merge_batch(hist, b, ["k"])
+
+    cols = sorted(full.columns)
+    got = sorted(map(tuple, hist.select(*cols).collect())) if hist is not None else []
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+
+
+@given(rows=changelogs)
+@settings(**SETTINGS)
+def test_scd2_intervals_well_formed(spark, rows):
+    from kafka_cdc_redshift_spark.operators.merge import scd2_history
+
+    hist = scd2_history(_cl_df(spark, rows), ["k"]).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for rows_k in by_key.values():
+        rows_k.sort(key=lambda r: r.valid_from)
+        for r in rows_k:
+            assert r.valid_to is None or r.valid_to > r.valid_from
+            assert r.is_current == (r.valid_to is None)
+        # versions never overlap and at most one is open
+        for a, b in zip(rows_k, rows_k[1:]):
+            assert a.valid_to is not None and a.valid_to <= b.valid_from
+        assert sum(1 for r in rows_k if r.valid_to is None) <= 1
