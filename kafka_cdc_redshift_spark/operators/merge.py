@@ -187,4 +187,8 @@ def scd2_merge_batch(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__batch_start")
     )
-    return closed.unionByName(new_versions.select(*closed.columns))
+    # schema drift across batches: columns added to (or dropped from) the
+    # changelog must not break the history — align symmetrically, null-
+    # filling whichever side lacks a column (the SCD2 analog of the main
+    # target's D1-D6 evolution path)
+    return closed.unionByName(new_versions, allowMissingColumns=True)

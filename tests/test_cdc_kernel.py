@@ -183,3 +183,22 @@ def test_scd2_incremental_replay_equals_full_rebuild(spark, sf_dir):
     full_rows = sorted(map(tuple, full.select(*cols).collect()))
     assert len(inc_rows) == len(full_rows)
     assert inc_rows == full_rows
+
+
+def test_scd2_merge_batch_survives_schema_drift(spark):
+    from kafka_cdc_redshift_spark.operators.merge import scd2_merge_batch
+
+    b1 = spark.createDataFrame(
+        [(1, 10, "c", "a")], "k long, ts_ms long, op string, attr string"
+    )
+    # batch 2 adds a column and drops one
+    b2 = spark.createDataFrame(
+        [(1, 20, "u", 7.5)], "k long, ts_ms long, op string, score double"
+    )
+    hist = scd2_merge_batch(scd2_merge_batch(None, b1, ["k"]), b2, ["k"])
+    rows = {r.valid_from: r for r in hist.collect()}
+    assert set(hist.columns) == {"k", "attr", "score", "valid_from", "valid_to", "is_current"}
+    assert rows[10].valid_to == 20 and not rows[10].is_current
+    assert rows[10].attr == "a" and rows[10].score is None
+    assert rows[20].valid_to is None and rows[20].is_current
+    assert rows[20].attr is None and rows[20].score == 7.5
