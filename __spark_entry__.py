@@ -103,6 +103,7 @@ _DRIVER_CHECK_FIRST = [
     "events_value_percentiles",
     "events_winsorize_bounds",
     "doc_sample_k_per_source",
+    "events_value_hour_corr",
 ]
 
 

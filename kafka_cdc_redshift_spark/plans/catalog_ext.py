@@ -1030,3 +1030,50 @@ def q_events_winsorize(spark, sf_dir):
         )
         .select("event_type", "n", "n_lo", "n_hi", "lo", "hi")
     )
+
+
+@_spec(
+    "events_value_hour_corr",
+    "Pearson correlation per series from exact decimal/integer moments "
+    "(one agg pass; a naive corr() would flake on float partial-agg "
+    "order), degenerate groups (n<=1 or zero variance) excluded "
+    "explicitly on both sides",
+    """WITH m AS (
+         SELECT event_type, count(*) AS n,
+                CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sx,
+                CAST(sum(hour(ts)) AS DOUBLE) AS sy,
+                CAST(sum(value::DECIMAL(18,2) * hour(ts)) AS DOUBLE) AS sxy,
+                CAST(sum(value::DECIMAL(18,2) * value::DECIMAL(18,2))
+                     AS DOUBLE) AS sxx,
+                CAST(sum(hour(ts) * hour(ts)) AS DOUBLE) AS syy
+         FROM events GROUP BY 1)
+       SELECT event_type, n,
+              (n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                AS corr_value_hour
+       FROM m
+       WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+)
+def q_events_corr(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    x = _dec(F.col("value"), 18, 2)
+    y = F.hour("ts")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    return (
+        m.filter((n > 1) & (var_x > 0) & (var_y > 0))
+        .select(
+            "event_type", "n",
+            ((n * F.col("sxy") - sx * sy)
+             / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_value_hour"),
+        )
+    )
