@@ -10,7 +10,8 @@ over the input); the 1-row wide result is then unpivoted DRIVER-FREE
 with stack() into the (column, stat...) long form. Exact distinct
 counts are the verifiable contract here — the sketch-based cheap
 variant at corpus scale is approx_count_distinct (see the
-events_approx_distinct catalog entry, rows-only checked by design).
+events_approx_distinct catalog entry, whose oracle checks the exact
+count plus a Spark-computed error-bound flag).
 """
 
 from __future__ import annotations
@@ -24,21 +25,41 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     `n_distinct` counts non-null distinct values (count(DISTINCT c)
     semantics in every engine).
+
+    Built entirely from Column objects — raw column names are resolved
+    via backtick-escaped exact references and emitted only as literals,
+    never interpolated into an F.expr string, so names containing quotes,
+    backticks, dots, or spaces profile like any other column.
     """
+
+    def ref(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
-        ]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.struct(
+                F.sum(ref(c).isNull().cast("long")).alias("n_null"),
+                F.count_distinct(ref(c)).alias("n_distinct"),
+            ).alias(f"__p{i}")
+        )
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `__null_{c}`, `__dist_{c}`" for c in cols
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__p{i}").getField("n_null").alias("n_null"),
+                    F.col(f"__p{i}").getField("n_distinct").alias("n_distinct"),
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+    ).alias("__s")
+    return wide.select(F.col("__n").alias("n_rows"), per_col).select(
+        F.col("__s.column").alias("column"),
+        "n_rows",
+        F.col("__s.n_null").alias("n_null"),
+        F.col("__s.n_distinct").alias("n_distinct"),
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS (column, n_null, n_distinct)"
-        ),
-        F.col("__n").alias("n_rows"),
-    ).select("column", "n_rows", "n_null", "n_distinct")

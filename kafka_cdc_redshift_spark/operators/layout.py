@@ -26,6 +26,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+class EmptyLayoutInput(ValueError):
+    """Layout input has no rows — there is no range to cluster on.
+    write_zorder_layout catches this and writes the (empty) table
+    unclustered; direct zorder_key callers see a clear error instead of a
+    TypeError on float(None)."""
+
+
 def write_range_layout(
     df: DataFrame,
     path: str,
@@ -120,16 +127,31 @@ def zorder_key(
     """
     from pyspark.sql import functions as F
 
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     stats = df.agg(*aggs).first()
+    if stats["__n"] == 0:
+        raise EmptyLayoutInput("z-order layout input has no rows")
     k = len(cols)
     max_q = (1 << bits) - 1
     planes = []
     for i, c in enumerate(cols):
-        mn = float(stats[f"__mn_{c}"])
-        mx = float(stats[f"__mx_{c}"])
+        if stats[f"__mn_{c}"] is None:
+            raise ValueError(
+                f"z-order column {c!r} is NULL in every row — its min/max "
+                "range is undefined, so it cannot contribute interleave "
+                "bits; drop it from zorder_cols or filter/fill the nulls"
+            )
+        try:
+            mn = float(stats[f"__mn_{c}"])
+            mx = float(stats[f"__mx_{c}"])
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"z-order column {c!r} has non-numeric-castable min/max "
+                f"({stats[f'__mn_{c}']!r}, {stats[f'__mx_{c}']!r}) — "
+                "z-order columns must be numeric (or cast to numeric first)"
+            ) from e
         span = (mx - mn) or 1.0
         q = F.least(
             F.lit(max_q),
@@ -171,7 +193,13 @@ def write_zorder_layout(
     Cost model matches write_range_layout: one stats pass + one range
     shuffle — a maintenance job, not a hot-path operator.
     """
-    key, _ = zorder_key(df, zorder_cols, bits=bits)
+    try:
+        key, _ = zorder_key(df, zorder_cols, bits=bits)
+    except EmptyLayoutInput:
+        # nothing to cluster — still produce the table so downstream
+        # readers find a (schema-bearing, empty) parquet dataset
+        df.write.mode("overwrite").parquet(path)
+        return
     tagged = df.withColumn("__z", key)
     part = (
         tagged.repartitionByRange(num_files, "__z")

@@ -121,6 +121,7 @@ def scd2_history(
     order_col: str = "ts_ms",
     op_col: str = "op",
     delete_op: str = "d",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 history from a flat changelog: one
     row per non-delete change event, valid from its own timestamp until
@@ -128,18 +129,28 @@ def scd2_history(
     closes). The open version (`valid_to` NULL) is flagged `is_current`;
     a key whose last event is a delete ends with no current row.
 
+    `tiebreak_cols` break equal-`order_col` ties (the CDC feed's
+    data_index_aws arrival counter, mirroring lww_dedup/merge_changes) so
+    same-timestamp events on a key get a DETERMINISTIC version order —
+    without it, lead() over ties is nondeterministic and incremental
+    replay can diverge from a full rebuild. Tied events still produce
+    zero-length versions (valid_to == valid_from) by design: every
+    intermediate state is a version. Tiebreak columns are ordering-only
+    and do not land in the history schema.
+
     This is the warehouse-side companion of `merge_changes`: merge keeps
     only latest state, SCD2 keeps every state with its validity interval —
     the standard dimension-history build (Kimball type 2) downstream of a
     CDC feed. One window shuffle on the key; no self-join.
     """
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col))
+    order = [F.col(order_col)] + [F.col(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     return (
         changelog.withColumn("valid_to", F.lead(order_col).over(w))
         .filter(F.col(op_col) != delete_op)
         .withColumn("valid_from", F.col(order_col))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop(op_col, order_col)
+        .drop(op_col, order_col, *tiebreak_cols)
     )
 
 
@@ -151,6 +162,8 @@ def scd2_merge_batch(
     order_col: str = "ts_ms",
     op_col: str = "op",
     delete_op: str = "d",
+    tiebreak_cols: Sequence[str] = (),
+    dedup_replayed: bool = False,
 ) -> DataFrame:
     """Incrementally maintain an SCD2 history table from one micro-batch of
     changelog rows (the streaming counterpart of `scd2_history`): close the
@@ -162,33 +175,60 @@ def scd2_merge_batch(
     across batches (the Kafka-partition-by-key contract the reference
     pipeline already relies on).
 
+    Replay safety (foreachBatch is at-least-once): the close only fires
+    when the open version started strictly BEFORE the batch
+    (`__batch_start > valid_from`), so re-applying a batch whose versions
+    already landed can never invert an interval by closing the batch's
+    own open version at the batch's first timestamp. With the guard, a
+    re-applied batch contributes rows IDENTICAL to the ones already in
+    history; `dedup_replayed=True` removes them with a full-row
+    dropDuplicates scoped to the touched keys (full-row, so distinct
+    same-timestamp versions are never collapsed). The streaming job
+    instead skips replayed batches entirely via the store's transactional
+    batch_id (zero extra cost) — use `dedup_replayed` when maintaining a
+    history without transactional batch tracking.
+
     Scale shape: the only join is history against the batch's one-row-
     per-key first-event aggregate — broadcastable at any history size
-    (a micro-batch is rate-limited); the batch's own window is batch-local.
-    `history=None` bootstraps from empty.
+    (a micro-batch is rate-limited); the batch's own window is batch-local;
+    the replay dedup (when enabled) shuffles only the touched keys'
+    history, never the whole table. `history=None` bootstraps from empty.
     """
     new_versions = scd2_history(
-        batch, keys, order_col=order_col, op_col=op_col, delete_op=delete_op
+        batch, keys, order_col=order_col, op_col=op_col, delete_op=delete_op,
+        tiebreak_cols=tiebreak_cols,
     )
     first_ts = batch.groupBy(*[F.col(k) for k in keys]).agg(
         F.min(order_col).alias("__batch_start")
     )
     if history is None:
         return new_versions
-    closed = (
-        history.join(F.broadcast(first_ts), list(keys), "left")
-        .withColumn(
-            "valid_to",
-            F.when(
-                F.col("is_current") & F.col("__batch_start").isNotNull(),
-                F.col("__batch_start"),
-            ).otherwise(F.col("valid_to")),
+    joined = history.join(F.broadcast(first_ts), list(keys), "left")
+    closed_expr = F.when(
+        F.col("is_current")
+        & F.col("__batch_start").isNotNull()
+        & (F.col("__batch_start") > F.col("valid_from")),
+        F.col("__batch_start"),
+    ).otherwise(F.col("valid_to"))
+    if not dedup_replayed:
+        closed = (
+            joined.withColumn("valid_to", closed_expr)
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop("__batch_start")
         )
+        # schema drift across batches: columns added to (or dropped from)
+        # the changelog must not break the history — align symmetrically,
+        # null-filling whichever side lacks a column (the SCD2 analog of
+        # the main target's D1-D6 evolution path)
+        return closed.unionByName(new_versions, allowMissingColumns=True)
+    untouched = joined.filter(F.col("__batch_start").isNull()).drop("__batch_start")
+    touched = (
+        joined.filter(F.col("__batch_start").isNotNull())
+        .withColumn("valid_to", closed_expr)
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__batch_start")
     )
-    # schema drift across batches: columns added to (or dropped from) the
-    # changelog must not break the history — align symmetrically, null-
-    # filling whichever side lacks a column (the SCD2 analog of the main
-    # target's D1-D6 evolution path)
-    return closed.unionByName(new_versions, allowMissingColumns=True)
+    merged = touched.unionByName(
+        new_versions, allowMissingColumns=True
+    ).dropDuplicates()
+    return untouched.unionByName(merged, allowMissingColumns=True)

@@ -708,6 +708,10 @@ def q_q11(spark, sf_dir):
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev()).alias("val"))
+        # v feeds two consumers (threshold scalar + the filter join):
+        # materialize once instead of replaying the lineitem join+agg
+        # lineage per consumer (same treatment as dedup_semantic)
+        .localCheckpoint(eager=False)
     )
     thresh = v.agg(
         (F.sum("val") * F.lit("0.001").cast(T.DecimalType(4, 3))).alias("cut")

@@ -718,7 +718,8 @@ def q_text_ngram_counts(spark, sf_dir):
     "per-(lang, source) corpus census: doc count, total chars, exact "
     "p25/p50/p75 doc length (dyadic fractions over ints are IEEE-exact, "
     "so Spark percentile == DuckDB quantile_cont bit-for-bit)",
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_size,
+    """SELECT lang, source, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_size,
               quantile_cont(n_chars, 0.25) AS p25_size,
               quantile_cont(n_chars, 0.50) AS p50_size,
               quantile_cont(n_chars, 0.75) AS p75_size

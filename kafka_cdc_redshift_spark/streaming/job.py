@@ -106,7 +106,8 @@ class CdcBatchProcessor:
 
     # -- per-table task ----------------------------------------------------
     def _run_table(
-        self, batch_df: DataFrame, rule: SyncRule, job_group: str | None = None
+        self, batch_df: DataFrame, rule: SyncRule, job_group: str | None = None,
+        batch_id: int | None = None,
     ) -> TaskStatus:
         try:
             if job_group is not None:
@@ -208,19 +209,30 @@ class CdcBatchProcessor:
                 # batch's own versions (operators/merge.py scd2_merge_batch;
                 # replaying batches == one-shot scd2_history, property-
                 # tested). Uses ALL batch events, not the LWW-deduped set —
-                # every intermediate state is a version.
+                # every intermediate state is a version; data_index_aws is
+                # kept as the equal-timestamp tiebreak (same order contract
+                # as lww_dedup/merge_changes) and dropped by the operator.
                 from ..operators.merge import scd2_merge_batch
 
                 htable = f"{rule.target_name}_history"
-                ev = parsed.drop(
-                    *[c for c in ("data_index_aws",) if c in parsed.columns]
-                )
-                prev_hist = self.store.read(self.spark, htable)
-                new_hist = scd2_merge_batch(
-                    prev_hist, ev, list(rule.primary_key),
-                    order_col=self.order_by[0],
-                )
-                self.store.publish(new_hist, htable)
+                # foreachBatch is at-least-once and this path is read-
+                # modify-append: skip a batch whose id is already committed
+                # in the history's version pointer (recorded atomically
+                # with the publish below), so a checkpoint retry can never
+                # re-close or re-append what attempt one already landed
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(htable) != batch_id
+                ):
+                    prev_hist = self.store.read(self.spark, htable)
+                    new_hist = scd2_merge_batch(
+                        prev_hist, parsed, list(rule.primary_key),
+                        order_col=self.order_by[0],
+                        tiebreak_cols=[
+                            c for c in order[1:] if c in parsed.columns
+                        ],
+                    )
+                    self.store.publish(new_hist, htable, batch_id=batch_id)
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253
@@ -250,7 +262,7 @@ class CdcBatchProcessor:
         try:
             batch_df.count()  # materialize the cache once for all tasks
             futs = [
-                pool.submit(self._run_table, batch_df, rule, group)
+                pool.submit(self._run_table, batch_df, rule, group, batch_id)
                 for rule in self.rules
             ]
             try:

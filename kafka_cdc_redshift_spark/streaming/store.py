@@ -35,6 +35,19 @@ class ParquetTargetStore:
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
             return None
 
+    def last_batch_id(self, table: str):
+        """The foreachBatch batch_id recorded with the current version, or
+        None. Published atomically with the version pointer, so "this
+        batch already landed" survives a crash between publish and
+        checkpoint commit — the guard that makes read-modify-append
+        updates (SCD2 history, delete log) replay-idempotent without any
+        extra scan or shuffle."""
+        try:
+            with open(self._meta_path(table)) as f:
+                return json.load(f).get("batch_id")
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
@@ -48,15 +61,20 @@ class ParquetTargetStore:
         p = self.path(table)
         return spark.read.parquet(p) if p else None
 
-    def publish(self, df: DataFrame, table: str) -> int:
-        """Write df as the next version and atomically flip the pointer."""
+    def publish(self, df: DataFrame, table: str, *, batch_id=None) -> int:
+        """Write df as the next version and atomically flip the pointer.
+        `batch_id` (optional) is committed in the same pointer flip; see
+        `last_batch_id`."""
         prev = self.current_version(table)
         nxt = 0 if prev is None else prev + 1
         out = os.path.join(self.root, table, f"version={nxt}")
         self._write_version(df, table, out, nxt)
         tmp = self._meta_path(table) + ".tmp"
+        meta = {"version": nxt}
+        if batch_id is not None:
+            meta["batch_id"] = batch_id
         with open(tmp, "w") as f:
-            json.dump({"version": nxt}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._meta_path(table))  # atomic pointer flip
         return nxt
 

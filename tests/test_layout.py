@@ -100,3 +100,35 @@ def test_zorder_layout_prunes_on_both_dims(spark, sf_dir, tmp_path):
         .select(F.input_file_name()).distinct().count()
     )
     assert both <= 8, f"2-dim rectangle touched {both}/16 files"
+
+
+def test_zorder_empty_and_allnull_inputs(spark, sf_dir, tmp_path):
+    """Empty input: write_zorder_layout degrades to a plain (schema-bearing)
+    write and zorder_key raises the typed EmptyLayoutInput; an all-NULL
+    z-order column on non-empty data is a caller error with a clear
+    message (previously both died as TypeError on float(None))."""
+    import pytest as _pytest
+
+    from kafka_cdc_redshift_spark.operators.layout import (
+        EmptyLayoutInput,
+        write_zorder_layout,
+        zorder_key,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    empty = ev.filter("1 = 0")
+    with _pytest.raises(EmptyLayoutInput):
+        zorder_key(empty, ["user_id", "value"])
+    out = str(tmp_path / "z_empty")
+    write_zorder_layout(empty, out, zorder_cols=["user_id", "value"])
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert set(back.columns) == set(ev.columns)
+
+    allnull = ev.withColumn("value", F.lit(None).cast("double"))
+    with _pytest.raises(ValueError, match="NULL in every row"):
+        zorder_key(allnull, ["user_id", "value"])
+
+    nonnum = ev.withColumn("value", F.lit("not-a-number"))
+    with _pytest.raises(ValueError, match="non-numeric"):
+        zorder_key(nonnum, ["user_id", "value"])

@@ -172,3 +172,90 @@ def test_scd2_intervals_well_formed(spark, rows):
         for a, b in zip(rows_k, rows_k[1:]):
             assert a.valid_to is not None and a.valid_to <= b.valid_from
         assert sum(1 for r in rows_k if r.valid_to is None) <= 1
+
+
+# ---------------------------------------------------------------------------
+# SCD2 replay safety: foreachBatch is at-least-once, so re-applying a batch
+# must never corrupt the history (no inverted intervals) and, with the
+# replay dedup enabled, must be a strict no-op
+# ---------------------------------------------------------------------------
+
+@given(rows=changelogs, cut=st.integers(min_value=0, max_value=50))
+@settings(**SETTINGS)
+def test_scd2_merge_batch_replay_idempotent(spark, rows, cut):
+    from kafka_cdc_redshift_spark.operators.merge import scd2_merge_batch
+
+    cl = _cl_df(spark, rows)
+    b1 = cl.filter(f"ts_ms < {cut}")
+    b2 = cl.filter(f"ts_ms >= {cut}")
+    hist = None
+    for b in (b1, b2):
+        if b.isEmpty():
+            continue
+        hist = scd2_merge_batch(hist, b, ["k"])
+        base = sorted(map(tuple, hist.select(*sorted(hist.columns)).collect()))
+
+        # re-apply the SAME batch (checkpoint retry after a publish):
+        # with dedup_replayed the result is exactly the pre-replay history
+        replayed = scd2_merge_batch(hist, b, ["k"], dedup_replayed=True)
+        got = sorted(map(tuple, replayed.select(*sorted(hist.columns)).collect()))
+        assert got == base
+
+        # and even WITHOUT the dedup, the close-guard means replay can
+        # only duplicate rows — never invert an interval (the corruption
+        # the guard exists to prevent)
+        raw = scd2_merge_batch(hist, b, ["k"]).collect()
+        for r in raw:
+            assert r.valid_to is None or r.valid_to > r.valid_from, r
+
+
+# ---------------------------------------------------------------------------
+# SCD2 tiebreak: equal-timestamp events ordered by the arrival counter
+# (data_index_aws) — incremental maintenance must equal the full rebuild
+# even when keys have tied timestamps
+# ---------------------------------------------------------------------------
+
+tied_changelogs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=6),  # small range -> many ties
+        st.integers(min_value=0, max_value=999),
+        st.sampled_from(["c", "u", "d"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+TIED_SCHEMA = "k long, ts_ms long, data_index_aws long, v long, op string"
+
+
+@given(rows=tied_changelogs, cut=st.integers(min_value=0, max_value=7))
+@settings(**SETTINGS)
+def test_scd2_tiebreak_incremental_equals_full_with_tied_ts(spark, rows, cut):
+    from kafka_cdc_redshift_spark.operators.merge import (
+        scd2_history,
+        scd2_merge_batch,
+    )
+
+    # arrival order assigns the tiebreak counter, as the CDC reader does
+    data = [(k, ts, i, v, op) for i, (k, ts, v, op) in enumerate(rows)]
+    cl = spark.createDataFrame(data, TIED_SCHEMA)
+    tb = ["data_index_aws"]
+    full = scd2_history(cl, ["k"], tiebreak_cols=tb)
+
+    # split on a ts boundary: tied-ts groups never straddle batches, so
+    # per-key (ts, arrival) order is preserved across batches
+    b1 = cl.filter(f"ts_ms < {cut}")
+    b2 = cl.filter(f"ts_ms >= {cut}")
+    hist = None
+    for b in (b1, b2):
+        if b.isEmpty():
+            continue
+        hist = scd2_merge_batch(hist, b, ["k"], tiebreak_cols=tb)
+
+    cols = sorted(full.columns)
+    got = sorted(map(tuple, hist.select(*cols).collect())) if hist is not None else []
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+    # the tiebreak column is ordering-only — it never lands in the history
+    assert "data_index_aws" not in full.columns

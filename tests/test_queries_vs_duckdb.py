@@ -1,11 +1,19 @@
 """Driver-contract twin: run every catalog query on Spark AND its DuckDB
-oracle, compare row count + column names + values (order-insensitive),
-approximating the driver's t2 hash check."""
+oracle, compare row count + column names + TYPE FAMILIES + values
+(order-insensitive), approximating the driver's t2 hash check.
+
+The type-family check exists because the driver hashes TYPED values via
+Arrow: DuckDB's ``sum(int)`` is HUGEINT, which Arrow lowers to float64,
+while Spark emits int64 — equal values, different hash (the r3
+`corpus_group_stats` red row). A str()-based value compare can't see
+that, so the oracle is fetched through Arrow (exactly the driver's path)
+and each column's Arrow type family must match Spark's schema family."""
 
 import datetime
 import math
 
 import duckdb
+import pyarrow.types as pat
 import pytest
 
 from kafka_cdc_redshift_spark.plans import SPECS
@@ -34,15 +42,71 @@ def _canon(v):
     return str(v)
 
 
+def _spark_family(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return "other"
+
+
+def _arrow_family(t):
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_timestamp(t):
+        return "ts"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return "list"
+    return "other"
+
+
 def compare(spark_df, con, sql, name):
     cols = sorted(spark_df.columns)
     s_rows = [tuple(_canon(r[c]) for c in cols) for r in spark_df.collect()]
 
-    res = con.execute(sql)
-    o_cols = [d[0] for d in res.description]
+    # fetch through Arrow — the driver's own materialization path, so
+    # DuckDB type widenings (HUGEINT -> float64 etc.) surface here too
+    tbl = con.execute(sql).arrow()
+    o_cols = list(tbl.column_names)
     assert sorted(o_cols) == cols, f"{name}: column mismatch spark={cols} oracle={sorted(o_cols)}"
-    idx = [o_cols.index(c) for c in cols]
-    o_rows = [tuple(_canon(row[i]) for i in idx) for row in res.fetchall()]
+
+    s_fams = {f.name: _spark_family(f.dataType) for f in spark_df.schema.fields}
+    o_fams = {fld.name: _arrow_family(fld.type) for fld in tbl.schema}
+    fam_mismatch = {
+        c: (s_fams[c], o_fams[c]) for c in cols if s_fams[c] != o_fams[c]
+    }
+    assert not fam_mismatch, (
+        f"{name}: type-family mismatch (spark, oracle): {fam_mismatch} — "
+        "the driver's typed value-hash will disagree even if values are "
+        "equal; CAST the oracle column to the Spark type family"
+    )
+
+    rows_py = tbl.to_pylist()
+    o_rows = [tuple(_canon(row[c]) for c in cols) for row in rows_py]
 
     assert len(s_rows) == len(o_rows), f"{name}: row count {len(s_rows)} != {len(o_rows)}"
     s_sorted, o_sorted = sorted(s_rows), sorted(o_rows)
@@ -50,6 +114,22 @@ def compare(spark_df, con, sql, name):
         (a, b) for a, b in zip(s_sorted, o_sorted) if a != b
     ]
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches, first: {mismatches[:3]}"
+
+
+def test_twin_catches_type_family_mismatch(spark, sf_dir):
+    """Guard on the guard: a deliberately mis-typed oracle (DuckDB
+    sum(int) -> HUGEINT -> Arrow float64 vs Spark int64) must FAIL the
+    twin even though every value is numerically equal — exactly the bug
+    class that produced the r3 corpus_group_stats red driver row."""
+    sdf = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]).groupBy().agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("v").alias("s")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 10), (2, 20)) v(k, v)")
+    with pytest.raises(AssertionError, match="type-family mismatch"):
+        compare(sdf, con, "SELECT sum(v) AS s FROM t", "mis_typed")
+    # and the CAST convention fixes it
+    compare(sdf, con, "SELECT CAST(sum(v) AS BIGINT) AS s FROM t", "well_typed")
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))

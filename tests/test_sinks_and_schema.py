@@ -148,22 +148,32 @@ def test_bucketed_store_avoids_target_shuffle(spark, sf_dir, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """approx_count_distinct has no cross-engine oracle (sketches differ);
-    bound its error against the exact count instead."""
+    """The HLL sketch has no cross-engine oracle (sketches differ), so the
+    catalog query folds the error bound INTO its output: assert the raw
+    sketch error directly here, and that the query's own
+    `approx_within_bounds` flag (what the driver oracle checks) agrees."""
     from pyspark.sql import functions as F
 
     from kafka_cdc_redshift_spark.plans import SPECS
     from kafka_cdc_redshift_spark.sources import load_table
 
-    got = {r.event_type: r.approx_users
-           for r in SPECS["events_approx_distinct"].spark(spark, sf_dir).collect()}
+    rows = SPECS["events_approx_distinct"].spark(spark, sf_dir).collect()
+    got = {r.event_type: r for r in rows}
+    approx = {r.event_type: r.approx
+              for r in load_table(spark, sf_dir, "events")
+              .groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", 0.02).alias("approx"))
+              .collect()}
     exact = {r.event_type: r.exact
              for r in load_table(spark, sf_dir, "events")
              .groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact")).collect()}
-    assert got.keys() == exact.keys()
+    assert got.keys() == exact.keys() == approx.keys()
     for k in exact:
-        assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, got[k], exact[k])
+        assert got[k].n_users_exact == exact[k]
+        assert abs(approx[k] - exact[k]) <= max(3, 0.05 * exact[k]), (
+            k, approx[k], exact[k])
+        assert got[k].approx_within_bounds is True
 
 
 def test_catalog_type_normalization_reference_strings():
@@ -222,3 +232,30 @@ def test_live_catalog_feeds_cast_to_target(spark):
     rows = {r.pid: r for r in cast_to_target(df, target).collect()}
     assert rows[1].qty == 7 and float(rows[1].price) == 3.5
     assert rows[2].qty is None  # digit guard: non-numeric -> NULL, not error
+
+
+def test_profile_table_hostile_column_names(spark):
+    """profile_table is built from Column objects (no SQL-string
+    interpolation), so names with quotes, backticks, dots, and spaces
+    profile like any other column."""
+    from kafka_cdc_redshift_spark.functions.profiling import profile_table
+
+    hostile = ["it's", "back`tick", "dot.ted", "sp ace"]
+    schema = T.StructType([
+        T.StructField(hostile[0], T.LongType()),
+        T.StructField(hostile[1], T.StringType()),
+        T.StructField(hostile[2], T.StringType()),
+        T.StructField(hostile[3], T.DoubleType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "a", None, 2.0), (2, "a", None, 3.0), (None, "b", None, 3.0)],
+        schema,
+    )
+    got = {r.column: (r.n_rows, r.n_null, r.n_distinct)
+           for r in profile_table(df).collect()}
+    assert got == {
+        "it's": (3, 1, 2),
+        "back`tick": (3, 0, 2),
+        "dot.ted": (3, 3, 0),
+        "sp ace": (3, 0, 2),
+    }
