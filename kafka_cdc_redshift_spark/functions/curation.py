@@ -207,6 +207,7 @@ def budget_mix(
     strata_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    prepartition_prune: bool = True,
 ) -> DataFrame:
     """Greedy token-budget fill per stratum (the "sample each source up to
     N tokens" step of assembling a training mix): order each stratum's
@@ -216,23 +217,52 @@ def budget_mix(
     last doc runs). `boosts` overrides the budget for named strata —
     up-weighting curated sources is the standard use.
 
-    One shuffle (hash partition by stratum for the window); token counts
-    and the ordering hash are map-side. Deterministic: ordering depends
-    only on (id, stratum), so reruns and the SQL oracle agree exactly.
+    Scale shape (`prepartition_prune=True`, the default): a single
+    stratum window over the full corpus funnels EVERY row of a source
+    through one reducer — billions of rows to produce a budget-bounded
+    output. Instead, a first window over (stratum, input-partition) keeps
+    only each partition's local budget prefix. That remnant is a provable
+    superset of the winners with the exact same winner set: a row's
+    local running total is <= its global running total (the local
+    predecessors are a subset of the global ones), so every global winner
+    survives the prune; and every pruned row sits at-or-after the budget
+    boundary, whose full winner prefix is intact in the remnant, so the
+    global window over the remnant reproduces the running totals the
+    winners and losers are judged by (property-tested equal to the
+    single-window path). Remnant size per stratum is bounded by
+    n_partitions x (budget / avg_tokens + 1) regardless of corpus size.
+    Both windows shuffle only (id, stratum, n_tokens, hash) — token
+    counts and the ordering hash are computed map-side and the text never
+    moves. Deterministic: ordering depends only on (id, stratum), so
+    reruns and the SQL oracle agree exactly.
     """
     budget = F.lit(int(base_budget))
     for value, b in (boosts or {}).items():
         budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(budget)
-    h = hash60(F.col(id_col).cast("string"))
+    slim = (
+        df.withColumn("__h", hash60(F.col(id_col).cast("string")))
+        .withColumn("n_tokens", F.size(tokens_col(text_col)).cast("long"))
+        .select(id_col, strata_col, "n_tokens", "__h")
+    )
+    if prepartition_prune:
+        wl = (
+            Window.partitionBy(strata_col, "__part")
+            .orderBy("__h", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        slim = (
+            slim.withColumn("__part", F.spark_partition_id())
+            .withColumn("__lcum", F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)))
+            .filter(F.col("__lcum") < budget)
+            .drop("__part", "__lcum")
+        )
     w = (
         Window.partitionBy(strata_col)
         .orderBy("__h", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        df.withColumn("__h", h)
-        .withColumn("n_tokens", F.size(tokens_col(text_col)).cast("long"))
-        .withColumn("__cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        slim.withColumn("__cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .filter(F.col("__cum") < budget)
         .select(id_col, strata_col, "n_tokens")
     )
@@ -338,6 +368,7 @@ def sample_k_per_stratum(
     *,
     strata_col: str = "source",
     id_col: str = "doc_id",
+    prepartition_prune: bool = True,
 ) -> DataFrame:
     """Exactly-k-per-stratum deterministic sample: rank each stratum's rows
     by a content-stable hash and keep the first k. The fixed-SIZE
@@ -345,15 +376,44 @@ def sample_k_per_stratum(
     and per-source inspection pulls want "give me exactly 200 of each",
     reproducibly, regardless of stratum size.
 
-    One window shuffle on the stratum; rank truncation is deterministic
-    (hash then id tiebreak), so reruns and engines agree row-for-row.
+    Scale shape (`prepartition_prune=True`, the default): ranking runs on
+    a narrow (stratum, id, hash) projection — document payloads never
+    shuffle. A first top-k per (stratum, input-partition) bounds what the
+    global stratum window sees to n_partitions x k rows per stratum (a
+    row's local rank <= its global rank, so every global winner survives;
+    the winners are the global order's first k and all precede any pruned
+    row, so re-ranking the remnant yields the identical k — property-
+    tested against the single-window path). Winners (<= k per stratum)
+    broadcast back as a semi-join, so no reducer ever receives a whole
+    stratum and the full rows move zero times. Rank truncation is
+    deterministic (hash then id tiebreak), so reruns and engines agree
+    row-for-row.
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    w = Window.partitionBy(strata_col).orderBy("__h", id_col)
-    return (
-        df.withColumn("__h", hash60(F.col(id_col).cast("string")))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__h", "__rk")
+    if not prepartition_prune:
+        w = Window.partitionBy(strata_col).orderBy("__h", id_col)
+        return (
+            df.withColumn("__h", hash60(F.col(id_col).cast("string")))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__h", "__rk")
+        )
+    slim = (
+        df.select(strata_col, id_col)
+        .withColumn("__h", hash60(F.col(id_col).cast("string")))
+        .withColumn("__part", F.spark_partition_id())
     )
+    wl = Window.partitionBy(strata_col, "__part").orderBy("__h", id_col)
+    pruned = (
+        slim.withColumn("__lrk", F.row_number().over(wl))
+        .filter(F.col("__lrk") <= k)
+        .drop("__part", "__lrk")
+    )
+    wg = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    winners = (
+        pruned.withColumn("__rk", F.row_number().over(wg))
+        .filter(F.col("__rk") <= k)
+        .select(strata_col, id_col)
+    )
+    return df.join(F.broadcast(winners), [strata_col, id_col], "left_semi")

@@ -269,3 +269,67 @@ def test_semantic_dedup_keeps_cell_minimum(spark, sf_dir):
         # the greedy keep-lowest-id rule can never mark a cell's lowest id
         # as duplicate (no lower-id neighbor exists in the cell)
         assert not lowest.is_dup
+
+
+def test_budget_mix_prune_equals_single_window(spark, sf_dir):
+    """The scale path (per-(stratum, partition) budget prefix, then the
+    global stratum window over the remnant) must select the EXACT same
+    rows as the single-window path, for any input partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(
+        (r.doc_id, r.source, r.n_tokens)
+        for r in curation.budget_mix(
+            docs, base_budget=300, boosts={"src0": 900},
+            prepartition_prune=False,
+        ).collect()
+    )
+    for nparts in (1, 3, 16):
+        got = sorted(
+            (r.doc_id, r.source, r.n_tokens)
+            for r in curation.budget_mix(
+                docs.repartition(nparts), base_budget=300,
+                boosts={"src0": 900},
+            ).collect()
+        )
+        assert got == want, f"nparts={nparts}"
+
+
+def test_sample_k_prune_equals_single_window(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(
+        (r.doc_id, r.source)
+        for r in curation.sample_k_per_stratum(
+            docs, 7, prepartition_prune=False
+        ).select("doc_id", "source").collect()
+    )
+    for nparts in (1, 3, 16):
+        got = sorted(
+            (r.doc_id, r.source)
+            for r in curation.sample_k_per_stratum(
+                docs.repartition(nparts), 7
+            ).select("doc_id", "source").collect()
+        )
+        assert got == want, f"nparts={nparts}"
+    # exactly k where the stratum is big enough
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got_sizes = {r.source: r.n for r in curation.sample_k_per_stratum(docs, 7)
+                 .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in sizes.items():
+        assert got_sizes.get(s, 0) == min(7, n)
+
+
+def test_stratum_selection_scale_plan_shapes(spark, sf_dir):
+    """Plan guards for the 100 TB shape: the pre-prune stage is present
+    (spark_partition_id feeds the first window) and sample_k's winners
+    return via a broadcast semi-join — full rows never hash-shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    mix_plan = curation.budget_mix(docs, base_budget=300)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in mix_plan.upper()
+    assert mix_plan.count("Window") >= 2
+
+    sk = curation.sample_k_per_stratum(docs, 7)
+    sk_plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in sk_plan.upper()
+    assert "BroadcastHashJoin" in sk_plan and "LeftSemi" in sk_plan
