@@ -125,18 +125,17 @@ def catalog_type_to_spark(type_str: str) -> T.DataType:
     s = type_str.strip().lower()
     if "timestamp" in s:
         return T.TimestampType()
-    m = _re.search(r"character\s+varying\s*\((\d+)\)", s) or _re.search(
-        r"character\s*\((\d+)\)", s
-    )
+    m = _re.search(r"(?:character\s+varying|character|varchar)\s*\((\d+)\)", s)
     if m:
         return T.StringType()  # length carried via metadata by catalog_to_struct
     if "boolean" in s:
         return T.BooleanType()
     if "date" in s:
         return T.DateType()
-    if "double precision" in s:
+    # "double precision" (pg_table_def) / "double" (JDBC metadata, Derby)
+    if "double" in s:
         return T.DoubleType()
-    m = _re.search(r"numeric\s*\((\d+)\s*,\s*(\d+)\)", s)
+    m = _re.search(r"(?:numeric|decimal)\s*\((\d+)\s*,\s*(\d+)\)", s)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
     if "real" in s:
@@ -161,7 +160,7 @@ def catalog_to_struct(rows: list[tuple[str, str]]) -> T.StructType:
         dt = catalog_type_to_spark(type_str)
         meta: dict = {}
         s = type_str.strip().lower()
-        m = _re.search(r"(?:character\s+varying|character)\s*\((\d+)\)", s)
+        m = _re.search(r"(?:character\s+varying|character|varchar)\s*\((\d+)\)", s)
         if m:
             meta["maxlength"] = int(m.group(1))
         if "super" in s:
