@@ -49,12 +49,24 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # everything else follows in catalog order (all of those have green rows in
 # CORRECTNESS_r01/r02 already).
 _DRIVER_CHECK_FIRST = [
-    # never driver-checked as of round 2 (CORRECTNESS_r02 capped at 50/66).
-    # dedup_embedding / sim_ivf_topk / multimodal_binary_meta /
-    # multimodal_frame_sample are NOT re-listed: they hold green r1 driver
-    # rows (VERDICT r2), and the cap is ~50 — their slots go to queries
-    # with no driver row in ANY round.
+    # round 4: every query holds a driver row across r01-r03; the two
+    # whose signal changed this round go first — corpus_group_stats was
+    # the r3 red row (oracle type fixed: CAST(sum AS BIGINT)) and
+    # events_approx_distinct had no oracle until now (deterministic
+    # exact-count + in-query error-bound flag)
     "corpus_group_stats",
+    "events_approx_distinct",
+    # new in round 4 — no driver rows yet
+    "dedup_lsh_incremental",
+    "corpus_stats_approx_audit",
+    # queries whose Spark plan changed in round 4 (per-stratum pre-prune /
+    # localCheckpoint) — re-confirm their rows stay green
+    "doc_source_mix",
+    "doc_sample_k_per_source",
+    "q11_important_parts",
+    "cdc_scd2_history",
+    # r3-first-checked set retained (their r3 rows are green; keeping the
+    # order stable costs nothing under the ~50 cap)
     "dedup_keep_one",
     "emb_kmeans",
     "emb_normalize",
@@ -108,7 +120,7 @@ _DRIVER_CHECK_FIRST = [
 
 
 def _ordered_specs():
-    first = [n for n in _DRIVER_CHECK_FIRST if n in SPECS]
+    first = [n for n in dict.fromkeys(_DRIVER_CHECK_FIRST) if n in SPECS]
     rest = [n for n in SPECS if n not in set(first)]
     for n in first + rest:
         yield n, SPECS[n]

@@ -53,8 +53,9 @@ def main() -> None:
                "dedup_ngram_jaccard", "text_winnow_pairs", "emb_kmeans",
                # r3: localCheckpoint-materialized relations
                "dedup_semantic", "dedup_minhash_eval",
-               # r4: q11's aggregated relation is localCheckpoint'd
-               "q11_important_parts"}
+               # r4: localCheckpoint'd relations (q11's agg; the
+               # incremental-LSH candidate set)
+               "q11_important_parts", "dedup_lsh_incremental"}
     timings: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]

@@ -196,6 +196,43 @@ def minhash_signatures(sets_: DataFrame, num_hashes: int) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+) -> DataFrame:
+    """Banded-signature index of a corpus: one (doc_id, band, bkey) row per
+    band — the persistable artifact of MinHash-LSH. Build it ONCE for the
+    standing corpus (and store it partitioned/bucketed by (band, bkey));
+    every new ingest batch then dedups against the corpus by joining its
+    own (tiny) band relation to this index — see
+    `minhash_lsh_incremental`. Size is exactly docs x n_bands rows of
+    (id, int, short string), independent of document length."""
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    sig = minhash_signatures(sets_, num_hashes)
+    n_bands = num_hashes // band_size
+    band_rows = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{bi * band_size + r}").cast("string")
+                    for r in range(band_size)
+                ],
+            ).alias("bkey"),
+        )
+        for bi in range(n_bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -213,26 +250,10 @@ def minhash_lsh_pairs(
     shingle Jaccard, so the output has no false positives — only bounded
     false-negative probability, which is the documented LSH trade-off.
     """
-    sets_ = _shingle_sets(df, id_col, text_col, n)
-    sig = minhash_signatures(sets_, num_hashes)
-    # band rows from the wide signature: (doc_id, band, "mh_i,mh_j")
-    n_bands = num_hashes // band_size
-    band_rows = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{bi * band_size + r}").cast("string")
-                    for r in range(band_size)
-                ],
-            ).alias("bkey"),
-        )
-        for bi in range(n_bands)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bkey")
+    bands = lsh_band_index(
+        df, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, band_size=band_size,
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])
@@ -268,6 +289,80 @@ def minhash_lsh_pairs(
         cand.join(seta, "doc_a")
         .join(setb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs (doc_new, doc_old, jaccard) between a NEW ingest
+    batch and the EXISTING corpus — the crawl-ingest shape: the standing
+    corpus is never re-signed, only joined through its prebuilt
+    `lsh_band_index` (pass `index=` to reuse a stored one; built here
+    from `corpus` otherwise).
+
+    Per-ingest cost is proportional to the batch (its shingles + bands)
+    plus the matched candidates: the candidate join hits the index on
+    (band, bkey) — with the index stored bucketed on those keys, only
+    the batch's bands move — and exact-Jaccard verification rebuilds
+    shingle sets ONLY for docs that appear in a candidate pair (semi-
+    joined on both sides), so a 100 TB corpus contributes a few rows per
+    match, not a scan. Output has no false positives (every candidate is
+    exact-verified); false-negative probability is the banding bound
+    1-(1-j^r)^b, identical to `minhash_lsh_pairs`.
+
+    Within-batch duplicates are NOT reported — run `minhash_lsh_pairs`
+    on the batch for that (cheap: the batch is small); this operator's
+    contract is strictly batch-vs-corpus.
+    """
+    if index is None:
+        index = lsh_band_index(
+            corpus, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, band_size=band_size,
+        )
+    new_bands = lsh_band_index(
+        new_docs, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, band_size=band_size,
+    )
+    cand = (
+        new_bands.alias("a")
+        .join(index.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_old"),
+        )
+        .distinct()
+        # two consumers below (each side's id restriction) + the final
+        # pair join — materialize the small candidate set once
+        .localCheckpoint()
+    )
+    new_ids = cand.select(F.col("doc_new").alias(id_col)).distinct()
+    old_ids = cand.select(F.col("doc_old").alias(id_col)).distinct()
+    new_sets = _shingle_sets(
+        new_docs.join(F.broadcast(new_ids), id_col, "semi"), id_col, text_col, n
+    ).select(F.col("doc_id").alias("doc_new"), F.col("sh_set").alias("set_n"))
+    old_sets = _shingle_sets(
+        corpus.join(F.broadcast(old_ids), id_col, "semi"), id_col, text_col, n
+    ).select(F.col("doc_id").alias("doc_old"), F.col("sh_set").alias("set_o"))
+    inter = F.size(F.array_intersect("set_n", "set_o"))
+    jac = inter.cast("double") / (
+        F.size("set_n") + F.size("set_o") - inter
+    ).cast("double")
+    return (
+        cand.join(new_sets, "doc_new")
+        .join(old_sets, "doc_old")
+        .select("doc_new", "doc_old", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -349,6 +349,63 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup_text.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _minhash_incremental_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    """Replays minhash_lsh_incremental(): same signatures/bands as
+    _minhash_oracle, candidates restricted to new-batch x standing-corpus
+    (the oracle signs everything — only the RESULT must match; the Spark
+    side demonstrates the incremental cost shape)."""
+    from ..functions.dedup_text import _MH_H30, _MH_P, _mh_params
+
+    mins = ",\n              ".join(
+        f"min(({a} * h30 + {b}) % {_MH_P}) AS mh{s}"
+        for s, (a, b) in ((s, _mh_params(s)) for s in range(num_hashes))
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_size + r}::VARCHAR" for r in range(band_size)
+            ),
+        )
+        for bi in range(num_hashes // band_size)
+    )
+    return f"""WITH {_SH_SETS},
+ex AS (SELECT doc_id, {_HASH60.format(x="sh")} % {_MH_H30} AS h30
+       FROM (SELECT doc_id, unnest(sh_set) AS sh FROM sh_sets) u),
+sig AS (SELECT doc_id,
+              {mins}
+        FROM ex GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+j AS (SELECT doc_new, doc_old,
+             CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+               / CAST(len(sa.sh_set) + len(sb.sh_set)
+                      - len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN sh_sets sa ON sa.doc_id = cand.doc_new
+      JOIN sh_sets sb ON sb.doc_id = cand.doc_old)
+SELECT doc_new, doc_old, jaccard FROM j WHERE jaccard >= 0.5"""
+
+
+@_spec(
+    "dedup_lsh_incremental",
+    "crawl-ingest dedup: a new batch (doc_id % 10 = 0) near-dup-checked "
+    "against the standing corpus through its prebuilt banded LSH index — "
+    "the corpus is never re-signed; signatures are computed for the batch "
+    "only, candidates join the stored (band, bkey) index, and exact-"
+    "Jaccard verification touches only matched docs",
+    _minhash_incremental_oracle(),
+)
+def q_dedup_lsh_incremental(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup_text.minhash_lsh_incremental(new, corpus)
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -727,6 +784,52 @@ def q_text_ngram_counts(spark, sf_dir):
 )
 def q_corpus_group_stats(spark, sf_dir):
     return text.corpus_group_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "corpus_stats_approx_audit",
+    "scale-path percentile audit: exact interpolated p50 per (lang, "
+    "source) PLUS a flag auditing the approx_percentile sketch (the "
+    "100 TB escape hatch corpus_group_stats documents for giant groups) "
+    "on the guarantee it actually makes — the RANK of the returned "
+    "element is within 1/n + n/accuracy of the target (a value-distance "
+    "bound would be wrong: on a 2-row group the discrete sketch "
+    "legitimately returns an endpoint far from the interpolated median). "
+    "Deterministic outputs only, so the sketch path runs under a "
+    "hash-checked oracle (same pattern as events_approx_distinct)",
+    """SELECT lang, source,
+              quantile_cont(n_chars, 0.50) AS p50_exact,
+              TRUE AS approx_within_bounds
+       FROM documents GROUP BY lang, source""",
+)
+def q_corpus_stats_approx_audit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars"
+    )
+    # pass 1: the sketch per group (combinable agg); ~100 group rows
+    ap = docs.groupBy("lang", "source").agg(
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("__ap")
+    )
+    # pass 2: broadcast the tiny sketch-result table back and measure the
+    # returned value's true rank in its group
+    return (
+        docs.join(F.broadcast(ap), ["lang", "source"])
+        .groupBy("lang", "source")
+        .agg(
+            F.percentile("n_chars", F.lit(0.5)).alias("p50_exact"),
+            (
+                F.sum((F.col("n_chars") <= F.col("__ap")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("__rank"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn(
+            "approx_within_bounds",
+            F.abs(F.col("__rank") - F.lit(0.5))
+            <= F.lit(1.0) / F.col("__n") + F.lit(0.01),
+        )
+        .select("lang", "source", "p50_exact", "approx_within_bounds")
+    )
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:

@@ -246,10 +246,14 @@ def test_semantic_dedup_assignment_materialized_once(spark, sf_dir):
     assert plan.count("Exchange") <= 5
 
 
-def test_source_mix_single_shuffle(spark, sf_dir):
-    # one hash exchange on the stratum for the running-total window; token
-    # counting and the ordering hash stay map-side
+def test_source_mix_two_window_prune_shape(spark, sf_dir):
+    # r4 scale shape: window 1 over (stratum, input-partition) keeps each
+    # partition's local budget prefix (no reducer ever sees a whole
+    # stratum), window 2 over the bounded remnant decides the winners.
+    # Token counting and the ordering hash stay map-side; only the narrow
+    # (id, stratum, n_tokens, hash) projection ever shuffles.
     plan = plan_of(spark, sf_dir, "doc_source_mix")
-    assert plan.count("Exchange") == 1
-    assert plan.count("Window") == 1
+    assert "SPARK_PARTITION_ID" in plan.upper()  # the prune stage exists
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan
