@@ -55,7 +55,8 @@ def main() -> None:
                "dedup_semantic", "dedup_minhash_eval",
                # r4: localCheckpoint'd relations (q11's agg; the
                # incremental-LSH candidate set)
-               "q11_important_parts", "dedup_lsh_incremental"}
+               "q11_important_parts", "dedup_lsh_incremental",
+               "text_tfidf_topk"}
     timings: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]
