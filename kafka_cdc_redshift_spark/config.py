@@ -33,6 +33,11 @@ class SyncRule:
     timestamp_columns: tuple[str, ...] = ()   # string -> timestamp
     timestamp_format: str = DEFAULT_TS_FORMAT
     date_columns: tuple[str, ...] = ()        # epoch-days int -> date
+    # clustering maintenance: when the job's periodic compaction rewrites
+    # this rule's target, re-cluster it on the z-order curve of these
+    # columns (the Spark-side analog of the reference's sortkey choice,
+    # restored each VACUUM cycle — see operators/layout.compact_table)
+    zorder_columns: tuple[str, ...] = ()
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -94,10 +99,11 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 timestamp_columns=ts_cols,
                 timestamp_format=ts_fmt or DEFAULT_TS_FORMAT,
                 date_columns=_split(it.get("date_columns", "")),
+                zorder_columns=_split(it.get("zorder_columns", "")),
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
-                    "scd2_history",
+                    "scd2_history", "zorder_columns",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

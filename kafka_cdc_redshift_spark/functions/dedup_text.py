@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..util import spread
@@ -204,6 +204,7 @@ def lsh_band_index(
     n: int = 3,
     num_hashes: int = 12,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-signature index of a corpus: one (doc_id, band, bkey) row per
     band — the persistable artifact of MinHash-LSH. Build it ONCE for the
@@ -228,9 +229,35 @@ def lsh_band_index(
         )
         for bi in range(n_bands)
     ]
-    return sig.select(
+    out = sig.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bkey")
+    # build-time hot-bucket cap (see _cap_hot_buckets): a STORED index
+    # should be built with this so no ingest ever meets a quadratic bucket
+    if max_bucket is not None:
+        out = _cap_hot_buckets(out, max_bucket)
+    return out
+
+
+def _cap_hot_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (band, bkey) buckets holding more than `max_bucket` docs before
+    the candidate self-join. A hot bucket (boilerplate, near-empty docs,
+    adversarial repeats) generates O(bucket²) candidate pairs — at corpus
+    scale one million-doc bucket is a trillion-pair reducer. The cap is
+    the LSH analog of jaccard_pairs' stop-shingle cut: docs sharing a
+    dropped bucket usually co-occur in other, rarer buckets, so recall
+    loss concentrates on pathological clusters (which exact-dedup or a
+    dedicated boilerplate pass should own anyway).
+
+    The bucket count is a window over the join's OWN key, so after the
+    one hash exchange on (band, bkey) the count, the filter, and the
+    self-join all run co-partitioned — no extra shuffle."""
+    w = Window.partitionBy("band", "bkey")
+    return (
+        bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
 
 
 def minhash_lsh_pairs(
@@ -242,6 +269,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     band_size: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verification.
 
@@ -249,10 +277,13 @@ def minhash_lsh_pairs(
     P(candidate) = 1-(1-j^r)^b). Each candidate is then verified with exact
     shingle Jaccard, so the output has no false positives — only bounded
     false-negative probability, which is the documented LSH trade-off.
+    `max_bucket` (optional) caps candidate-bucket size for hot-key safety
+    at corpus scale — see `_cap_hot_buckets`; None preserves exact
+    recall-parity with the SQL oracle.
     """
     bands = lsh_band_index(
         df, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes, band_size=band_size,
+        num_hashes=num_hashes, band_size=band_size, max_bucket=max_bucket,
     )
     cand = (
         bands.alias("a")
@@ -304,6 +335,7 @@ def minhash_lsh_incremental(
     num_hashes: int = 12,
     band_size: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (doc_new, doc_old, jaccard) between a NEW ingest
     batch and the EXISTING corpus — the crawl-ingest shape: the standing
@@ -329,10 +361,11 @@ def minhash_lsh_incremental(
         index = lsh_band_index(
             corpus, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, band_size=band_size,
+            max_bucket=max_bucket,
         )
     new_bands = lsh_band_index(
         new_docs, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes, band_size=band_size,
+        num_hashes=num_hashes, band_size=band_size, max_bucket=max_bucket,
     )
     cand = (
         new_bands.alias("a")

@@ -80,6 +80,8 @@ def compact_table(
     *,
     target_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 4,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 12,
 ) -> int | None:
     """Compact a store table's current version to ~`target_bytes` files.
 
@@ -88,6 +90,14 @@ def compact_table(
     shuffle), and republishes through the store's atomic pointer flip.
     Returns the new version, or None when the table is already compact
     (fewer than `min_files_to_compact` files or already at target size).
+
+    `zorder_cols` upgrades the rewrite to a CLUSTERING compaction: since
+    compaction already rewrites every row, re-clustering on the z-order
+    curve rides the same job for one extra range shuffle — the combined
+    VACUUM + sortkey maintenance a warehouse runs as one pass. Per-batch
+    CDC publishes destroy clustering over time; the periodic compaction
+    cycle is exactly when to restore it. Falls back to plain coalesce
+    when the table is empty.
 
     Works against any `ParquetTargetStore`-shaped store (local FS here; the
     same listing maps to an object-store inventory at scale).
@@ -109,6 +119,18 @@ def compact_table(
     if n >= len(files):
         return None
     df = store.read(spark, table)
+    if zorder_cols:
+        try:
+            key, _ = zorder_key(df, zorder_cols, bits=zorder_bits)
+        except EmptyLayoutInput:
+            return store.publish(df.coalesce(n), table)
+        clustered = (
+            df.withColumn("__z", key)
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        return store.publish(clustered, table)
     return store.publish(df.coalesce(n), table)
 
 

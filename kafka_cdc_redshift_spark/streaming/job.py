@@ -303,10 +303,13 @@ class CdcBatchProcessor:
         from ..operators.layout import compact_table
 
         for rule in self.rules:
-            tables = [rule.target_name]
+            # (table, clustering): the delete log is append-only event data
+            # — size-compact it, but only the keyed target gets the rule's
+            # z-order clustering restored
+            tables = [(rule.target_name, tuple(rule.zorder_columns))]
             if rule.save_delete or rule.only_save_delete:
-                tables.append(f"{rule.target_name}_delete")
-            for t in tables:
+                tables.append((f"{rule.target_name}_delete", ()))
+            for t, zcols in tables:
                 # maintenance must not fail a batch whose data work already
                 # committed: a transient compaction error is recorded, not
                 # raised (the next cycle retries it)
@@ -314,6 +317,7 @@ class CdcBatchProcessor:
                     compact_table(
                         self.store, self.spark, t,
                         target_bytes=self.compact_target_bytes,
+                        zorder_cols=list(zcols) or None,
                     )
                 except Exception as e:  # noqa: BLE001
                     self.compact_errors.append((t, repr(e)))

@@ -394,3 +394,18 @@ def test_incremental_lsh_bucketed_index_no_index_shuffle(spark, sf_dir, tmp_path
         assert "Exchange" not in scan_part2, plan2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lsh_hot_bucket_cap_recall_and_degenerate(spark, sf_dir):
+    """max_bucket is the LSH analog of the jaccard stop-shingle cut: a
+    generous cap must not change the pair set on this corpus (no bucket
+    is hot at test SF), and a degenerate cap of 1 kills every candidate."""
+    from kafka_cdc_redshift_spark.functions import dedup_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = lambda r: (r.doc_a, r.doc_b, round(r.jaccard, 9))  # noqa: E731
+    base = sorted(map(key, dedup_text.minhash_lsh_pairs(docs).collect()))
+    capped = sorted(map(key, dedup_text.minhash_lsh_pairs(
+        docs, max_bucket=1000).collect()))
+    assert capped == base and base  # generous cap: pair set unchanged
+    assert dedup_text.minhash_lsh_pairs(docs, max_bucket=1).count() == 0

@@ -132,3 +132,47 @@ def test_zorder_empty_and_allnull_inputs(spark, sf_dir, tmp_path):
     nonnum = ev.withColumn("value", F.lit("not-a-number"))
     with _pytest.raises(ValueError, match="non-numeric"):
         zorder_key(nonnum, ["user_id", "value"])
+
+
+def test_compact_table_with_zorder_restores_clustering(spark, sf_dir, tmp_path):
+    """Clustering compaction: per-batch CDC publishes fragment AND
+    de-cluster a table; compact_table(zorder_cols=...) rides the
+    already-paid rewrite to restore both — fewer files and file-level
+    pruning on every z-order dimension."""
+    from kafka_cdc_redshift_spark.operators.layout import compact_table
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    ev = load_table(spark, sf_dir, "events")
+    # simulate many tiny unclustered batch publishes
+    store.publish(ev.repartition(24, "event_id"), "events")
+    p0 = store.path("events")
+    files0 = len(_dir_data_files(p0))
+    assert files0 >= 20
+
+    # size the target so compaction lands ~8 clustered files — enough to
+    # measurably prune, still a real shrink from 24
+    total = sum(sz for _, sz in _dir_data_files(p0))
+    v = compact_table(
+        store, spark, "events",
+        target_bytes=max(total // 8, 1),
+        zorder_cols=["user_id", "value"],
+    )
+    assert v == 1
+    back = store.read(spark, "events")
+    assert back.count() == ev.count()
+    files1 = len(_dir_data_files(store.path("events")))
+    assert files1 < files0
+
+    # pruning on both clustered dimensions after compaction
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert n_files > 1
+    u_lo, u_hi = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    v_lo, v_hi = ev.agg(F.min("value"), F.max("value")).first()
+    for pred in (
+        F.col("user_id") <= u_lo + (u_hi - u_lo) // 8,
+        F.col("value") <= v_lo + (v_hi - v_lo) / 8,
+    ):
+        touched = (
+            back.filter(pred).select(F.input_file_name()).distinct().count()
+        )
+        assert touched < n_files, f"{pred}: no pruning ({touched}/{n_files})"

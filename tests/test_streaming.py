@@ -344,3 +344,44 @@ def test_scd2_history_stream_matches_full_rebuild(spark, sf_dir, tmp_path):
     assert got == want
     # the latest-state target still merges normally alongside
     assert store.read(spark, "orders").count() > 0
+
+
+def test_periodic_compaction_restores_zorder_clustering(spark, sf_dir, tmp_path):
+    """A rule with zorder_columns gets its clustering restored by the
+    scheduled compaction pass (the combined VACUUM + sortkey cycle):
+    after compacting a fragmented unclustered target, files prune on the
+    clustered column; the delete log is size-compacted only."""
+    from kafka_cdc_redshift_spark.config import parse_sync_rules
+    from kafka_cdc_redshift_spark.operators.layout import _dir_data_files
+
+    store = ParquetTargetStore(str(tmp_path / "zstore"))
+    rules = parse_sync_rules(
+        '[{"db": "salesdb", "table": "orders", "primary_key": "o_orderkey",'
+        ' "zorder_columns": "o_orderkey,o_totalprice"}]'
+    )
+    assert rules[0].zorder_columns == ("o_orderkey", "o_totalprice")
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+        max_workers=2,
+        compact_every_n_batches=1,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    # fragmented, hash-scattered publish (what many tiny merges leave)
+    store.publish(orders.repartition(24, "o_custkey"), "orders")
+    total = sum(sz for _, sz in _dir_data_files(store.path("orders")))
+    proc.compact_target_bytes = max(total // 6, 1)  # land ~6 files
+    proc._batches_since_compact = 0
+    proc._maybe_compact()
+    assert not proc.compact_errors, proc.compact_errors
+
+    back = store.read(spark, "orders")
+    assert back.count() == orders.count()
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert 1 < n_files < 24
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    touched = (
+        back.filter(F.col("o_orderkey") <= lo + (hi - lo) // 8)
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert touched < n_files, f"no pruning ({touched}/{n_files})"
