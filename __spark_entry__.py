@@ -44,84 +44,54 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 # The driver's correctness check records at most ~50 queries per round, in
-# registration order. Queries with no green driver row yet (new this round,
-# or never reached in a prior round) are listed here so they register FIRST;
-# everything else follows in catalog order (all of those have green rows in
-# CORRECTNESS_r01/r02 already).
+# registration order. This list pins the queries that MUST be checked this
+# round (new, or changed signal/plan); the rest register stalest-driver-
+# row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 4: every query holds a driver row across r01-r03; the two
-    # whose signal changed this round go first — corpus_group_stats was
-    # the r3 red row (oracle type fixed: CAST(sum AS BIGINT)) and
-    # events_approx_distinct had no oracle until now (deterministic
-    # exact-count + in-query error-bound flag)
+    # round 4 priority: the two whose driver signal changed this round
+    # (corpus_group_stats was the r3 red row — oracle type fixed;
+    # events_approx_distinct gained its first oracle), the two brand-new
+    # queries, and the four whose Spark plans changed (per-stratum
+    # pre-prune / localCheckpoint / SCD2 tiebreak). Everything after this
+    # list is ordered stalest-driver-row-first (see _stale_first) so the
+    # ~50-row cap rotates fresh rows across the whole catalog.
     "corpus_group_stats",
     "events_approx_distinct",
-    # new in round 4 — no driver rows yet
     "dedup_lsh_incremental",
     "corpus_stats_approx_audit",
-    # queries whose Spark plan changed in round 4 (per-stratum pre-prune /
-    # localCheckpoint) — re-confirm their rows stay green
     "doc_source_mix",
     "doc_sample_k_per_source",
     "q11_important_parts",
     "cdc_scd2_history",
-    # r3-first-checked set retained (their r3 rows are green; keeping the
-    # order stable costs nothing under the ~50 cap)
-    "dedup_keep_one",
-    "emb_kmeans",
-    "emb_normalize",
-    "emb_quantize",
-    "multimodal_feature_extract",
-    "text_commonness",
-    "text_gopher_filters",
-    "text_ngram_counts",
-    "text_pii_redact",
-    "text_repetition",
     "text_tfidf_topk",
-    # new in round 3 (plans/catalog_ext.py) — no driver rows yet
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "events_moving_avg",
-    "events_pivot_counts",
-    "orders_cube",
-    "customers_lapsed",
-    "doc_len_quantiles",
-    "doc_chunks",
-    "sim_pair_hist",
-    "events_sliding_rollup",
-    "dedup_minhash_eval",
-    # late round 3 (remaining TPC-H shapes + LLM-pipeline ops)
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipping",
-    "q20_excess_suppliers",
-    "q21_sole_late_supplier",
-    "dedup_semantic",
-    "doc_source_mix",
-    "doc_chunk_dedup",
-    "doc_contamination",
-    "events_gapfill_locf",
-    "cdc_scd2_history",
-    "curation_pipeline_v2",
-    "profile_documents",
-    "events_value_deciles",
-    "events_value_percentiles",
-    "events_winsorize_bounds",
-    "doc_sample_k_per_source",
-    "events_value_hour_corr",
 ]
+
+
+def _stale_first() -> list[str]:
+    """Order the non-priority tail by driver-row staleness: queries whose
+    most recent CORRECTNESS row is oldest come first, so the driver's
+    ~50-row cap rotates fresh rows across the whole catalog over rounds
+    instead of re-checking the same prefix. Reads the CORRECTNESS_r*.json
+    records committed in the repo root; falls back to catalog order."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_round: dict[str, int] = {}
+    try:
+        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            rnd = int(path.rsplit("CORRECTNESS_r", 1)[1].split(".")[0])
+            for name in json.load(open(path)):
+                last_round[name] = max(last_round.get(name, 0), rnd)
+    except Exception:  # noqa: BLE001 - ordering is an optimization only
+        return list(SPECS)
+    return sorted(SPECS, key=lambda n: (last_round.get(n, 0), n))
 
 
 def _ordered_specs():
     first = [n for n in dict.fromkeys(_DRIVER_CHECK_FIRST) if n in SPECS]
-    rest = [n for n in SPECS if n not in set(first)]
+    seen = set(first)
+    rest = [n for n in _stale_first() if n not in seen]
     for n in first + rest:
         yield n, SPECS[n]
 
