@@ -59,6 +59,7 @@ _DRIVER_CHECK_FIRST = [
     "events_approx_distinct",
     "dedup_lsh_incremental",
     "corpus_stats_approx_audit",
+    "corpus_stats_incremental",
     "doc_source_mix",
     "doc_sample_k_per_source",
     "q11_important_parts",

@@ -832,6 +832,52 @@ def q_corpus_stats_approx_audit(spark, sf_dir):
     )
 
 
+@_spec(
+    "corpus_stats_incremental",
+    "incremental aggregate maintenance: the corpus census folded from "
+    "three ingest batches via algebraic partial-stats merge (n/sum/sumsq "
+    "add, min/max fold — O(|groups|) per batch, corpus never rescanned), "
+    "with mean/variance DERIVED from the mergeable parts at read time; "
+    "oracle computes the same census directly over the full table, so "
+    "incremental == from-scratch is the checked contract",
+    """SELECT lang, source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(min(n_chars) AS BIGINT) AS min_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_chars,
+              CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS mean_chars,
+              (CAST(sum(n_chars::BIGINT * n_chars::BIGINT) AS DOUBLE)
+               - (CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
+                 / CAST(count(*) AS DOUBLE))
+              / CAST(count(*) AS DOUBLE) AS var_chars
+       FROM documents GROUP BY lang, source""",
+)
+def q_corpus_stats_incremental(spark, sf_dir):
+    from ..functions import incremental
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars", "doc_id"
+    )
+    keys = ["lang", "source"]
+    stats = None
+    for m in range(3):  # three "ingest batches"
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        stats = incremental.merge_group_stats(
+            stats, incremental.group_stats(batch, keys, "n_chars"), keys
+        )
+    return incremental.derive_stats(stats).select(
+        "lang",
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("sum").alias("total_chars"),
+        F.col("min").alias("min_chars"),
+        F.col("max").alias("max_chars"),
+        F.col("mean").alias("mean_chars"),
+        F.col("var_pop").alias("var_chars"),
+    )
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     """Replay every Lloyd iteration in SQL: assignment = argmin over the
     expanded-form distance (same association as Spark), update = exact

@@ -246,3 +246,25 @@ def test_live_catalog_probe_roundtrip(spark, sink):
     r = out.collect()[0]
     assert (r.cid, r.cname, float(r.score), str(r.amt)) == (7, "x", 1.5, "9.25")
     assert "ghost" not in out.columns
+
+
+def test_live_retry_drops_poisoned_stage(spark, sink):
+    """The reference's error path (redshift_sink.py:528-547): a staging
+    table left half-written/mismatched by a previous failure poisons the
+    next batch's stage append; apply_batch must drop it and retry once.
+    Exercised live: pre-create the stage with a CONFLICTING schema so the
+    first df.write.jdbc append fails, then assert the retry converged."""
+    from kafka_cdc_redshift_spark.streaming.sinks import stage_table_name
+
+    stage = stage_table_name("d", "retrytgt")
+    # poisoned leftover: same name, incompatible column set/types
+    sink.run_sql(
+        spark,
+        [f'CREATE TABLE {stage} ("wrong" VARCHAR(4))'],
+        tolerate_ddl=True,
+    )
+    sink.apply_batch(
+        _batch(spark, [(1, "a", "c"), (2, "b", "c")]),
+        db="d", table="retrytgt", keys=["pid"],
+    )
+    assert _read_target(spark, sink, "retrytgt") == {1: "a", 2: "b"}

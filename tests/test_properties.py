@@ -259,3 +259,43 @@ def test_scd2_tiebreak_incremental_equals_full_with_tied_ts(spark, rows, cut):
     assert got == want
     # the tiebreak column is ordering-only — it never lands in the history
     assert "data_index_aws" not in full.columns
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: folding any batching of the data
+# through merge_group_stats equals group_stats of the whole
+# ---------------------------------------------------------------------------
+
+vals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # group key
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=vals, nb=st.integers(min_value=1, max_value=5), salt=st.integers(0, 99))
+@settings(**SETTINGS)
+def test_incremental_stats_any_batching_equals_direct(spark, rows, nb, salt):
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import incremental
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, i long"
+    )
+    direct = incremental.group_stats(df, ["k"], "v")
+    stats = None
+    for b in range(nb):  # hash-arbitrary batching, any order
+        batch = df.filter((F.col("i") + salt) % nb == b)
+        if batch.isEmpty():
+            continue
+        stats = incremental.merge_group_stats(
+            stats, incremental.group_stats(batch, ["k"], "v"), ["k"]
+        )
+    cols = sorted(direct.columns)
+    got = sorted(map(tuple, stats.select(*cols).collect())) if stats is not None else []
+    want = sorted(map(tuple, direct.select(*cols).collect()))
+    assert got == want
