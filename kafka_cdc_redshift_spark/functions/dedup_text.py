@@ -196,6 +196,17 @@ def minhash_signatures(sets_: DataFrame, num_hashes: int) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
+def shingle_sketches(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sh_set) verification sketches — persist alongside the band
+    index (`lsh_band_index`) so future ingest batches can exact-verify
+    candidates without the original corpus text (see
+    `minhash_lsh_incremental(sketches=...)`). Size is the distinct
+    n-gram set per doc; at corpus scale store it bucketed by doc_id."""
+    return _shingle_sets(df, id_col, text_col, n)
+
+
 def lsh_band_index(
     df: DataFrame,
     *,
@@ -326,9 +337,10 @@ def minhash_lsh_pairs(
 
 def minhash_lsh_incremental(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     *,
     index: DataFrame | None = None,
+    sketches: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -356,7 +368,19 @@ def minhash_lsh_incremental(
     Within-batch duplicates are NOT reported — run `minhash_lsh_pairs`
     on the batch for that (cheap: the batch is small); this operator's
     contract is strictly batch-vs-corpus.
+
+    The corpus side can be given three ways: raw docs (`corpus` — index
+    and verification sets built here), a stored `index` (bands reused,
+    verification rebuilt from `corpus`), or fully doc-free: `index` +
+    `sketches` ((doc_id, sh_set) rows, e.g. `shingle_sketches` persisted
+    at ingest) — then the original corpus TEXT is never needed at all,
+    which is the streaming-ingest shape (streaming/dedup_ingest.py).
     """
+    if corpus is None and (index is None or sketches is None):
+        raise ValueError(
+            "minhash_lsh_incremental needs either `corpus` docs or both "
+            "`index` and `sketches`"
+        )
     if index is None:
         index = lsh_band_index(
             corpus, id_col=id_col, text_col=text_col, n=n,
@@ -385,9 +409,14 @@ def minhash_lsh_incremental(
     new_sets = _shingle_sets(
         new_docs.join(F.broadcast(new_ids), id_col, "semi"), id_col, text_col, n
     ).select(F.col("doc_id").alias("doc_new"), F.col("sh_set").alias("set_n"))
-    old_sets = _shingle_sets(
-        corpus.join(F.broadcast(old_ids), id_col, "semi"), id_col, text_col, n
-    ).select(F.col("doc_id").alias("doc_old"), F.col("sh_set").alias("set_o"))
+    if sketches is not None:
+        old_sets = sketches.join(F.broadcast(old_ids), id_col, "semi").select(
+            F.col("doc_id").alias("doc_old"), F.col("sh_set").alias("set_o")
+        )
+    else:
+        old_sets = _shingle_sets(
+            corpus.join(F.broadcast(old_ids), id_col, "semi"), id_col, text_col, n
+        ).select(F.col("doc_id").alias("doc_old"), F.col("sh_set").alias("set_o"))
     inter = F.size(F.array_intersect("set_n", "set_o"))
     jac = inter.cast("double") / (
         F.size("set_n") + F.size("set_o") - inter
