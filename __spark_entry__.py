@@ -48,23 +48,16 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 4 priority: the two whose driver signal changed this round
-    # (corpus_group_stats was the r3 red row — oracle type fixed;
-    # events_approx_distinct gained its first oracle), the two brand-new
-    # queries, and the four whose Spark plans changed (per-stratum
-    # pre-prune / localCheckpoint / SCD2 tiebreak). Everything after this
-    # list is ordered stalest-driver-row-first (see _stale_first) so the
-    # ~50-row cap rotates fresh rows across the whole catalog.
-    "corpus_group_stats",
-    "events_approx_distinct",
-    "dedup_lsh_incremental",
+    # round 5 priority: the r4 red row (corpus_stats_approx_audit — the
+    # audit's rank bound is now the tie-robust interval form; must green
+    # this round) and the two queries whose Spark plans changed
+    # (sample_k's duplicate-id dense_rank fix; scd2's cross-batch tie
+    # close guard). Everything after this list is ordered
+    # stalest-driver-row-first (see _stale_first) so the ~50-row cap
+    # rotates fresh rows across the whole catalog.
     "corpus_stats_approx_audit",
-    "corpus_stats_incremental",
-    "doc_source_mix",
     "doc_sample_k_per_source",
-    "q11_important_parts",
     "cdc_scd2_history",
-    "text_tfidf_topk",
 ]
 
 

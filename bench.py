@@ -58,17 +58,30 @@ def main() -> None:
                "q11_important_parts", "dedup_lsh_incremental",
                "text_tfidf_topk"}
     timings: dict[str, float] = {}
+    noise: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]
         if name in barrier and runs > 1:
             spec.spark(spark, sf_dir).count()  # warm, untimed
-        best = None
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        # host-noise escalation: when the first runs disagree by >2x the
+        # host was busy during one of them — take one extra sample so a
+        # phantom regression needs THREE bad draws, not one
+        if runs > 1 and max(samples) / max(min(samples), 1e-9) > 2.0:
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        # per-query noise evidence (max/min over its samples) so a reader
+        # can separate plan regressions from host noise without re-running;
+        # only noisy queries are recorded to keep the detail line small
+        ratio = max(samples) / max(min(samples), 1e-9)
+        if len(samples) > 1 and ratio > 1.5:
+            noise[name] = round(ratio, 2)
 
     total = round(sum(timings.values()), 3)
     # Two lines, detail first: the driver's tail capture is size-bounded and
@@ -77,7 +90,12 @@ def main() -> None:
     # truncation can only ever eat per-query detail, never the record.
     print(
         json.dumps(
-            {"detail": "per_query_sec", "queries": timings, "sf": float(sf)}
+            {
+                "detail": "per_query_sec",
+                "queries": timings,
+                "noise": noise,
+                "sf": float(sf),
+            }
         )
     )
     print(

@@ -38,6 +38,19 @@ class SyncRule:
     # columns (the Spark-side analog of the reference's sortkey choice,
     # restored each VACUUM cycle — see operators/layout.compact_table)
     zorder_columns: tuple[str, ...] = ()
+    # streaming near-dup ingest: run each batch's non-delete images
+    # through incremental MinHash-LSH against the standing corpus and
+    # fold them in (streaming/dedup_ingest.py). The rule's first primary
+    # key is the doc id; `dedup_text_column` is the content column.
+    dedup_ingest: bool = False
+    dedup_text_column: str = "text"
+    # incremental aggregate maintenance: keep <table>_stats — mergeable
+    # per-group stats of `stats_value_column` grouped by
+    # `stats_group_columns` — folded algebraically per batch
+    # (functions/incremental.py), batch-id-guarded like scd2_history.
+    # Contract: append-only feeds (each non-delete image counted once).
+    stats_group_columns: tuple[str, ...] = ()
+    stats_value_column: str | None = None
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -100,10 +113,16 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 timestamp_format=ts_fmt or DEFAULT_TS_FORMAT,
                 date_columns=_split(it.get("date_columns", "")),
                 zorder_columns=_split(it.get("zorder_columns", "")),
+                dedup_ingest=_flag(it.get("dedup_ingest", False)),
+                dedup_text_column=it.get("dedup_text_column") or "text",
+                stats_group_columns=_split(it.get("stats_group_columns", "")),
+                stats_value_column=it.get("stats_value_column") or None,
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
                     "scd2_history", "zorder_columns",
+                    "dedup_ingest", "dedup_text_column",
+                    "stats_group_columns", "stats_value_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

@@ -388,6 +388,16 @@ def sample_k_per_stratum(
     stratum and the full rows move zero times. Rank truncation is
     deterministic (hash then id tiebreak), so reruns and engines agree
     row-for-row.
+
+    Duplicate (stratum, id) rows: the two paths agree exactly only when
+    ids are unique within a stratum (the normal corpus contract). With
+    duplicates, the scale path samples k DISTINCT ids (the slim
+    projection is deduplicated before ranking) and returns every copy of
+    each sampled id — possibly more than k rows — while
+    `prepartition_prune=False` row_number-truncates to exactly k rows,
+    splitting copies arbitrarily. The distinct-id semantics is the
+    deliberate one for the scale path: "which documents" is a set
+    decision, and a semi-join cannot halve a duplicated id anyway.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -404,16 +414,21 @@ def sample_k_per_stratum(
         .withColumn("__h", hash60(F.col(id_col).cast("string")))
         .withColumn("__part", F.spark_partition_id())
     )
+    # dense_rank, not row_number: duplicate (stratum, id) copies tie on
+    # (__h, id) and must share a rank slot — with row_number, k copies of
+    # a low-ranked id could push a genuine global winner past the local
+    # cut (no extra shuffle; with unique ids dense_rank == row_number)
     wl = Window.partitionBy(strata_col, "__part").orderBy("__h", id_col)
     pruned = (
-        slim.withColumn("__lrk", F.row_number().over(wl))
+        slim.withColumn("__lrk", F.dense_rank().over(wl))
         .filter(F.col("__lrk") <= k)
         .drop("__part", "__lrk")
     )
     wg = Window.partitionBy(strata_col).orderBy("__h", id_col)
     winners = (
-        pruned.withColumn("__rk", F.row_number().over(wg))
+        pruned.withColumn("__rk", F.dense_rank().over(wg))
         .filter(F.col("__rk") <= k)
         .select(strata_col, id_col)
+        .distinct()  # bounded: <= n_partitions * k pairs per stratum
     )
     return df.join(F.broadcast(winners), [strata_col, id_col], "left_semi")

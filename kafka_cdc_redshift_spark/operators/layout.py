@@ -20,6 +20,7 @@ that contract become explicit operators:
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 
@@ -123,6 +124,19 @@ def compact_table(
         try:
             key, _ = zorder_key(df, zorder_cols, bits=zorder_bits)
         except EmptyLayoutInput:
+            return store.publish(df.coalesce(n), table)
+        except Exception as e:  # noqa: BLE001 - see below: degrade, don't fail
+            # A misconfigured zorder_columns entry (nonexistent column ->
+            # AnalysisException, all-NULL or non-numeric column ->
+            # ValueError) is NOT transient: raising here would fail every
+            # maintenance cycle and let small files accrue indefinitely.
+            # Clustering is an optimization; compaction is not — degrade
+            # to the size-only rewrite and surface the misconfiguration.
+            logging.getLogger(__name__).warning(
+                "z-order clustering for table %r skipped (mis-configured "
+                "zorder_columns %r: %s); falling back to size-only "
+                "compaction", table, zorder_cols, e,
+            )
             return store.publish(df.coalesce(n), table)
         clustered = (
             df.withColumn("__z", key)

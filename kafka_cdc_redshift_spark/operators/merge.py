@@ -175,18 +175,32 @@ def scd2_merge_batch(
     across batches (the Kafka-partition-by-key contract the reference
     pipeline already relies on).
 
-    Replay safety (foreachBatch is at-least-once): the close only fires
-    when the open version started strictly BEFORE the batch
-    (`__batch_start > valid_from`), so re-applying a batch whose versions
-    already landed can never invert an interval by closing the batch's
-    own open version at the batch's first timestamp. With the guard, a
-    re-applied batch contributes rows IDENTICAL to the ones already in
-    history; `dedup_replayed=True` removes them with a full-row
-    dropDuplicates scoped to the touched keys (full-row, so distinct
-    same-timestamp versions are never collapsed). The streaming job
-    instead skips replayed batches entirely via the store's transactional
-    batch_id (zero extra cost) — use `dedup_replayed` when maintaining a
-    history without transactional batch tracking.
+    Replay safety (foreachBatch is at-least-once) vs cross-batch ties —
+    two regimes, selected by `dedup_replayed`:
+
+    * `dedup_replayed=False` (default — the streaming job's path, which
+      skips replayed batches entirely via the store's transactional
+      batch_id, so each batch is applied EXACTLY once): the close fires
+      whenever the open version started at-or-before the batch
+      (`__batch_start >= valid_from`). The equality case is the
+      cross-batch same-timestamp tie — a genuinely new batch whose first
+      event for a key carries the SAME order_col value as the open
+      version's valid_from (millisecond CDC ties straddling a
+      micro-batch boundary). The open version is closed as a zero-length
+      version exactly like `scd2_history`'s full rebuild does for tied
+      events, preserving the ≤1-open-row-per-key invariant.
+    * `dedup_replayed=True` (no batch tracking, replays possible): the
+      close is STRICT (`__batch_start > valid_from`) so re-applying a
+      batch can never close the batch's own open version; replayed rows
+      are then removed with a full-row dropDuplicates scoped to the
+      touched keys (full-row, so distinct same-timestamp versions are
+      never collapsed). LIMITATION: on order_col alone this path cannot
+      distinguish "re-applied own open version" from "genuinely new
+      tied event", so a cross-batch tie leaves the old row open (two
+      current rows) until a later untied event closes it — with
+      at-least-once delivery and only an event-time column, that
+      ambiguity is inherent; use transactional batch tracking (the
+      default regime) when exact tie semantics matter.
 
     Scale shape: the only join is history against the batch's one-row-
     per-key first-event aggregate — broadcastable at any history size
@@ -204,10 +218,13 @@ def scd2_merge_batch(
     if history is None:
         return new_versions
     joined = history.join(F.broadcast(first_ts), list(keys), "left")
+    close_cmp = (
+        (F.col("__batch_start") > F.col("valid_from"))
+        if dedup_replayed
+        else (F.col("__batch_start") >= F.col("valid_from"))
+    )
     closed_expr = F.when(
-        F.col("is_current")
-        & F.col("__batch_start").isNotNull()
-        & (F.col("__batch_start") > F.col("valid_from")),
+        F.col("is_current") & F.col("__batch_start").isNotNull() & close_cmp,
         F.col("__batch_start"),
     ).otherwise(F.col("valid_to"))
     if not dedup_replayed:

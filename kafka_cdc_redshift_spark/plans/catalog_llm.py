@@ -811,22 +811,32 @@ def q_corpus_stats_approx_audit(spark, sf_dir):
         F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("__ap")
     )
     # pass 2: broadcast the tiny sketch-result table back and measure the
-    # returned value's true rank in its group
+    # returned value's true rank in its group. Under ties the rank of a
+    # value v is not a point but the INTERVAL [#(<v)/n, #(<=v)/n]; the
+    # sketch's guarantee holds iff that interval (widened by eps) covers
+    # the target 0.5. Using only the one-sided #(<=v)/n mis-flags an
+    # exact median that repeats (e.g. 2 of 5 rows tied at the median:
+    # le_rank=0.8, lt_rank=0.4, interval [0.4, 0.8] contains 0.5 — OK).
     return (
         docs.join(F.broadcast(ap), ["lang", "source"])
         .groupBy("lang", "source")
         .agg(
             F.percentile("n_chars", F.lit(0.5)).alias("p50_exact"),
             (
+                F.sum((F.col("n_chars") < F.col("__ap")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("__lt_rank"),
+            (
                 F.sum((F.col("n_chars") <= F.col("__ap")).cast("long"))
                 / F.count(F.lit(1))
-            ).alias("__rank"),
+            ).alias("__le_rank"),
             F.count(F.lit(1)).alias("__n"),
         )
+        .withColumn("__eps", F.lit(1.0) / F.col("__n") + F.lit(0.01))
         .withColumn(
             "approx_within_bounds",
-            F.abs(F.col("__rank") - F.lit(0.5))
-            <= F.lit(1.0) / F.col("__n") + F.lit(0.01),
+            (F.col("__lt_rank") - F.col("__eps") <= F.lit(0.5))
+            & (F.lit(0.5) <= F.col("__le_rank") + F.col("__eps")),
         )
         .select("lang", "source", "p50_exact", "approx_within_bounds")
     )

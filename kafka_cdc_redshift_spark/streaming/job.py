@@ -103,6 +103,27 @@ class CdcBatchProcessor:
         self._batches_since_compact = 0
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
         self.compact_errors: list[tuple[str, str]] = []  # (table, error)
+        self._dedup_ingestors: dict[str, object] = {}  # rule target -> DedupIngest
+
+    def _dedup_ingestor(self, rule: SyncRule):
+        """Lazily build one DedupIngest per dedup_ingest rule, stateful in
+        an AppendLog under the store root (survives restarts; replay-
+        idempotent via its committed-batch manifest)."""
+        ing = self._dedup_ingestors.get(rule.target_name)
+        if ing is None:
+            import os
+
+            from .dedup_ingest import DedupIngest
+            from .store import AppendLog
+
+            ing = DedupIngest(
+                AppendLog(os.path.join(self.store.root, "_dedup_state")),
+                name=rule.target_name,
+                id_col=rule.primary_key[0],
+                text_col=rule.dedup_text_column,
+            )
+            self._dedup_ingestors[rule.target_name] = ing
+        return ing
 
     # -- per-table task ----------------------------------------------------
     def _run_table(
@@ -233,6 +254,49 @@ class CdcBatchProcessor:
                         ],
                     )
                     self.store.publish(new_hist, htable, batch_id=batch_id)
+            if rule.stats_group_columns and rule.stats_value_column:
+                # incremental aggregate maintenance (functions/incremental):
+                # fold the batch's mergeable per-group stats into
+                # <table>_stats algebraically — O(|groups| + |batch|) per
+                # ingest, the corpus never rescanned. Batch-id-guarded like
+                # the SCD2 history: a checkpoint retry of a batch whose
+                # stats already committed is skipped, so at-least-once
+                # delivery cannot double-count. Contract: append-only feed
+                # (each non-delete image is one observation).
+                from ..functions.incremental import group_stats, merge_group_stats
+
+                stable = f"{rule.target_name}_stats"
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(stable) != batch_id
+                ):
+                    obs = (
+                        parsed.filter(F.col("op") != "d")
+                        if "op" in parsed.columns else parsed
+                    )
+                    bs = group_stats(
+                        obs, list(rule.stats_group_columns),
+                        rule.stats_value_column,
+                    )
+                    prev_stats = self.store.read(self.spark, stable)
+                    self.store.publish(
+                        merge_group_stats(
+                            prev_stats, bs, list(rule.stats_group_columns)
+                        ),
+                        stable, batch_id=batch_id,
+                    )
+            if rule.dedup_ingest:
+                # streaming near-dup ingest (streaming/dedup_ingest.py):
+                # the batch's non-delete images are deduped against the
+                # standing corpus (doc-free: persisted band index +
+                # sketches) and within themselves, then appended to the
+                # corpus state. Replay-idempotent via the AppendLog's
+                # committed-batch manifest.
+                docs = (
+                    parsed.filter(F.col("op") != "d")
+                    if "op" in parsed.columns else parsed
+                )
+                self._dedup_ingestor(rule).process_batch(docs, batch_id)
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253
@@ -312,7 +376,10 @@ class CdcBatchProcessor:
             for t, zcols in tables:
                 # maintenance must not fail a batch whose data work already
                 # committed: a transient compaction error is recorded, not
-                # raised (the next cycle retries it)
+                # raised (the next cycle retries it). Non-transient
+                # zorder_columns misconfiguration never lands here:
+                # compact_table degrades it to size-only compaction with a
+                # warning, so small files cannot accrue indefinitely.
                 try:
                     compact_table(
                         self.store, self.spark, t,

@@ -162,15 +162,30 @@ def build_merge_sql(
     `dialect="redshift"` (default) reproduces the reference's statement
     shape (DELETE USING + re-deduped INSERT, redshift_sink.py:477-509).
     `dialect="ansi_merge"` emits one standard `MERGE INTO` instead —
-    runnable on any SQL:2003 engine (Derby, Postgres 15+, and Redshift's
-    own MERGE) and executed live against embedded Derby in the test
-    suite. The MERGE form relies on the stage being unique per key (the
+    runnable on engines with full SQL:2008 MERGE (Derby, Postgres 15+;
+    executed live against embedded Derby in the test suite). NOTE: it
+    uses multiple refined WHEN MATCHED branches and a refined WHEN NOT
+    MATCHED, which Redshift's restricted MERGE (one matched + one
+    not-matched clause, no refinement predicates) does not accept — the
+    `redshift` dialect is the documented Redshift path.
+    The MERGE form relies on the stage being unique per key (the
     pipeline lww_dedups before staging; a duplicate key trips the
     engine's standard MERGE cardinality error instead of the redshift
     dialect's in-SQL re-dedup guard).
+    `dialect="delete_insert"` is the reference's DELETE-then-INSERT
+    statement SHAPE in portable SQL:2003 — correlated-EXISTS delete plus
+    DISTINCT INSERT SELECT — so the reference's merge strategy itself
+    (not just the MERGE INTO rewrite) is executable and execution-tested
+    on engines without Redshift's syntax extensions (live on Derby).
     """
     if dialect == "ansi_merge":
         return _build_ansi_merge_sql(
+            target=target, stage=stage, columns=columns, keys=keys,
+            op_col=op_col, delete_op=delete_op, skip_delete=skip_delete,
+            bootstrap=bootstrap,
+        )
+    if dialect == "delete_insert":
+        return _build_delete_insert_sql(
             target=target, stage=stage, columns=columns, keys=keys,
             op_col=op_col, delete_op=delete_op, skip_delete=skip_delete,
             bootstrap=bootstrap,
@@ -256,6 +271,57 @@ def _build_ansi_merge_sql(
     return stmts
 
 
+def _build_delete_insert_sql(
+    *,
+    target: str,
+    stage: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    op_col: str,
+    delete_op: str,
+    skip_delete: bool,
+    bootstrap: bool,
+) -> list[str]:
+    """Portable SQL:2003 form of the reference's DELETE-then-INSERT merge
+    (the `redshift` dialect's statement SHAPE, redshift_sink.py:477-509)
+    with the warehouse-only syntax replaced: a correlated-EXISTS DELETE
+    instead of `DELETE ... USING`, a `WITH NO DATA` CTAS instead of
+    `CREATE TABLE IF NOT EXISTS ... AS` (run_sql tolerates the
+    already-exists error), and a DISTINCT projection instead of the
+    in-SQL ROW_NUMBER re-dedup guard (W6) — Derby's window support has no
+    PARTITION BY. DISTINCT collapses the guard's actual W6 case (a
+    re-staged batch's identical rows); same-key-DIFFERENT-payload
+    duplicates still rely on the pipeline's lww_dedup-before-staging
+    contract: unlike MERGE they trip no engine cardinality error and
+    would all land in the target.
+    Executed live against embedded Derby in the test suite."""
+    cols_no_op = [c for c in columns if c != op_col]  # op never lands (P5)
+    collist = ", ".join(_q(c) for c in cols_no_op)
+    on = merge_condition(stage, target, keys)
+    # CLOB-staged op columns can't be compared with '=' on Derby (see
+    # _build_ansi_merge_sql) — CAST for the filter predicate
+    op_ref = f"CAST({_q(op_col)} AS VARCHAR(32))"
+    stmts: list[str] = []
+    if bootstrap:
+        stmts.append(
+            f"CREATE TABLE {target} AS "
+            f"SELECT {collist} FROM {stage} WITH NO DATA"
+        )
+    stmts.append("BEGIN")
+    stmts.append(
+        f"DELETE FROM {target} WHERE EXISTS "
+        f"(SELECT 1 FROM {stage} WHERE {on})"
+    )
+    delete_filter = "" if skip_delete else f" WHERE {op_ref} <> '{delete_op}'"
+    stmts.append(
+        f"INSERT INTO {target} ({collist}) "
+        f"SELECT DISTINCT {collist} FROM {stage}{delete_filter}"
+    )
+    stmts.append(f"TRUNCATE TABLE {stage}")
+    stmts.append("END")
+    return stmts
+
+
 class JdbcMergeSink:
     def __init__(self, url: str, *, user: str, password: str,
                  driver: str = "org.postgresql.Driver",
@@ -274,8 +340,9 @@ class JdbcMergeSink:
         # when set, apply_batch stages through S3+COPY (write_bulk_staged)
         # instead of row-batched JDBC inserts
         self.bulk = bulk
-        # "redshift" (reference statement shape) or "ansi_merge"
-        # (standard MERGE INTO — Derby/Postgres 15+/Redshift MERGE)
+        # "redshift" (reference statement shape, warehouse syntax),
+        # "ansi_merge" (standard MERGE INTO — Derby/Postgres 15+), or
+        # "delete_insert" (reference shape in portable SQL:2003)
         self.dialect = dialect
         # forwarded to the Spark JDBC writer (e.g. createTableColumnTypes
         # to keep strings VARCHAR on engines whose default mapping is CLOB)
@@ -376,7 +443,7 @@ class JdbcMergeSink:
             skip_delete=skip_delete, dialect=self.dialect,
         )
         props = self._props()
-        tolerant = self.dialect == "ansi_merge"
+        tolerant = self.dialect in ("ansi_merge", "delete_insert")
         drop_stage = (
             f"DROP TABLE {stage}" if tolerant else f"DROP TABLE IF EXISTS {stage}"
         )

@@ -135,3 +135,67 @@ class BucketedTargetStore(ParquetTargetStore):
             spark.sql(
                 f"DROP TABLE IF EXISTS {self._catalog_name(table, prev)}"
             )
+
+
+class AppendLog:
+    """Append-only parquet log with atomic per-batch commits — the state
+    backend for streaming operators whose state GROWS (the dedup-ingest
+    band index / sketch tables, streaming/dedup_ingest.py) where the
+    versioned store's full republish would cost O(corpus) per batch.
+
+    Layout: `root/table/batch=<id>/` parquet per appended batch plus a
+    `_manifest.json` listing committed batch ids, rewritten atomically
+    (os.replace) AFTER the batch directory is fully written — readers
+    only ever see committed directories, and a crash mid-write leaves an
+    uncommitted directory that the retry overwrites in place (the batch
+    directory is keyed by batch_id, so re-appending the same batch is
+    idempotent). Per-ingest write cost is O(|batch|); the standing state
+    is never rewritten. This is the minimal form of what a transactional
+    table format (Delta/Iceberg) calls an append commit; at 100 TB the
+    same tables map onto real format appends, and periodic compaction of
+    small batch files rides `operators/layout.compact_table`'s shape.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_manifest.json")
+
+    def committed(self, table: str) -> list:
+        try:
+            with open(self._manifest_path(table)) as f:
+                return json.load(f)["batches"]
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            return []
+
+    def has_batch(self, table: str, batch_id) -> bool:
+        return batch_id in self.committed(table)
+
+    def append(self, df: DataFrame, table: str, batch_id) -> None:
+        """Write `df` as `table`'s delta for `batch_id` and commit it.
+        Idempotent per batch_id: a replayed append overwrites the same
+        directory and the manifest add is a set-insert."""
+        if self.has_batch(table, batch_id):
+            return
+        out = os.path.join(self.root, table, f"batch={batch_id}")
+        df.write.mode("overwrite").parquet(out)
+        ids = self.committed(table)
+        ids.append(batch_id)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": ids}, f)
+        os.replace(tmp, self._manifest_path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Union of all committed deltas (None before the first commit).
+        Uncommitted/partial batch directories are invisible: the reader
+        lists the manifest, not the filesystem."""
+        ids = self.committed(table)
+        if not ids:
+            return None
+        paths = [
+            os.path.join(self.root, table, f"batch={b}") for b in ids
+        ]
+        return spark.read.parquet(*paths)

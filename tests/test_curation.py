@@ -319,6 +319,37 @@ def test_sample_k_prune_equals_single_window(spark, sf_dir):
         assert got_sizes.get(s, 0) == min(7, n)
 
 
+def test_sample_k_duplicate_ids(spark):
+    """ADVICE-low regression: duplicate (stratum, id) rows. The scale
+    path samples k DISTINCT ids and returns every copy of each (set
+    semantics), and a duplicated low-ranked id must never push a genuine
+    winner past the local prune cut (dense_rank, not row_number)."""
+    # stratum s: ids 1..10, with id 1 present 8 times (a hot duplicate)
+    rows = [("s", 1, f"copy{j}") for j in range(8)]
+    rows += [("s", i, "x") for i in range(2, 11)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, payload string")
+    for nparts in (1, 2, 8):
+        got = curation.sample_k_per_stratum(
+            df.repartition(nparts), 5, strata_col="source", id_col="doc_id"
+        ).collect()
+        ids = {r.doc_id for r in got}
+        assert len(ids) == 5, f"nparts={nparts}: {sorted(ids)}"
+        # the sampled distinct-id set equals the single-window set over
+        # DEDUPLICATED input (the well-defined reference semantics)
+        want = {
+            r.doc_id
+            for r in curation.sample_k_per_stratum(
+                df.dropDuplicates(["source", "doc_id"]), 5,
+                strata_col="source", id_col="doc_id",
+                prepartition_prune=False,
+            ).collect()
+        }
+        assert ids == want
+        # every copy of a sampled id comes back
+        if 1 in ids:
+            assert sum(1 for r in got if r.doc_id == 1) == 8
+
+
 def test_stratum_selection_scale_plan_shapes(spark, sf_dir):
     """Plan guards for the 100 TB shape: the pre-prune stage is present
     (spark_partition_id feeds the first window) and sample_k's winners

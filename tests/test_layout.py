@@ -176,3 +176,26 @@ def test_compact_table_with_zorder_restores_clustering(spark, sf_dir, tmp_path):
             back.filter(pred).select(F.input_file_name()).distinct().count()
         )
         assert touched < n_files, f"{pred}: no pruning ({touched}/{n_files})"
+
+
+def test_compact_table_misconfigured_zorder_degrades_to_size_only(
+    spark, sf_dir, tmp_path
+):
+    """A permanently bad zorder_columns entry (nonexistent column,
+    all-NULL column, non-numeric column) must not wedge the maintenance
+    cycle: compact_table degrades to a plain size-only compaction with a
+    warning instead of raising on every cycle while small files accrue
+    (clustering is an optimization; compaction is not)."""
+    from kafka_cdc_redshift_spark.operators.layout import compact_table
+
+    ev = load_table(spark, sf_dir, "events")
+    for bad_cols in (["no_such_column"], ["event_type"]):  # missing / non-numeric
+        store = ParquetTargetStore(str(tmp_path / f"store_{bad_cols[0]}"))
+        store.publish(ev.repartition(16), "events")
+        assert len(_dir_data_files(store.path("events"))) == 16
+        v = compact_table(
+            store, spark, "events", target_bytes=1 << 30, zorder_cols=bad_cols
+        )
+        assert v == 1  # compaction still happened
+        assert len(_dir_data_files(store.path("events"))) < 16
+        assert store.read(spark, "events").count() == ev.count()

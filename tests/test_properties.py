@@ -201,12 +201,13 @@ def test_scd2_merge_batch_replay_idempotent(spark, rows, cut):
         got = sorted(map(tuple, replayed.select(*sorted(hist.columns)).collect()))
         assert got == base
 
-        # and even WITHOUT the dedup, the close-guard means replay can
-        # only duplicate rows — never invert an interval (the corruption
-        # the guard exists to prevent)
+        # and even WITHOUT the dedup (replaying outside the default
+        # path's exactly-once contract), the close-guard means replay can
+        # only duplicate rows or close a tied version zero-length — never
+        # INVERT an interval (the corruption the guard exists to prevent)
         raw = scd2_merge_batch(hist, b, ["k"]).collect()
         for r in raw:
-            assert r.valid_to is None or r.valid_to > r.valid_from, r
+            assert r.valid_to is None or r.valid_to >= r.valid_from, r
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +260,65 @@ def test_scd2_tiebreak_incremental_equals_full_with_tied_ts(spark, rows, cut):
     assert got == want
     # the tiebreak column is ordering-only — it never lands in the history
     assert "data_index_aws" not in full.columns
+
+
+@given(rows=tied_changelogs, cut=st.integers(min_value=0, max_value=25))
+@settings(**SETTINGS)
+def test_scd2_cross_batch_tied_ts_equals_full(spark, rows, cut):
+    """Tied-ts groups STRADDLING a batch boundary (the case the ts-split
+    tests above deliberately avoid): arrival order is made consistent
+    with event time (the Kafka per-key ordering contract), then the
+    changelog is split on the ARRIVAL counter, so a new batch's first
+    event for a key can tie the open version's valid_from. The default
+    (exactly-once) close guard must close the open version zero-length,
+    exactly like the full rebuild — the r4 strict guard left two open
+    rows per key here (ADVICE medium)."""
+    from kafka_cdc_redshift_spark.operators.merge import (
+        scd2_history,
+        scd2_merge_batch,
+    )
+
+    ordered = sorted(rows, key=lambda r: r[1])  # arrival follows event time
+    data = [(k, ts, i, v, op) for i, (k, ts, v, op) in enumerate(ordered)]
+    cl = spark.createDataFrame(data, TIED_SCHEMA)
+    tb = ["data_index_aws"]
+    full = scd2_history(cl, ["k"], tiebreak_cols=tb)
+
+    b1 = cl.filter(f"data_index_aws < {cut}")
+    b2 = cl.filter(f"data_index_aws >= {cut}")
+    hist = None
+    for b in (b1, b2):
+        if b.isEmpty():
+            continue
+        hist = scd2_merge_batch(hist, b, ["k"], tiebreak_cols=tb)
+
+    cols = sorted(full.columns)
+    got = sorted(map(tuple, hist.select(*cols).collect())) if hist is not None else []
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+    # ≤1 open row per key even with the straddling tie
+    if hist is not None:
+        open_rows = hist.filter("valid_to IS NULL").groupBy("k").count().collect()
+        assert all(r["count"] <= 1 for r in open_rows)
+
+
+def test_scd2_cross_batch_tie_minimal(spark):
+    """Deterministic minimal ADVICE-medium case: key 1's open version at
+    ts=5; the next batch's first (and only) event for key 1 also at
+    ts=5. The old version must close (zero-length) and exactly one row
+    stays current."""
+    from kafka_cdc_redshift_spark.operators.merge import scd2_merge_batch
+
+    b1 = spark.createDataFrame([(1, 5, 0, 10, "c")], TIED_SCHEMA)
+    b2 = spark.createDataFrame([(1, 5, 1, 20, "u")], TIED_SCHEMA)
+    tb = ["data_index_aws"]
+    hist = scd2_merge_batch(None, b1, ["k"], tiebreak_cols=tb)
+    hist = scd2_merge_batch(hist, b2, ["k"], tiebreak_cols=tb)
+    rows = sorted(hist.collect(), key=lambda r: (r.v,))
+    assert len(rows) == 2
+    old, new = rows
+    assert old.v == 10 and old.valid_to == 5 and not old.is_current
+    assert new.v == 20 and new.valid_to is None and new.is_current
 
 
 # ---------------------------------------------------------------------------

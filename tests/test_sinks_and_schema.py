@@ -41,6 +41,35 @@ def test_merge_sql_skip_delete():
     assert "!= 'd'" not in ";".join(stmts)
 
 
+def test_merge_sql_delete_insert_dialect_shape():
+    """Portable form of the reference's DELETE-then-INSERT statement
+    shape: correlated-EXISTS delete, DISTINCT insert (the W6 guard's
+    portable stand-in), WITH NO DATA CTAS bootstrap."""
+    stmts = build_merge_sql(
+        target="product", stage="stage_table_db_product",
+        columns=["pid", "pname", "op"], keys=["pid"],
+        dialect="delete_insert",
+    )
+    joined = ";".join(stmts)
+    assert (
+        "DELETE FROM product WHERE EXISTS "
+        "(SELECT 1 FROM stage_table_db_product "
+        'WHERE stage_table_db_product."pid" = product."pid")' in joined
+    )
+    assert "SELECT DISTINCT" in joined
+    assert "WITH NO DATA" in joined
+    assert "USING" not in joined and "MERGE" not in joined
+    assert "ROW_NUMBER" not in joined  # Derby-portable: no window
+    assert stmts[-1] == "END" and "TRUNCATE TABLE stage_table_db_product" in joined
+    # op filtered out of the insert and never lands as a column
+    assert "<> 'd'" in joined
+    skip = build_merge_sql(
+        target="t", stage="s", columns=["pid", "op"], keys=["pid"],
+        skip_delete=True, dialect="delete_insert",
+    )
+    assert "'d'" not in ";".join(skip)
+
+
 def test_merge_condition_multi_key():
     on = merge_condition("s", "t", ["pid", "pname"])
     assert on == 's."pid" = t."pid" AND s."pname" = t."pname"'

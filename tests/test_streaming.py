@@ -385,3 +385,53 @@ def test_periodic_compaction_restores_zorder_clustering(spark, sf_dir, tmp_path)
         .select(F.input_file_name()).distinct().count()
     )
     assert touched < n_files, f"no pruning ({touched}/{n_files})"
+
+
+def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
+    """Per-rule incremental aggregate maintenance: streaming an insert-only
+    feed in micro-batches maintains <table>_stats via algebraic fold
+    (functions/incremental.py) that must equal group_stats of the full
+    table computed directly — and a second run over the same checkpoint
+    (replayed batches) must not double-count (batch-id guard)."""
+    from kafka_cdc_redshift_spark.functions.incremental import group_stats
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    rules = [
+        SyncRule(
+            db="salesdb", table="orders", primary_key=("o_orderkey",),
+            stats_group_columns=("o_orderstatus",),
+            stats_value_column="o_custkey",
+        )
+    ]
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+    )
+    src = tmp_path / "topic"
+    src.mkdir()
+    topic = synth_debezium_topic(
+        spark, sf_dir, ops=("c",), include_customer=False
+    ).withColumn("half", F.crc32("value") % 2)
+    _write_lines(topic.filter("half = 0").drop("half"), src / "b1.json")
+    _write_lines(topic.filter("half = 1").drop("half"), src / "b2.json")
+    q = run_file_stream(spark, str(src), proc, str(tmp_path / "ckpt"),
+                        max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    stats = store.read(spark, "orders_stats")
+    assert stats is not None
+    want_src = load_table(spark, sf_dir, "orders")
+    want = group_stats(want_src, ["o_orderstatus"], "o_custkey")
+    cols = ["o_orderstatus", "n", "sum", "sumsq", "min", "max"]
+    got_rows = sorted(map(tuple, stats.select(*cols).collect()))
+    want_rows = sorted(map(tuple, want.select(*cols).collect()))
+    assert got_rows == want_rows
+
+    # replay guard: re-applying the last batch id directly is a no-op
+    last_bid = store.last_batch_id("orders_stats")
+    assert last_bid is not None
+    batch = synth_debezium_topic(spark, sf_dir, ops=("c",),
+                                 include_customer=False)
+    proc.process_batch(batch, last_bid)
+    stats2 = store.read(spark, "orders_stats")
+    assert sorted(map(tuple, stats2.select(*cols).collect())) == want_rows
