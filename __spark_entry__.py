@@ -56,6 +56,7 @@ _DRIVER_CHECK_FIRST = [
     # stalest-driver-row-first (see _stale_first) so the ~50-row cap
     # rotates fresh rows across the whole catalog.
     "corpus_stats_approx_audit",
+    "corpus_ndv_incremental",  # brand-new this round (HLL sketch fold)
     "doc_sample_k_per_source",
     "cdc_scd2_history",
 ]

@@ -51,6 +51,11 @@ class SyncRule:
     # Contract: append-only feeds (each non-delete image counted once).
     stats_group_columns: tuple[str, ...] = ()
     stats_value_column: str | None = None
+    # ...and <table>_ndv: per-group DISTINCT count of this column kept as
+    # a mergeable HyperLogLog sketch (idempotent register union — the
+    # only way a distinct count survives incremental maintenance and
+    # at-least-once replay). Requires stats_group_columns.
+    stats_distinct_column: str | None = None
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -117,12 +122,14 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 dedup_text_column=it.get("dedup_text_column") or "text",
                 stats_group_columns=_split(it.get("stats_group_columns", "")),
                 stats_value_column=it.get("stats_value_column") or None,
+                stats_distinct_column=it.get("stats_distinct_column") or None,
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
                     "scd2_history", "zorder_columns",
                     "dedup_ingest", "dedup_text_column",
                     "stats_group_columns", "stats_value_column",
+                    "stats_distinct_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

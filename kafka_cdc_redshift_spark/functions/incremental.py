@@ -74,3 +74,53 @@ def derive_stats(stats: DataFrame) -> DataFrame:
     return stats.withColumn("mean", s / n).withColumn(
         "var_pop", (ss - (s * s) / n) / n
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches
+#
+# Distinct counts are the one census column the algebraic parts above cannot
+# carry: |A ∪ B| ≠ |A| + |B|. The scale answer is a MERGEABLE sketch —
+# HyperLogLog registers union by per-register max, which is associative,
+# commutative, and idempotent, so a standing (group, sketch) table folds a
+# new batch in O(|groups| + |batch|) exactly like merge_group_stats, and
+# replayed rows cannot double-count (idempotence is what a plain counter
+# can never give under at-least-once delivery). Spark's Datasketches-backed
+# hll_* expressions keep the whole path JVM-native.
+# ---------------------------------------------------------------------------
+
+DEFAULT_LGK = 12  # 2^12 registers -> ~1.6% standard error, 2-3 KB/group
+
+
+def group_distinct_sketch(
+    df: DataFrame, keys: Sequence[str], value_col: str, *, lgk: int = DEFAULT_LGK
+) -> DataFrame:
+    """Per-group HLL sketch of `value_col`: (keys..., ndv_sketch binary).
+    One combinable shuffle; sketch size is fixed (~2^lgk bytes) per group
+    regardless of group cardinality."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("ndv_sketch")
+    )
+
+
+def merge_distinct_sketches(
+    prev: DataFrame | None, batch_sketch: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold a batch's sketch table into the standing one: per-group HLL
+    union (register-wise max — associative/commutative/idempotent, so any
+    batch arrival order converges to the one-shot sketch; property-
+    tested). `prev=None` bootstraps. Cost: one union + one combinable
+    shuffle over |groups| rows."""
+    if prev is None:
+        return batch_sketch
+    u = prev.unionByName(batch_sketch)
+    return u.groupBy(*keys).agg(
+        F.hll_union_agg("ndv_sketch").alias("ndv_sketch")
+    )
+
+
+def estimate_distinct(sketches: DataFrame) -> DataFrame:
+    """Read-time NDV estimate column from the stored sketches."""
+    return sketches.withColumn(
+        "ndv_est", F.hll_sketch_estimate("ndv_sketch")
+    )

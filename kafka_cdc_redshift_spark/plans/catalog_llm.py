@@ -888,6 +888,55 @@ def q_corpus_stats_incremental(spark, sf_dir):
     )
 
 
+@_spec(
+    "corpus_ndv_incremental",
+    "incremental DISTINCT-count maintenance: the one census column "
+    "algebraic parts can't carry (|A∪B| != |A|+|B|) kept as a mergeable "
+    "per-group HyperLogLog sketch, folded from three ingest batches via "
+    "register-wise union (associative/commutative/IDEMPOTENT — replayed "
+    "rows can't double-count) — O(|groups|) state, corpus never "
+    "rescanned. Deterministic outputs are the exact distinct count plus "
+    "a flag auditing the folded sketch's estimate against the HLL error "
+    "bound (3x the 1.04/sqrt(2^lgk) standard error + 1 for tiny groups); "
+    "oracle asserts the exact count and literal TRUE, so a drifting or "
+    "double-counting sketch turns the row red (events_approx_distinct "
+    "pattern)",
+    """SELECT lang,
+              CAST(count(DISTINCT text) AS BIGINT) AS ndv_exact,
+              TRUE AS est_within_bounds
+       FROM documents GROUP BY lang""",
+)
+def q_corpus_ndv_incremental(spark, sf_dir):
+    from ..functions import incremental
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text", "doc_id"
+    )
+    sk = None
+    for m in range(3):  # three "ingest batches"
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        sk = incremental.merge_distinct_sketches(
+            sk, incremental.group_distinct_sketch(batch, ["lang"], "text"),
+            ["lang"],
+        )
+    est = incremental.estimate_distinct(sk)
+    exact = docs.groupBy("lang").agg(
+        F.count_distinct("text").alias("ndv_exact")
+    )
+    # 3-sigma HLL bound (se = 1.04/sqrt(2^lgk)) plus 1 absolute for
+    # near-empty groups where the relative bound underflows
+    bound = 3.0 * 1.04 / (2.0 ** (incremental.DEFAULT_LGK / 2))
+    return (
+        exact.join(F.broadcast(est), ["lang"])
+        .withColumn(
+            "est_within_bounds",
+            F.abs(F.col("ndv_est") - F.col("ndv_exact"))
+            <= F.col("ndv_exact") * F.lit(bound) + F.lit(1.0),
+        )
+        .select("lang", "ndv_exact", "est_within_bounds")
+    )
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     """Replay every Lloyd iteration in SQL: assignment = argmin over the
     expanded-form distance (same association as Spark), update = exact

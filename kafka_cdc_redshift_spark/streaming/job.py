@@ -285,6 +285,36 @@ class CdcBatchProcessor:
                         ),
                         stable, batch_id=batch_id,
                     )
+            if rule.stats_group_columns and rule.stats_distinct_column:
+                # mergeable HLL distinct-count maintenance: the census
+                # column algebraic parts can't carry. The register union
+                # is idempotent, so even the batch-id guard is belt-and-
+                # braces here — a replayed batch folds to the same sketch.
+                from ..functions.incremental import (
+                    group_distinct_sketch,
+                    merge_distinct_sketches,
+                )
+
+                ntable = f"{rule.target_name}_ndv"
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(ntable) != batch_id
+                ):
+                    obs = (
+                        parsed.filter(F.col("op") != "d")
+                        if "op" in parsed.columns else parsed
+                    )
+                    bsk = group_distinct_sketch(
+                        obs, list(rule.stats_group_columns),
+                        rule.stats_distinct_column,
+                    )
+                    prev_sk = self.store.read(self.spark, ntable)
+                    self.store.publish(
+                        merge_distinct_sketches(
+                            prev_sk, bsk, list(rule.stats_group_columns)
+                        ),
+                        ntable, batch_id=batch_id,
+                    )
             if rule.dedup_ingest:
                 # streaming near-dup ingest (streaming/dedup_ingest.py):
                 # the batch's non-delete images are deduped against the

@@ -359,3 +359,49 @@ def test_incremental_stats_any_batching_equals_direct(spark, rows, nb, salt):
     got = sorted(map(tuple, stats.select(*cols).collect())) if stats is not None else []
     want = sorted(map(tuple, direct.select(*cols).collect()))
     assert got == want
+
+
+@given(rows=vals, nb=st.integers(min_value=1, max_value=5), salt=st.integers(0, 99))
+@settings(**SETTINGS)
+def test_incremental_ndv_sketch_any_batching_equals_direct(spark, rows, nb, salt):
+    """HLL register union is associative/commutative/idempotent, so ANY
+    batching folded through merge_distinct_sketches must give the same
+    estimate as sketching the whole data once — and re-folding a batch
+    (at-least-once replay) must not move the estimate (idempotence, the
+    property a plain counter can never have)."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import incremental
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, i long"
+    )
+    direct = incremental.estimate_distinct(
+        incremental.group_distinct_sketch(df, ["k"], "v")
+    ).select("k", "ndv_est")
+    sk = None
+    last_batch_sketch = None
+    for b in range(nb):
+        batch = df.filter((F.col("i") + salt) % nb == b)
+        if batch.isEmpty():
+            continue
+        last_batch_sketch = incremental.group_distinct_sketch(batch, ["k"], "v")
+        sk = incremental.merge_distinct_sketches(sk, last_batch_sketch, ["k"])
+    got = (
+        sorted(map(tuple, incremental.estimate_distinct(sk)
+                   .select("k", "ndv_est").collect()))
+        if sk is not None else []
+    )
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+    # small-cardinality groups: the HLL estimate is exact here, so pin it
+    exact = sorted(map(tuple, df.groupBy("k").agg(
+        F.count_distinct("v").alias("n")).collect()))
+    assert [(k, float(n)) for k, n in exact] == want
+    if last_batch_sketch is not None:
+        refolded = incremental.merge_distinct_sketches(
+            sk, last_batch_sketch, ["k"]
+        )
+        got2 = sorted(map(tuple, incremental.estimate_distinct(refolded)
+                          .select("k", "ndv_est").collect()))
+        assert got2 == want  # idempotent under replay

@@ -401,6 +401,7 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
             db="salesdb", table="orders", primary_key=("o_orderkey",),
             stats_group_columns=("o_orderstatus",),
             stats_value_column="o_custkey",
+            stats_distinct_column="o_custkey",
         )
     ]
     proc = CdcBatchProcessor(
@@ -427,6 +428,23 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
     want_rows = sorted(map(tuple, want.select(*cols).collect()))
     assert got_rows == want_rows
 
+    # the NDV sketch table tracked alongside: folded estimate must equal
+    # the exact distinct count at this cardinality (HLL exact range)
+    from kafka_cdc_redshift_spark.functions.incremental import estimate_distinct
+
+    ndv = store.read(spark, "orders_ndv")
+    assert ndv is not None
+    got_ndv = {
+        r.o_orderstatus: int(r.ndv_est)
+        for r in estimate_distinct(ndv).collect()
+    }
+    want_ndv = {
+        r.o_orderstatus: r.n
+        for r in want_src.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    assert got_ndv == want_ndv
+
     # replay guard: re-applying the last batch id directly is a no-op
     last_bid = store.last_batch_id("orders_stats")
     assert last_bid is not None
@@ -435,3 +453,9 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
     proc.process_batch(batch, last_bid)
     stats2 = store.read(spark, "orders_stats")
     assert sorted(map(tuple, stats2.select(*cols).collect())) == want_rows
+    ndv2 = store.read(spark, "orders_ndv")
+    got_ndv2 = {
+        r.o_orderstatus: int(r.ndv_est)
+        for r in estimate_distinct(ndv2).collect()
+    }
+    assert got_ndv2 == want_ndv
