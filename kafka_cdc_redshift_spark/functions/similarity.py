@@ -167,9 +167,30 @@ def ivf_topk(
     across query batches), query->cell probe list broadcast, per-cell local
     scan + global top-k window.
     """
+    cells = ivf_assign(emb, centroids, n_cells=1, id_col=id_col, vec_col=vec_col)
+    return ivf_topk_from_cells(
+        cells, queries, centroids, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_topk_from_cells(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_topk` against a PREBUILT cell assignment (columns id, vec,
+    cell) — the serving shape: the corpus's (id, vec, cell) relation is
+    the persistable IVF index (built once at ingest, see
+    streaming/ann_ingest.py), so query batches never re-assign the
+    corpus; only the probe list and per-cell scans run."""
     from pyspark.sql import Window
 
-    cells = ivf_assign(emb, centroids, n_cells=1, id_col=id_col, vec_col=vec_col)
     probes = ivf_assign(
         queries.select(F.col("q_id").alias(id_col), F.col("q_emb").alias(vec_col)),
         centroids, n_cells=nprobe, id_col=id_col, vec_col=vec_col,

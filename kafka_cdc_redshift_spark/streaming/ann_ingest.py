@@ -1,0 +1,189 @@
+"""Streaming ANN-index ingest: incremental IVF maintenance for an
+embedding stream.
+
+The batch operators in `functions/similarity.py` build an IVF index in
+one shot (assign every corpus vector to its nearest centroid, then
+queries probe a few cells). At crawl scale the corpus arrives as a
+stream, and re-assigning 100 TB of embeddings per batch is exactly the
+cost an index exists to avoid. This module keeps the index INCREMENTAL:
+
+  1. centroids are trained once (or supplied) and PERSISTED — a restarted
+     job recovers the same centroids, so assignments stay consistent
+     across the index's whole lifetime (an index whose cells drift with
+     the trainer is not an index),
+  2. each arriving batch is assigned to cells against the broadcast
+     centroids — O(|batch| x k) work, the standing corpus untouched —
+     and appended to the `(vec_id, embedding, cell)` index relation
+     through `AppendLog`'s atomic per-batch commit (replay-idempotent
+     via the committed-batch manifest, same pattern as dedup_ingest),
+  3. queries run `ivf_topk_from_cells` against the stored relation:
+     probe list is batch-sized and broadcast; only probed cells scan.
+
+Centroid drift: ingest distributions shift, and stale centroids degrade
+recall silently. `centroid_drift` measures, in one aggregation pass over
+the stored index, how far each cell's CURRENT mean has moved from the
+centroid it was assigned under — the signal that a rebuild (batch
+`functions/clustering.kmeans` + a fresh index) is due. The rebuild is a
+maintenance job by design: reassignment rewrites every row, so it rides
+the same economics as `operators/layout.compact_table` re-clustering,
+not the ingest hot path.
+
+At 1000 executors: the index relation is the big side — store it
+partitioned by `cell` so a query's probed cells map to partition pruning
+and the per-cell scans are co-located; the batch side (assignments,
+probes, centroids) is always broadcast-sized.
+
+No reference analog (the reference moves CDC rows); this is engine-native
+surface on the same streaming shell, the embedding twin of
+streaming/dedup_ingest.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import (
+    dot_col,
+    ivf_assign,
+    ivf_topk_from_cells,
+    norm_col,
+)
+from .store import AppendLog
+
+_CENTROID_BATCH = "__centroids__"  # singleton "batch" id for the centroid table
+
+
+class AnnIngest:
+    """Stateful streaming IVF index over an `AppendLog`.
+
+    State tables (under `log.root`): `{name}_cells` (the index:
+    vec_id, embedding, cell — one row per ingested vector) and
+    `{name}_centroids` (cent_id, c_emb — written once).
+
+    Use from any micro-batch loop::
+
+        ann = AnnIngest(AppendLog(state_dir), centroids=trained, name="emb")
+        stream.writeStream.foreachBatch(
+            lambda df, bid: ann.process_batch(df, bid)
+        )
+
+    `centroids=None` recovers a previously persisted centroid set (a
+    restart); constructing with `centroids=` on a log that already holds
+    one raises — silently swapping centroids under a standing index
+    would corrupt every existing assignment (rebuild into a fresh index
+    instead).
+    """
+
+    def __init__(
+        self,
+        log: AppendLog,
+        *,
+        centroids: DataFrame | None = None,
+        name: str = "emb",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.log = log
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+        if centroids is not None:
+            if self.log.has_batch(self.centroids_table, _CENTROID_BATCH):
+                raise ValueError(
+                    f"index {name!r} already has persisted centroids; "
+                    "swapping centroids under a standing index corrupts "
+                    "its assignments — rebuild into a fresh index instead"
+                )
+            self.log.append(
+                centroids.select("cent_id", "c_emb"),
+                self.centroids_table, _CENTROID_BATCH,
+            )
+
+    @property
+    def cells_table(self) -> str:
+        return f"{self.name}_cells"
+
+    @property
+    def centroids_table(self) -> str:
+        return f"{self.name}_centroids"
+
+    def centroids(self, spark: SparkSession) -> DataFrame:
+        c = self.log.read(spark, self.centroids_table)
+        if c is None:
+            raise ValueError(
+                f"index {self.name!r} has no persisted centroids — "
+                "construct AnnIngest with centroids= first"
+            )
+        return c
+
+    def process_batch(self, batch_df: DataFrame, batch_id) -> None:
+        """Assign one micro-batch against the (broadcast) centroids and
+        append it to the index. O(|batch| x n_centroids) compute, zero
+        standing-state reads; a replayed batch is skipped via the log's
+        committed manifest."""
+        if self.log.has_batch(self.cells_table, batch_id):
+            return
+        spark = batch_df.sparkSession
+        assigned = ivf_assign(
+            batch_df.select(self.id_col, self.vec_col),
+            self.centroids(spark),
+            n_cells=1, id_col=self.id_col, vec_col=self.vec_col,
+        )
+        self.log.append(assigned, self.cells_table, batch_id)
+
+    def topk(
+        self, queries: DataFrame, *, k: int = 3, nprobe: int = 2
+    ) -> DataFrame:
+        """ANN top-k for a query batch against the standing index —
+        identical results to batch `ivf_topk` over the same corpus and
+        centroids (tested), without ever re-assigning the corpus."""
+        spark = queries.sparkSession
+        return ivf_topk_from_cells(
+            self.log.read(spark, self.cells_table),
+            queries, self.centroids(spark),
+            k=k, nprobe=nprobe, id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+    def centroid_drift(self, spark: SparkSession) -> DataFrame:
+        """Per-cell staleness: cosine similarity between each persisted
+        centroid and its cell's CURRENT mean vector, plus the cell size.
+        One aggregation pass over the index (posexplode -> per-(cell, dim)
+        mean -> collect back to k x d rows via a cell-local sort — all
+        broadcast-sized after the agg). Low `mean_sim` cells are where
+        recall is silently dying; schedule a rebuild when the sized-
+        weighted similarity drops below the operator's floor."""
+        cells = self.log.read(spark, self.cells_table)
+        if cells is None:
+            raise ValueError(f"index {self.name!r} is empty")
+        dims = (
+            cells.select(
+                "cell", F.posexplode(self.vec_col).alias("j", "x")
+            )
+            .groupBy("cell", "j")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        means = (
+            dims.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("j", "m"))
+                ).alias("__jm")
+            )
+            .select(
+                "cell",
+                F.transform("__jm", lambda s: s["m"]).alias("mean_emb"),
+            )
+        )
+        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_size"))
+        cents = self.centroids(spark).select(
+            F.col("cent_id").alias("cell"), "c_emb"
+        )
+        sim = dot_col(F.col("mean_emb"), F.col("c_emb")) / (
+            norm_col(F.col("mean_emb")) * norm_col(F.col("c_emb"))
+        )
+        return (
+            means.join(cents, "cell")
+            .join(sizes, "cell")
+            .select("cell", "cell_size", sim.alias("mean_sim"))
+        )
