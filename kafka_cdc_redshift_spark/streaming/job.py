@@ -178,7 +178,28 @@ class CdcBatchProcessor:
                     dels = latest_deletes(parsed, list(rule.primary_key), order)
                     self.jdbc_sink.append_table(dels, f"{rule.target_name}_delete")
                 return TaskStatus(rule.target_name, "finished")
-            if not rule.only_save_delete:
+            if not rule.only_save_delete and hasattr(self.store, "publish_delta"):
+                # merge-on-read target (MergeOnReadTargetStore): the batch
+                # appends its LWW-deduped changelog as a delta — O(|batch|)
+                # written, the standing target untouched; resolution happens
+                # at read, and the periodic compaction cycle folds deltas
+                # into the base. Replay-idempotent: the delta commit is
+                # guarded by the AppendLog manifest, and re-applying a
+                # folded batch re-picks identical winners by construction.
+                updates = lww_dedup(parsed, list(rule.primary_key), order)
+                if rule.ignore_ddl:
+                    base = self.store.read(self.spark, rule.target_name)
+                    if base is not None:
+                        updates = cast_to_target(
+                            updates, base.schema,
+                            passthrough=("op", "ts_ms", "data_index_aws"),
+                        )
+                self.store.publish_delta(
+                    updates, rule.target_name, batch_id,
+                    keys=list(rule.primary_key),
+                    skip_delete=rule.skip_delete,
+                )
+            elif not rule.only_save_delete:
                 updates = lww_dedup(parsed, list(rule.primary_key), order)
                 target = self.store.read(self.spark, rule.target_name)
                 if target is not None:
@@ -411,6 +432,11 @@ class CdcBatchProcessor:
                 # compact_table degrades it to size-only compaction with a
                 # warning, so small files cannot accrue indefinitely.
                 try:
+                    if hasattr(self.store, "fold_deltas"):
+                        # merge-on-read: materialize base from the
+                        # accumulated deltas first, then size/cluster-
+                        # compact the fresh base like any other table
+                        self.store.fold_deltas(self.spark, t)
                     compact_table(
                         self.store, self.spark, t,
                         target_bytes=self.compact_target_bytes,

@@ -18,6 +18,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetTargetStore:
@@ -199,3 +200,153 @@ class AppendLog:
             os.path.join(self.root, table, f"batch={b}") for b in ids
         ]
         return spark.read.parquet(*paths)
+
+    def retire(self, table: str, batch_ids) -> None:
+        """Drop `batch_ids` from the committed manifest (their data has
+        been folded into some base representation). The manifest rewrite
+        is atomic; the retired directories are deleted best-effort
+        afterwards (an orphan dir is invisible to readers either way).
+        NOTE: a retired batch_id is forgotten, so a replay delivered
+        AFTER the fold re-appends it — safe only when re-applying the
+        batch over its own folded effect is a no-op (true for merge-on-
+        read resolution, where the replayed delta carries exactly the
+        rows the base already absorbed and "latest wins" re-picks them);
+        callers without that property must keep their own replay guard
+        spanning the fold."""
+        import shutil
+
+        keep = [b for b in self.committed(table) if b not in set(batch_ids)]
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": keep}, f)
+        os.replace(tmp, self._manifest_path(table))
+        for b in batch_ids:
+            shutil.rmtree(
+                os.path.join(self.root, table, f"batch={b}"),
+                ignore_errors=True,
+            )
+
+
+class MergeOnReadTargetStore(ParquetTargetStore):
+    """Keyed target store with MERGE-ON-READ publishes — the scale answer
+    to the one O(|target|) cost left in the streaming hot path.
+
+    The plain store (and the reference's DELETE+INSERT transaction) is
+    copy-on-write: every micro-batch rewrites the whole target, so batch
+    cost grows with the TABLE, not the batch. Here a batch instead
+    appends its LWW-deduped changelog as a DELTA (`publish_delta`,
+    O(|batch|) written, atomic per-batch commit via `AppendLog`), and
+    `read` resolves base ∪ deltas lazily: per key, the row from the most
+    recent delta wins (matching `merge_changes`, where a batch always
+    supersedes the target for its keys), delete images tombstone, and
+    bookkeeping columns never surface. `fold_deltas` (the maintenance
+    cycle) materializes the resolved view as the next base version and
+    retires the folded deltas — copy-on-write's cost, paid once per N
+    batches instead of every batch. This is exactly the copy-on-write vs
+    merge-on-read trade a transactional table format (Hudi/Iceberg/Delta)
+    exposes; the store keeps the same atomic-pointer publish contract so
+    either mode slots under the identical processor loop.
+
+    Read cost is bounded by the deltas since the last fold (cap it with
+    the job's `compact_every_n_batches`); a crash between the fold's base
+    publish and delta retirement is safe — re-resolving a delta whose
+    rows are already in base picks identical winners (resolution is
+    idempotent). Schema evolution: added columns appear at read via
+    null-filled alignment; a DROPPED column disappears only when a fold
+    materializes the narrower schema.
+    """
+
+    _BOOK = ("op", "ts_ms", "data_index_aws")
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self._delta = AppendLog(os.path.join(root, "_delta"))
+
+    # -- per-table merge config (persisted: read() must work after a
+    # restart without re-learning keys from the caller) -------------------
+    def _config_path(self, table: str) -> str:
+        return os.path.join(self._delta.root, table, "_config.json")
+
+    def _load_config(self, table: str) -> dict | None:
+        try:
+            with open(self._config_path(table)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def publish_delta(
+        self, updates: DataFrame, table: str, batch_id, *,
+        keys, skip_delete: bool = False,
+    ) -> None:
+        """Append one batch's LWW-deduped changelog (payload + op [+ order
+        cols]). Idempotent per batch_id; O(|batch|) written."""
+        cfg = {"keys": list(keys), "skip_delete": bool(skip_delete)}
+        prev = self._load_config(table)
+        if prev is None:
+            os.makedirs(os.path.join(self._delta.root, table), exist_ok=True)
+            tmp = self._config_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cfg, f)
+            os.replace(tmp, self._config_path(table))
+        elif prev["keys"] != cfg["keys"]:
+            raise ValueError(
+                f"table {table!r} delta config mismatch: {prev} vs {cfg}"
+            )
+        self._delta.append(updates, table, batch_id)
+
+    def last_delta_batch_id(self, table: str):
+        ids = self._delta.committed(table)
+        return ids[-1] if ids else None
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        base = super().read(spark, table)
+        ids = self._delta.committed(table)
+        if not ids:
+            return base
+        cfg = self._load_config(table)
+        keys = cfg["keys"]
+        skip_delete = cfg.get("skip_delete", False)
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        parts = [
+            spark.read.parquet(
+                os.path.join(self._delta.root, table, f"batch={b}")
+            ).withColumn("__seq", F.lit(i))
+            for i, b in enumerate(ids)
+        ]
+        deltas = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        if base is not None:
+            allr = deltas.unionByName(
+                base.withColumn("__seq", F.lit(-1)),
+                allowMissingColumns=True,
+            )
+        else:
+            allr = deltas
+        w = Window.partitionBy(*keys).orderBy(F.desc("__seq"))
+        res = (
+            allr.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        if not skip_delete and "op" in res.columns:
+            res = res.filter(F.col("op").isNull() | (F.col("op") != "d"))
+        drop = ["__rn", "__seq"] + [c for c in self._BOOK if c in res.columns]
+        return res.drop(*drop)
+
+    def fold_deltas(self, spark: SparkSession, table: str) -> int | None:
+        """Materialize the resolved view as the next base version and
+        retire the folded deltas — the merge-on-read maintenance step,
+        run from the job's periodic compaction cycle. Crash-safe in
+        either order: the base publish is the parent store's atomic
+        pointer flip, and re-resolving already-folded deltas is a no-op
+        by construction."""
+        ids = self._delta.committed(table)
+        if not ids:
+            return None
+        resolved = self.read(spark, table)
+        v = self.publish(resolved, table)
+        self._delta.retire(table, ids)
+        return v

@@ -43,6 +43,7 @@ from kafka_cdc_redshift_spark.sources import load_table  # noqa: E402
 from kafka_cdc_redshift_spark.sources.envelopes import synth_debezium_topic  # noqa: E402
 from kafka_cdc_redshift_spark.streaming import (  # noqa: E402
     CdcBatchProcessor,
+    MergeOnReadTargetStore,
     ParquetTargetStore,
     run_file_stream,
 )
@@ -88,8 +89,30 @@ def main() -> None:
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
-
         batches = len([b for b in proc.batch_statuses if b])
+
+        # merge-on-read mode: the SAME stream over MergeOnReadTargetStore —
+        # each batch appends an O(|batch|) delta instead of rewriting the
+        # target, with resolution deferred to read/fold. Timed window
+        # includes one final fold_deltas so the comparison covers the full
+        # (amortized) cost of materializing the same final table.
+        mor_store = MergeOnReadTargetStore(os.path.join(work, "mor_store"))
+        mor_proc = CdcBatchProcessor(
+            spark, rules, mor_store, payload_schemas=schemas, max_workers=4
+        )
+        t0 = time.perf_counter()
+        q = run_file_stream(
+            spark,
+            topic_dir,
+            mor_proc,
+            os.path.join(work, "ckpt_mor"),
+            max_files_per_trigger=FILES_PER_TRIGGER,
+        )
+        q.awaitTermination()
+        for r in rules:
+            mor_store.fold_deltas(spark, r.target_name)
+        mor_wall = time.perf_counter() - t0
+
         print(
             json.dumps(
                 {
@@ -99,6 +122,8 @@ def main() -> None:
                     "records": n_records,
                     "wall_sec": round(wall, 2),
                     "batches": batches,
+                    "mor_records_per_sec": round(n_records / mor_wall, 1),
+                    "mor_wall_sec": round(mor_wall, 2),
                     "baseline_records_per_sec": 33333,
                     "sf": float(sf),
                 }
