@@ -351,16 +351,23 @@ class CdcBatchProcessor:
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253
-                prev = self.store.read(self.spark, dtable)
-                out = prev.unionByName(dels) if prev is not None else dels
-                # replay idempotency: a failed batch retried from the
-                # checkpoint re-appends the same delete images; dedup on
-                # (pk, event-time) so the append converges instead of
-                # growing (the main target's merge is naturally idempotent)
-                out = out.dropDuplicates(
-                    list(rule.primary_key) + [c for c in order if c in out.columns]
-                )
-                self.store.publish(out, dtable)
+                if hasattr(self.store, "publish_append"):
+                    # merge-on-read store: the delete log is pure append —
+                    # O(|batch|) written, replay-guarded by the delta
+                    # manifest instead of a full-log dedup rewrite
+                    self.store.publish_append(dels, dtable, batch_id)
+                else:
+                    prev = self.store.read(self.spark, dtable)
+                    out = prev.unionByName(dels) if prev is not None else dels
+                    # replay idempotency: a failed batch retried from the
+                    # checkpoint re-appends the same delete images; dedup on
+                    # (pk, event-time) so the append converges instead of
+                    # growing (the main target's merge is naturally
+                    # idempotent)
+                    out = out.dropDuplicates(
+                        list(rule.primary_key) + [c for c in order if c in out.columns]
+                    )
+                    self.store.publish(out, dtable)
             return TaskStatus(rule.target_name, "finished", rows=n)
         except Exception as e:  # noqa: BLE001 - reported to fail-fast logic
             return TaskStatus(rule.target_name, "error", error=repr(e))

@@ -298,6 +298,25 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         ids = self._delta.committed(table)
         return ids[-1] if ids else None
 
+    def publish_append(self, rows: DataFrame, table: str, batch_id) -> None:
+        """Pure-append table (no keys, no resolution — the delete log
+        shape): O(|rows|) written per batch, replay-guarded by the same
+        manifest. `read` returns base ∪ deltas verbatim; `fold_deltas`
+        just re-materializes into one base version."""
+        cfg = {"keys": None}
+        prev = self._load_config(table)
+        if prev is None:
+            os.makedirs(os.path.join(self._delta.root, table), exist_ok=True)
+            tmp = self._config_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cfg, f)
+            os.replace(tmp, self._config_path(table))
+        elif prev["keys"] is not None:
+            raise ValueError(
+                f"table {table!r} is a keyed merge table, not an append table"
+            )
+        self._delta.append(rows, table, batch_id)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         base = super().read(spark, table)
         ids = self._delta.committed(table)
@@ -309,6 +328,14 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         from functools import reduce
 
         from pyspark.sql import Window
+
+        if keys is None:  # pure-append table: no resolution
+            parts = [self._delta.read(spark, table)]
+            if base is not None:
+                parts.append(base)
+            return reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
 
         parts = [
             spark.read.parquet(

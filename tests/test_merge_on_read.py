@@ -155,3 +155,44 @@ def test_mor_stream_equals_cow_stream(spark, sf_dir, tmp_path):
     assert sorted(mor.read(spark, "orders").columns) == sorted(
         cow.read(spark, "orders").columns
     )
+
+
+def test_mor_delete_log_append_equals_cow(spark, sf_dir, tmp_path):
+    """save_delete under merge-on-read: the delete log appends O(|batch|)
+    deltas instead of rewriting the whole log per batch, and must carry
+    the same delete images as the copy-on-write path — including across
+    a fold and a replayed batch."""
+    def run(store, sub):
+        proc = CdcBatchProcessor(
+            spark,
+            [SyncRule(db="salesdb", table="orders",
+                      primary_key=("o_orderkey",), save_delete=True)],
+            store,
+            payload_schemas={
+                "orders": load_table(spark, sf_dir, "orders").schema
+            },
+        )
+        topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+        proc.process_batch(topic, 0)
+        return proc
+
+    cow = ParquetTargetStore(str(tmp_path / "cow"))
+    mor = MergeOnReadTargetStore(str(tmp_path / "mor"))
+    run(cow, "cow")
+    proc_mor = run(mor, "mor")
+
+    def dels(store):
+        return sorted(
+            (r.o_orderkey, r.ts_ms)
+            for r in store.read(spark, "orders_delete").collect()
+        )
+
+    want = dels(cow)
+    assert dels(mor) == want and want
+    # replayed batch: manifest guard keeps the log converged
+    topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+    proc_mor.process_batch(topic, 0)
+    assert dels(mor) == want
+    # fold materializes the log unchanged
+    mor.fold_deltas(spark, "orders_delete")
+    assert dels(mor) == want
