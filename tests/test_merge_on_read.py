@@ -196,3 +196,19 @@ def test_mor_delete_log_append_equals_cow(spark, sf_dir, tmp_path):
     # fold materializes the log unchanged
     mor.fold_deltas(spark, "orders_delete")
     assert dels(mor) == want
+
+
+def test_mor_read_plan_single_shuffle(spark, tmp_path):
+    """Scale guard: resolving base + N deltas is ONE hash exchange (the
+    per-key window) and stays JVM-native — no per-delta shuffles, no
+    Python in the read path."""
+    store = MergeOnReadTargetStore(str(tmp_path / "mor"))
+    store.publish_delta(_updates(spark, [(1, "a", "c", 1)]), "t", 0, keys=["pid"])
+    store.fold_deltas(spark, "t")
+    for i in range(1, 4):
+        store.publish_delta(
+            _updates(spark, [(i + 1, "x", "c", i)]), "t", i, keys=["pid"]
+        )
+    plan = store.read(spark, "t")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
