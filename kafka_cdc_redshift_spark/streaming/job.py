@@ -254,27 +254,42 @@ class CdcBatchProcessor:
                 # every intermediate state is a version; data_index_aws is
                 # kept as the equal-timestamp tiebreak (same order contract
                 # as lww_dedup/merge_changes) and dropped by the operator.
-                from ..operators.merge import scd2_merge_batch
-
                 htable = f"{rule.target_name}_history"
-                # foreachBatch is at-least-once and this path is read-
-                # modify-append: skip a batch whose id is already committed
-                # in the history's version pointer (recorded atomically
-                # with the publish below), so a checkpoint retry can never
-                # re-close or re-append what attempt one already landed
-                if (
-                    batch_id is None
-                    or self.store.last_batch_id(htable) != batch_id
-                ):
-                    prev_hist = self.store.read(self.spark, htable)
-                    new_hist = scd2_merge_batch(
-                        prev_hist, parsed, list(rule.primary_key),
+                tiebreak = [c for c in order[1:] if c in parsed.columns]
+                if hasattr(self.store, "publish_scd2_delta"):
+                    # merge-on-read history: append the batch's raw events
+                    # (O(|batch|) written); resolution — close open
+                    # versions, append new ones — happens at read via one
+                    # scd2_merge_batch over base + accumulated deltas, and
+                    # the maintenance fold materializes it. Replay guard
+                    # spans folds via has_applied (delta manifest OR the
+                    # base pointer's last folded batch id).
+                    self.store.publish_scd2_delta(
+                        parsed, htable, batch_id,
+                        keys=list(rule.primary_key),
                         order_col=self.order_by[0],
-                        tiebreak_cols=[
-                            c for c in order[1:] if c in parsed.columns
-                        ],
+                        tiebreak_cols=tiebreak,
                     )
-                    self.store.publish(new_hist, htable, batch_id=batch_id)
+                else:
+                    from ..operators.merge import scd2_merge_batch
+
+                    # foreachBatch is at-least-once and this path is read-
+                    # modify-append: skip a batch whose id is already
+                    # committed in the history's version pointer (recorded
+                    # atomically with the publish below), so a checkpoint
+                    # retry can never re-close or re-append what attempt
+                    # one already landed
+                    if (
+                        batch_id is None
+                        or self.store.last_batch_id(htable) != batch_id
+                    ):
+                        prev_hist = self.store.read(self.spark, htable)
+                        new_hist = scd2_merge_batch(
+                            prev_hist, parsed, list(rule.primary_key),
+                            order_col=self.order_by[0],
+                            tiebreak_cols=tiebreak,
+                        )
+                        self.store.publish(new_hist, htable, batch_id=batch_id)
             if rule.stats_group_columns and rule.stats_value_column:
                 # incremental aggregate maintenance (functions/incremental):
                 # fold the batch's mergeable per-group stats into
@@ -431,6 +446,10 @@ class CdcBatchProcessor:
             tables = [(rule.target_name, tuple(rule.zorder_columns))]
             if rule.save_delete or rule.only_save_delete:
                 tables.append((f"{rule.target_name}_delete", ()))
+            if rule.scd2_history:
+                # the history accrues per-batch state too (file-sets under
+                # copy-on-write, deltas under merge-on-read) — same cycle
+                tables.append((f"{rule.target_name}_history", ()))
             for t, zcols in tables:
                 # maintenance must not fail a batch whose data work already
                 # committed: a transient compaction error is recorded, not

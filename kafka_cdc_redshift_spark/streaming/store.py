@@ -274,13 +274,7 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
-    def publish_delta(
-        self, updates: DataFrame, table: str, batch_id, *,
-        keys, skip_delete: bool = False,
-    ) -> None:
-        """Append one batch's LWW-deduped changelog (payload + op [+ order
-        cols]). Idempotent per batch_id; O(|batch|) written."""
-        cfg = {"keys": list(keys), "skip_delete": bool(skip_delete)}
+    def _ensure_config(self, table: str, cfg: dict) -> None:
         prev = self._load_config(table)
         if prev is None:
             os.makedirs(os.path.join(self._delta.root, table), exist_ok=True)
@@ -288,11 +282,62 @@ class MergeOnReadTargetStore(ParquetTargetStore):
             with open(tmp, "w") as f:
                 json.dump(cfg, f)
             os.replace(tmp, self._config_path(table))
-        elif prev["keys"] != cfg["keys"]:
+        elif prev.get("kind", "merge") != cfg.get("kind", "merge") or (
+            prev["keys"] != cfg["keys"]
+        ):
             raise ValueError(
                 f"table {table!r} delta config mismatch: {prev} vs {cfg}"
             )
+
+    def publish_delta(
+        self, updates: DataFrame, table: str, batch_id, *,
+        keys, skip_delete: bool = False,
+    ) -> None:
+        """Append one batch's LWW-deduped changelog (payload + op [+ order
+        cols]). Idempotent per batch_id; O(|batch|) written."""
+        self._ensure_config(
+            table,
+            {"kind": "merge", "keys": list(keys),
+             "skip_delete": bool(skip_delete)},
+        )
         self._delta.append(updates, table, batch_id)
+
+    def publish_scd2_delta(
+        self, events: DataFrame, table: str, batch_id, *,
+        keys, order_col: str = "ts_ms", tiebreak_cols=(),
+    ) -> None:
+        """SCD2 history under merge-on-read: append the batch's RAW
+        changelog events (every intermediate state is a version, so the
+        delta is the events themselves, not an LWW reduction). `read`
+        resolves with ONE `scd2_merge_batch(base, union(deltas))` —
+        applying consecutive batches in one call equals applying them
+        sequentially (both equal the full `scd2_history` rebuild; the
+        property tests pin the split-invariance this relies on). The
+        per-batch cost of the copy-on-write path — read the whole
+        history, close, append, republish — becomes O(|batch|) written.
+
+        Replay: guarded by `has_applied` (delta manifest OR the base
+        version's batch_id pointer) — unlike keyed-merge resolution,
+        re-applying an SCD2 batch over its own folded effect is NOT
+        idempotent, so the fold records the last folded batch id in the
+        base pointer and the single-uncommitted-batch property of
+        foreachBatch checkpoints covers the rest (the same argument the
+        copy-on-write SCD2 path documents)."""
+        self._ensure_config(
+            table,
+            {"kind": "scd2", "keys": list(keys), "order_col": order_col,
+             "tiebreak": list(tiebreak_cols)},
+        )
+        if self.has_applied(table, batch_id):
+            return
+        self._delta.append(events, table, batch_id)
+
+    def has_applied(self, table: str, batch_id) -> bool:
+        """True when `batch_id`'s delta is committed OR was the last one
+        folded into the base version."""
+        return self._delta.has_batch(table, batch_id) or (
+            self.last_batch_id(table) == batch_id
+        )
 
     def last_delta_batch_id(self, table: str):
         ids = self._delta.committed(table)
@@ -337,6 +382,27 @@ class MergeOnReadTargetStore(ParquetTargetStore):
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
 
+        if cfg.get("kind") == "scd2":
+            from ..operators.merge import scd2_merge_batch
+
+            parts = [
+                spark.read.parquet(
+                    os.path.join(self._delta.root, table, f"batch={b}")
+                )
+                for b in ids
+            ]
+            events = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+            return scd2_merge_batch(
+                base, events, keys,
+                order_col=cfg.get("order_col", "ts_ms"),
+                tiebreak_cols=[
+                    c for c in cfg.get("tiebreak", ())
+                    if c in events.columns
+                ],
+            )
+
         parts = [
             spark.read.parquet(
                 os.path.join(self._delta.root, table, f"batch={b}")
@@ -374,6 +440,9 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         if not ids:
             return None
         resolved = self.read(spark, table)
-        v = self.publish(resolved, table)
+        # record the last folded batch in the base pointer: together with
+        # the delta manifest this makes `has_applied` span the fold, the
+        # guard non-idempotent resolutions (SCD2) need for replays
+        v = self.publish(resolved, table, batch_id=ids[-1])
         self._delta.retire(table, ids)
         return v

@@ -212,3 +212,66 @@ def test_mor_read_plan_single_shuffle(spark, tmp_path):
     plan = store.read(spark, "t")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_mor_scd2_history_equals_cow_and_full_rebuild(spark, sf_dir, tmp_path):
+    """SCD2 history under merge-on-read: raw-event deltas resolved by one
+    scd2_merge_batch(base, union(deltas)) must equal the copy-on-write
+    streamed history AND the one-shot scd2_history rebuild — before and
+    after a fold — and a replayed batch must be a no-op, including a
+    replay delivered right after a fold (the has_applied guard)."""
+    from kafka_cdc_redshift_spark.operators.merge import scd2_history
+    from kafka_cdc_redshift_spark.sources.envelopes import synth_orders_changelog
+
+    def run(store, sub):
+        proc = CdcBatchProcessor(
+            spark,
+            [SyncRule(db="salesdb", table="orders",
+                      primary_key=("o_orderkey",), scd2_history=True)],
+            store,
+            payload_schemas={
+                "orders": load_table(spark, sf_dir, "orders").schema
+            },
+        )
+        topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+        b1 = topic.filter(F.col("value").contains('"op":"c"'))
+        b2 = topic.filter(F.col("value").contains('"op":"u"')
+                          | F.col("value").contains('"op":"d"'))
+        proc.process_batch(b1, 0)
+        proc.process_batch(b2, 1)
+        return proc
+
+    cow = ParquetTargetStore(str(tmp_path / "cow"))
+    mor = MergeOnReadTargetStore(str(tmp_path / "mor"))
+    run(cow, "cow")
+    proc_mor = run(mor, "mor")
+
+    cols = ["o_orderkey", "valid_from", "valid_to", "is_current"]
+
+    def hist(store):
+        return sorted(map(tuple, store.read(spark, "orders_history")
+                          .select(*cols).collect()))
+
+    full = scd2_history(
+        synth_orders_changelog(spark, sf_dir).select(
+            "op", "ts_ms", "o_orderkey", "o_totalprice"
+        ),
+        ["o_orderkey"],
+    )
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert hist(cow) == want
+    assert hist(mor) == want
+
+    # replayed last batch pre-fold: manifest guard
+    topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+    b2 = topic.filter(F.col("value").contains('"op":"u"')
+                      | F.col("value").contains('"op":"d"'))
+    proc_mor.process_batch(b2, 1)
+    assert hist(mor) == want
+
+    # fold, then replay the folded batch: has_applied spans the fold via
+    # the base pointer's last folded batch id
+    mor.fold_deltas(spark, "orders_history")
+    assert hist(mor) == want
+    proc_mor.process_batch(b2, 1)
+    assert hist(mor) == want
