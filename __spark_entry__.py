@@ -59,6 +59,7 @@ _DRIVER_CHECK_FIRST = [
     "corpus_ndv_incremental",  # brand-new this round (HLL sketch fold)
     "doc_sample_k_per_source",
     "cdc_scd2_history",
+    "sim_ivf_topk",  # now delegates through ivf_topk_from_cells
 ]
 
 

@@ -4,6 +4,8 @@ sink composition from a bare .properties file)."""
 
 import json
 
+import pytest
+
 from kafka_cdc_redshift_spark.__main__ import build_processor, start_query
 from kafka_cdc_redshift_spark.config import load_properties
 from kafka_cdc_redshift_spark.streaming.sinks import (
@@ -169,3 +171,61 @@ def test_compaction_knobs_parsed_from_properties(spark, tmp_path):
         f"target_store_path={tmp_path / 'store2'}\n"
     )
     assert build_processor(spark, props2).compact_every_n_batches is None
+
+
+def test_target_store_mode_selection(spark, tmp_path):
+    from kafka_cdc_redshift_spark.streaming.store import (
+        BucketedTargetStore,
+        MergeOnReadTargetStore,
+        ParquetTargetStore,
+    )
+
+    base = {
+        "sync_table_list": '[{"db": "d", "table": "t", "primary_key": "pid"}]',
+        "target_store_path": str(tmp_path / "store"),
+    }
+    assert type(build_processor(spark, dict(base)).store) is ParquetTargetStore
+    assert isinstance(
+        build_processor(
+            spark, dict(base, target_store_mode="mor")
+        ).store,
+        MergeOnReadTargetStore,
+    )
+    bstore = build_processor(
+        spark, dict(base, target_store_mode="bucketed", bucket_count="8")
+    ).store
+    assert isinstance(bstore, BucketedTargetStore)
+    assert bstore.bucket_keys == {"t": ["pid"]} and bstore.num_buckets == 8
+    with pytest.raises(ValueError, match="target_store_mode"):
+        build_processor(spark, dict(base, target_store_mode="nope"))
+
+
+def test_entrypoint_mor_mode_end_to_end(spark, tmp_path):
+    """The same .properties job with target_store_mode=mor: identical
+    final state through the delta-publish path."""
+    src = tmp_path / "topic"
+    src.mkdir()
+    lines = [
+        _dz("d", "t", {"pid": 1, "a": "x"}),
+        _dz("d", "t", {"pid": 1, "a": "y"}, op="u", ts=2),
+        _dz("d", "u", {"uid": 9, "b": 1.5}),
+    ]
+    (src / "b1.json").write_text("\n".join(lines) + "\n")
+    cfg = tmp_path / "job.properties"
+    cfg.write_text(
+        PROPS_TMPL.format(
+            ckpt=tmp_path / "ckpt", src=src, store=tmp_path / "store"
+        )
+        + "\ntarget_store_mode = mor\n"
+    )
+    props = load_properties(cfg.read_text())
+    processor = build_processor(spark, props)
+    q = start_query(spark, props, processor)
+    q.awaitTermination(120)
+    store = processor.store
+    from kafka_cdc_redshift_spark.streaming.store import MergeOnReadTargetStore
+
+    assert isinstance(store, MergeOnReadTargetStore)
+    t = {r.pid: r.a for r in store.read(spark, "t").collect()}
+    assert t == {1: "y"}
+    assert store.read(spark, "u").collect()[0].b == 1.5
