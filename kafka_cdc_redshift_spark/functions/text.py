@@ -503,3 +503,127 @@ def token_commonness(
             ).alias("rare_ratio"),
         )
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_count: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Corpus-repeated substring spans per document — the detection half
+    of exact-substring deduplication (the "drop any 50-gram that appears
+    twice in the corpus" pass a training-data pipeline runs AFTER
+    document-level dedup, since boilerplate repeats across otherwise
+    unique documents). Returns (doc_id, span_start, span_end) character
+    intervals (1-based, end-exclusive) covering every position whose
+    length-`n` gram occurs >= `min_count` times corpus-wide; overlapping
+    or touching gram hits are merged via gaps-and-islands, so spans are
+    maximal and disjoint.
+
+    Shape at scale: positions explode map-side (length-n+1 grams per
+    doc), grams are 60-bit hashes so the census shuffle moves ints (the
+    gram text never shuffles); repeated positions semi-join the census
+    and one per-doc window builds the islands. `stride > 1` samples every
+    stride-th position — the documented recall/cost dial for the first
+    corpus pass (a repeat longer than n + stride - 1 chars is still
+    caught); stride=1 is exact and is what the oracle replays.
+
+    No reference analog (the reference moves CDC rows; this is
+    training-corpus surface).
+    """
+    from pyspark.sql import Window
+
+    docs = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= n)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, length(__t) - {n} + 1, {stride})")
+        ).alias("pos"),
+        F.col("__t"),
+    ).select(
+        "doc_id", "pos", hash60(F.substring(F.col("__t"), F.col("pos"), n)).alias("__h")
+    )
+    census = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    hits = grams.join(
+        census.filter(F.col("__c") >= min_count).select("__h"), "__h", "semi"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        # a new island starts when this gram no longer overlaps/touches
+        # the previous hit's span [prev, prev + n)
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("pos") > F.col("__prev") + n))
+            .cast("long"),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply `repeated_ngram_spans` output: cut every span out of the
+    text (keeping the segments between spans) — the rewrite half of
+    exact-substring dedup. Native expressions only: spans fold per doc
+    with `aggregate`, so the rewrite is map-side after one left join;
+    docs without spans pass through untouched.
+    """
+    agg = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = df.join(agg, id_col, "left")
+    # fold: walk spans left->right keeping [cursor, start) segments
+    cleaned = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+        F.aggregate(
+            "__spans",
+            F.struct(
+                # long accumulator: span bounds may be int or long and the
+                # struct type must stay fixed across the fold
+                F.lit(1).cast("long").alias("cur"),
+                F.lit("").cast("string").alias("acc"),
+            ),
+            lambda acc, s: F.struct(
+                F.greatest(
+                    acc["cur"], s["span_end"].cast("long")
+                ).alias("cur"),
+                F.concat(
+                    acc["acc"],
+                    F.when(
+                        s["span_start"] > acc["cur"],
+                        F.col(text_col).substr(
+                            acc["cur"], s["span_start"] - acc["cur"]
+                        ),
+                    ).otherwise(F.lit("")),
+                ).alias("acc"),
+            ),
+            lambda acc: F.concat(
+                acc["acc"],
+                F.col(text_col).substr(
+                    acc["cur"], F.length(text_col) - acc["cur"] + 1
+                ),
+            ),
+        )
+    )
+    return joined.withColumn(text_col, cleaned).drop("__spans")

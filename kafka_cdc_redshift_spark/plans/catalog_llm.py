@@ -1393,3 +1393,40 @@ def q_doc_sample_k(spark, sf_dir):
     return curation.sample_k_per_stratum(
         load_table(spark, sf_dir, "documents"), 5
     ).select("doc_id", "source")
+
+
+@_spec(
+    "text_repeated_spans",
+    "exact-substring dedup, detection half (the post-doc-dedup "
+    "boilerplate pass): maximal disjoint character spans whose 20-grams "
+    "repeat corpus-wide (count >= 2), built from a 60-bit gram-hash "
+    "census + per-doc gaps-and-islands merge — gram text never "
+    "shuffles, only int hashes; stride is the documented recall/cost "
+    "dial at corpus scale (stride=1 here, exact, replayed by the oracle)",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+    g AS (SELECT doc_id, unnest(range(1, length(text) - 20 + 2)) AS p, text
+          FROM d),
+    h AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                 ('0x' || substr(md5(substring(text, p, 20)), 1, 15))::BIGINT AS h
+          FROM g),
+    dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT h.doc_id, h.p FROM h JOIN dup USING (h)),
+    isl AS (SELECT doc_id, p,
+                   sum(CASE WHEN prev IS NULL OR p > prev + 20 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY p) AS island
+            FROM (SELECT doc_id, p,
+                         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                  FROM hits) s)
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 20 AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, island""",
+)
+def q_text_repeated_spans(spark, sf_dir):
+    spans = text.repeated_ngram_spans(
+        load_table(spark, sf_dir, "documents"), n=20, min_count=2
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )

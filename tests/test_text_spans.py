@@ -1,0 +1,88 @@
+"""Exact-substring dedup pair (functions/text.py): repeated_ngram_spans
+detection (also oracle-checked via the catalog twin) and the
+remove_repeated_spans rewrite, which has no SQL oracle — unit-tested on
+constructed corpora."""
+
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.functions import text as T
+
+BOILER = "SUBSCRIBE-TO-OUR-NEWSLETTER-NOW"  # 31 chars, shared boilerplate
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"hello{BOILER}world"),
+            (2, f"abc{BOILER}xyz{BOILER}tail"),  # two occurrences in one doc
+            (3, "completely unique text with no repeats at all here"),
+            (4, "tiny"),  # shorter than n: never scanned
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_spans_cover_exactly_the_boilerplate(spark):
+    spans = T.repeated_ngram_spans(_docs(spark), n=10, min_count=2)
+    got = {
+        (r.doc_id, r.span_start, r.span_end) for r in spans.collect()
+    }
+    # doc 1: "hello" is 5 chars -> boilerplate at [6, 6+31)
+    assert (1, 6, 37) in got
+    # doc 2: [4, 35) and [38, 69)
+    assert (2, 4, 35) in got and (2, 38, 69) in got
+    assert all(d != 3 and d != 4 for d, _, _ in got)
+
+
+def test_remove_spans_rebuilds_clean_text(spark):
+    docs = _docs(spark)
+    spans = T.repeated_ngram_spans(docs, n=10, min_count=2)
+    out = {r.doc_id: r.text for r in T.remove_repeated_spans(docs, spans).collect()}
+    assert out[1] == "helloworld"
+    assert out[2] == "abcxyztail"
+    assert out[3] == "completely unique text with no repeats at all here"
+    assert out[4] == "tiny"
+
+
+def test_remove_spans_merges_overlaps_and_edges(spark):
+    """Spans at document start/end and overlapping islands: the fold must
+    keep exactly the uncovered segments."""
+    docs = spark.createDataFrame(
+        [(1, "AAAABBBBCCCC"), (2, "XXmiddleYY")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 5), (1, 4, 9), (2, 9, 11)],  # overlapping; end-of-doc
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r.doc_id: r.text for r in T.remove_repeated_spans(docs, spans).collect()}
+    assert out[1] == "CCCC"  # [1,5)+[4,9) cover chars 1..8
+    assert out[2] == "XXmiddle"
+
+
+def test_stride_still_catches_long_repeats(spark):
+    """stride>1 samples positions; a repeat longer than n + stride - 1 is
+    still detected (the documented recall bound)."""
+    long_rep = "0123456789" * 4  # 40 chars, appears in both docs
+    docs = spark.createDataFrame(
+        [(1, f"aa{long_rep}bb"), (2, f"cc{long_rep}dd")],
+        "doc_id long, text string",
+    )
+    spans = T.repeated_ngram_spans(docs, n=10, min_count=2, stride=3)
+    by_doc = {r.doc_id: (r.span_start, r.span_end) for r in spans.collect()}
+    for d, start_of_rep in ((1, 3), (2, 3)):
+        s, e = by_doc[d]
+        # sampled spans sit within the true repeat region (no false hits)
+        assert s >= start_of_rep and e <= start_of_rep + 40 + 10
+
+
+def test_spans_plan_jvm_native(spark):
+    plan = (
+        T.repeated_ngram_spans(_docs(spark), n=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    rm = T.remove_repeated_spans(
+        _docs(spark),
+        T.repeated_ngram_spans(_docs(spark), n=10),
+    )
+    assert "BatchEvalPython" not in rm._jdf.queryExecution().executedPlan().toString()
