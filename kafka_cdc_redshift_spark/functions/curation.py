@@ -432,3 +432,37 @@ def sample_k_per_stratum(
         .distinct()  # bounded: <= n_partitions * k pairs per stratum
     )
     return df.join(F.broadcast(winners), [strata_col, id_col], "left_semi")
+
+
+def keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    score_col: str,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+) -> DataFrame:
+    """Quality-aware keep/drop for a near-dup pipeline: from a
+    (doc_id, cluster_id) map, keep the HIGHEST-`score_col` document of
+    each cluster (deterministic min-id tiebreak) instead of
+    `keep_canonical`'s positional min-id winner — the production rule
+    when duplicates differ in quality (keep the longest / highest-rated
+    copy, drop the truncated mirror).
+
+    One doc_id equi-join plus one window keyed on cluster_id. At scale
+    the window's skew is the largest duplicate cluster, which the LSH
+    hot-bucket cap already bounds upstream; singleton clusters (the vast
+    majority) are one-row partitions.
+    """
+    from pyspark.sql import Window
+
+    payload = [c for c in payload_cols if c != score_col]
+    scored = docs.select(id_col, score_col, *payload).join(clusters, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

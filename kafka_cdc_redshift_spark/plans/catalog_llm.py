@@ -1430,3 +1430,32 @@ def q_text_repeated_spans(spark, sf_dir):
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
     )
+
+
+@_spec(
+    "dedup_keep_best",
+    "quality-aware keep/drop closing the near-dup pipeline: per "
+    "duplicate cluster keep the LONGEST document (n_chars argmax, min-id "
+    "tiebreak) instead of keep_one's positional canonical — the "
+    "production rule when duplicates differ in quality (keep the full "
+    "copy, drop the truncated mirror); one doc_id join + one "
+    "cluster-keyed window, skew bounded by the LSH hot-bucket cap",
+    f"""WITH RECURSIVE {_JACCARD_CUT},
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+          UNION ALL SELECT doc_b, doc_a FROM pe),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+    cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, n_chars, lang, source, cluster_id FROM (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars, cl.cluster_id,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM documents d JOIN cl USING (doc_id)) t
+    WHERE rk = 1""",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_text.duplicate_clusters(docs, dedup_text.jaccard_pairs(docs))
+    return curation.keep_best(docs, clusters, score_col="n_chars")
