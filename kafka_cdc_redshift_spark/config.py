@@ -44,6 +44,14 @@ class SyncRule:
     # key is the doc id; `dedup_text_column` is the content column.
     dedup_ingest: bool = False
     dedup_text_column: str = "text"
+    # ingest quality gate: drop batch documents failing the Gopher-style
+    # rule filters (functions/text.gopher_flags over `dedup_text_column`)
+    # BEFORE they reach any target; rejected docs land, with their audit
+    # flags, in <table>_rejected. Threshold overrides ride the rule's
+    # extra keys: quality_min_words, quality_max_words,
+    # quality_min_mean_word_len, quality_max_mean_word_len,
+    # quality_min_ttr, quality_min_req_stopwords.
+    quality_gate: bool = False
     # incremental aggregate maintenance: keep <table>_stats — mergeable
     # per-group stats of `stats_value_column` grouped by
     # `stats_group_columns` — folded algebraically per batch
@@ -120,6 +128,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 zorder_columns=_split(it.get("zorder_columns", "")),
                 dedup_ingest=_flag(it.get("dedup_ingest", False)),
                 dedup_text_column=it.get("dedup_text_column") or "text",
+                quality_gate=_flag(it.get("quality_gate", False)),
                 stats_group_columns=_split(it.get("stats_group_columns", "")),
                 stats_value_column=it.get("stats_value_column") or None,
                 stats_distinct_column=it.get("stats_distinct_column") or None,
@@ -127,7 +136,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
                     "scd2_history", "zorder_columns",
-                    "dedup_ingest", "dedup_text_column",
+                    "dedup_ingest", "dedup_text_column", "quality_gate",
                     "stats_group_columns", "stats_value_column",
                     "stats_distinct_column",
                     "super_columns", "timestamp_columns", "date_columns"}},

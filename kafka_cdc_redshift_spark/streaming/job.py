@@ -125,6 +125,55 @@ class CdcBatchProcessor:
             self._dedup_ingestors[rule.target_name] = ing
         return ing
 
+    def _apply_quality_gate(
+        self, parsed: DataFrame, rule: SyncRule, batch_id
+    ) -> DataFrame:
+        """Ingest-time document quality gate (functions/text.gopher_flags):
+        batch documents failing the rule filters never reach any target;
+        they land — payload plus audit flags — in <table>_rejected, the
+        quarantine channel (the curation analog of the delete stream:
+        dropped, but auditable and replayable). Delete images carry no
+        text and always pass through. Map-only scoring plus one
+        batch-keyed semi-join; threshold overrides ride the rule's
+        `quality_*` extra keys. Replay-safe like the delete log:
+        manifest-guarded append under merge-on-read, (pk, order)-dedup
+        rewrite otherwise."""
+        from ..functions.text import gopher_flags
+
+        pk = rule.primary_key[0]
+        kw = {}
+        for k in ("min_words", "max_words", "min_mean_word_len",
+                  "max_mean_word_len", "min_ttr", "min_req_stopwords"):
+            v = rule.extra.get(f"quality_{k}")
+            if v is not None:
+                kw[k] = float(v) if "len" in k or "ttr" in k else int(v)
+        has_op = "op" in parsed.columns
+        docs = parsed.filter(F.col("op") != "d") if has_op else parsed
+        flags = gopher_flags(
+            docs, id_col=pk, text_col=rule.dedup_text_column, **kw
+        )
+        rejected = docs.join(
+            flags.filter(~F.col("keep")).drop("keep"), pk
+        )
+        rtable = f"{rule.target_name}_rejected"
+        if hasattr(self.store, "publish_append"):
+            self.store.publish_append(rejected, rtable, batch_id)
+        else:
+            prev = self.store.read(self.spark, rtable)
+            out = (
+                prev.unionByName(rejected, allowMissingColumns=True)
+                if prev is not None else rejected
+            )
+            dedup_keys = [pk] + [
+                c for c in self.order_by if c in out.columns
+            ]
+            self.store.publish(out.dropDuplicates(dedup_keys), rtable)
+        keep_ids = flags.filter(F.col("keep")).select(pk)
+        passing = docs.join(keep_ids, pk, "semi")
+        if has_op:
+            passing = passing.unionByName(parsed.filter(F.col("op") == "d"))
+        return passing
+
     # -- per-table task ----------------------------------------------------
     def _run_table(
         self, batch_df: DataFrame, rule: SyncRule, job_group: str | None = None,
@@ -159,6 +208,8 @@ class CdcBatchProcessor:
             if parsed.isEmpty():
                 return TaskStatus(rule.target_name, "no-data")
             parsed = apply_rule_conversions(parsed, rule)
+            if rule.quality_gate:
+                parsed = self._apply_quality_gate(parsed, rule, batch_id)
 
             order = self.order_by + (
                 ["data_index_aws"] if "data_index_aws" in parsed.columns else []

