@@ -50,6 +50,7 @@ def main() -> None:
     # is noisy. Give them one untimed warm run so every timed run measures
     # the steady-state plan.
     barrier = {"dedup_minhash_lsh", "dedup_clusters", "dedup_keep_one",
+               "dedup_keep_best",  # r5: same clusters lineage as keep_one
                "dedup_ngram_jaccard", "text_winnow_pairs", "emb_kmeans",
                # r3: localCheckpoint-materialized relations
                "dedup_semantic", "dedup_minhash_eval",

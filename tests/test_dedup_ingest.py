@@ -205,3 +205,19 @@ def test_e2e_cdc_stream_dedup_ingest(spark, sf_dir, tmp_path):
     # the latest-state target landed too (dedup ingest rides alongside the
     # normal merge, it doesn't replace it)
     assert store.read(spark, "documents").count() == docs.count()
+
+
+def test_append_log_survives_manifest_tmp_leftover(spark, tmp_path):
+    """A crash during the manifest's atomic rewrite can leave a .tmp file
+    behind; the log must keep working (os.replace semantics) and the next
+    commit must not resurrect or lose batches."""
+    import os
+
+    log = AppendLog(str(tmp_path / "log"))
+    log.append(spark.createDataFrame([(1,)], "k long"), "t", 0)
+    # leftover tmp from a crashed writer — stale content
+    with open(os.path.join(str(tmp_path / "log"), "t", "_manifest.json.tmp"), "w") as f:
+        f.write('{"batches": [999]}')
+    log.append(spark.createDataFrame([(2,)], "k long"), "t", 1)
+    assert log.committed("t") == [0, 1]
+    assert {r.k for r in log.read(spark, "t").collect()} == {1, 2}
