@@ -59,6 +59,7 @@ _DRIVER_CHECK_FIRST = [
     "corpus_ndv_incremental",  # brand-new this round (HLL sketch fold)
     "text_repeated_spans",  # brand-new this round (exact-substring dedup)
     "dedup_keep_best",  # brand-new this round (quality-aware keep/drop)
+    "text_pretoken_stats",  # brand-new this round (real pre-tokenizer)
     "doc_sample_k_per_source",
     "cdc_scd2_history",
     "sim_ivf_topk",  # now delegates through ivf_topk_from_cells

@@ -627,3 +627,41 @@ def remove_repeated_spans(
         )
     )
     return joined.withColumn(text_col, cleaned).drop("__spans")
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to syntax both Java regex
+#: (Spark) and RE2 (DuckDB oracle) accept — no lookaheads: contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: bare apostrophes, whitespace runs. Parity is regression-tested.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|'|\s+"
+)
+
+
+def bpe_pretokens_col(text: str | Column = "text") -> Column:
+    """Subword-boundary pre-tokens under the GPT-2-style regex — the real
+    counting unit a BPE tokenizer starts from (each pre-token splits into
+    >= 1 BPE tokens), vs `token_stats`'s chars/4 rule of thumb.
+    Whitespace-only matches are dropped; every other match is one
+    pre-token. Codegen'd regexp, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def pretoken_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc counting under all three unit systems a data pipeline
+    quotes sizes in: whitespace words, GPT-2-style pre-tokens (a LOWER
+    bound on BPE tokens — merges only split pre-tokens further), and the
+    chars/4 estimate. Map-only scan."""
+    pre = bpe_pretokens_col(text_col)
+    return spread(df).select(
+        id_col,
+        F.size(tokens_col(text_col)).alias("n_words"),
+        F.size(pre).alias("n_pretokens"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("est_bpe_tokens"),
+    )

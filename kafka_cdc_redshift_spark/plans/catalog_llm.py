@@ -1459,3 +1459,24 @@ def q_dedup_keep_best(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     clusters = dedup_text.duplicate_clusters(docs, dedup_text.jaccard_pairs(docs))
     return curation.keep_best(docs, clusters, score_col="n_chars")
+
+
+@_spec(
+    "text_pretoken_stats",
+    "token accounting under a REAL subword pre-tokenizer (GPT-2-style "
+    "regex, restricted to Java+RE2-common syntax so the oracle replays "
+    "it exactly): whitespace words vs pre-token count (a lower bound on "
+    "BPE tokens) vs the chars/4 estimate — the three unit systems "
+    "data budgets get quoted in; map-only codegen'd regexp scan",
+    r"""SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT)
+                AS n_words,
+              CAST(len(list_filter(
+                     regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|''|\s+'),
+                     x -> trim(x) != '')) AS INT) AS n_pretokens,
+              CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+       FROM documents""",
+)
+def q_text_pretoken_stats(spark, sf_dir):
+    return text.pretoken_stats(load_table(spark, sf_dir, "documents"))
