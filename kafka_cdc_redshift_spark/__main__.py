@@ -28,6 +28,11 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
   compact_every_n_batches / compact_target_mb
                             periodic store small-file compaction
                             (operators/layout.py); unset = off
+  max_deltas_before_fold    cadence-independent cap on accrued per-batch
+                            deltas (merge-on-read targets, delete-log /
+                            quarantine append logs): any table reaching
+                            this many unfolded deltas folds immediately
+                            (default 32; 0 disables)
   offset_log_path           JSON-lines log of per-batch source end offsets
                             (T6 consumer-lag monitoring analog,
                             streaming/listener.py); unset = off
@@ -127,6 +132,11 @@ def build_processor(
         compact_target_bytes=(
             int(props["compact_target_mb"]) if props.get("compact_target_mb") else 128
         ) * 1024 * 1024,
+        max_deltas_before_fold=(
+            int(props["max_deltas_before_fold"])
+            if props.get("max_deltas_before_fold")
+            else 32
+        ),
     )
 
 

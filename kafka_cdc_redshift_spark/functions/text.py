@@ -99,6 +99,49 @@ def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") ->
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_flag_cols(
+    text_col: str | Column = "text",
+    *,
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_ttr: float = 0.4,
+    min_req_stopwords: int = 1,
+) -> dict[str, Column]:
+    """The Gopher quality flags as named column EXPRESSIONS over
+    `text_col` — usable either keyed by document (`gopher_flags`) or
+    attached row-by-row to a changelog whose rows are not unique per key
+    (the streaming quality gate: a CDC batch routinely carries several
+    images per pk with different text, and each image must be judged on
+    its OWN text — joining flags back by pk would let any passing image
+    vouch for the rest)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens_col(c)
+    n_words = F.size(toks)
+    word_chars = F.length(F.regexp_replace(F.trim(F.lower(c)), r"\s+", ""))
+    mean_wl = word_chars.cast("double") / n_words.cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words.cast("double")
+    n_req_stop = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin(*GOPHER_STOPWORDS))
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_ttr = ttr >= min_ttr
+    ok_stop = n_req_stop >= min_req_stopwords
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "ttr": ttr,
+        "n_req_stopwords": n_req_stop,
+        "ok_word_count": ok_words,
+        "ok_mean_word_len": ok_mwl,
+        "ok_ttr": ok_ttr,
+        "ok_stopwords": ok_stop,
+        "keep": ok_words & ok_mwl & ok_ttr & ok_stop,
+    }
+
+
 def gopher_flags(
     df: DataFrame,
     *,
@@ -123,32 +166,14 @@ def gopher_flags(
     whitespace removed), a plain regexp_replace+length that stays inside
     WholeStageCodegen. Map-only scan: no shuffle at any scale."""
     df = spread(df)
-    toks = tokens_col(text_col)
-    n_words = F.size(toks)
-    word_chars = F.length(
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")
+    flags = gopher_flag_cols(
+        text_col,
+        min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        min_ttr=min_ttr, min_req_stopwords=min_req_stopwords,
     )
-    mean_wl = word_chars.cast("double") / n_words.cast("double")
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words.cast("double")
-    n_req_stop = F.size(
-        F.filter(F.array_distinct(toks), lambda t: t.isin(*GOPHER_STOPWORDS))
-    )
-    ok_words = (n_words >= min_words) & (n_words <= max_words)
-    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-    ok_ttr = ttr >= min_ttr
-    ok_stop = n_req_stop >= min_req_stopwords
-    return df.select(
-        id_col,
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        ttr.alias("ttr"),
-        n_req_stop.alias("n_req_stopwords"),
-        ok_words.alias("ok_word_count"),
-        ok_mwl.alias("ok_mean_word_len"),
-        ok_ttr.alias("ok_ttr"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_words & ok_mwl & ok_ttr & ok_stop).alias("keep"),
-    )
+    return df.select(id_col, *[c.alias(n) for n, c in flags.items()])
 
 
 def fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

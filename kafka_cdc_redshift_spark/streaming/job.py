@@ -74,6 +74,7 @@ class CdcBatchProcessor:
         jdbc_sink=None,
         compact_every_n_batches: int | None = None,
         compact_target_bytes: int = 128 * 1024 * 1024,
+        max_deltas_before_fold: int | None = 32,
     ):
         self.spark = spark
         self.rules = rules
@@ -100,6 +101,14 @@ class CdcBatchProcessor:
         # the VACUUM half of the reference's Redshift-side maintenance
         self.compact_every_n_batches = compact_every_n_batches
         self.compact_target_bytes = compact_target_bytes
+        # delta-count backstop, DECOUPLED from the compaction cadence: a
+        # store that accrues per-batch deltas (merge-on-read targets, the
+        # append-logged delete log / quarantine under either mode) folds
+        # whenever a table's committed-but-unfolded delta count reaches
+        # this cap, even when compact_every_n_batches is unset or
+        # misconfigured large — otherwise read amplification (N delta
+        # list-reads per query) grows unbounded between compactions
+        self.max_deltas_before_fold = max_deltas_before_fold
         self._batches_since_compact = 0
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
         self.compact_errors: list[tuple[str, str]] = []  # (table, error)
@@ -128,19 +137,26 @@ class CdcBatchProcessor:
     def _apply_quality_gate(
         self, parsed: DataFrame, rule: SyncRule, batch_id
     ) -> DataFrame:
-        """Ingest-time document quality gate (functions/text.gopher_flags):
-        batch documents failing the rule filters never reach any target;
-        they land — payload plus audit flags — in <table>_rejected, the
+        """Ingest-time document quality gate (functions/text.gopher_flag_cols):
+        batch rows failing the rule filters never reach any target; they
+        land — payload plus audit flags — in <table>_rejected, the
         quarantine channel (the curation analog of the delete stream:
         dropped, but auditable and replayable). Delete images carry no
-        text and always pass through. Map-only scoring plus one
-        batch-keyed semi-join; threshold overrides ride the rule's
-        `quality_*` extra keys. Replay-safe like the delete log:
-        manifest-guarded append under merge-on-read, (pk, order)-dedup
-        rewrite otherwise."""
-        from ..functions.text import gopher_flags
+        text and always pass through.
 
-        pk = rule.primary_key[0]
+        Gating is PER ROW, not per key: a CDC micro-batch routinely
+        carries several images of one pk (insert then update) with
+        different text, and each image is kept or quarantined on its own
+        text — a key-level join would cross-product images × flag rows
+        and let any passing image vouch for a failing update. Because the
+        flags are plain column expressions attached in place, the gate is
+        a map-only filter: zero joins, zero shuffles, at any scale.
+        Threshold overrides ride the rule's `quality_*` extra keys.
+        Replay-safe like the delete log: the quarantine is an O(|batch|)
+        manifest-guarded append under BOTH store modes (the copy-on-write
+        store routes it through its own AppendLog)."""
+        from ..functions.text import gopher_flag_cols
+
         kw = {}
         for k in ("min_words", "max_words", "min_mean_word_len",
                   "max_mean_word_len", "min_ttr", "min_req_stopwords"):
@@ -149,27 +165,15 @@ class CdcBatchProcessor:
                 kw[k] = float(v) if "len" in k or "ttr" in k else int(v)
         has_op = "op" in parsed.columns
         docs = parsed.filter(F.col("op") != "d") if has_op else parsed
-        flags = gopher_flags(
-            docs, id_col=pk, text_col=rule.dedup_text_column, **kw
+        flags = gopher_flag_cols(rule.dedup_text_column, **kw)
+        flagged = docs.select(
+            "*", *[c.alias(n) for n, c in flags.items()]
         )
-        rejected = docs.join(
-            flags.filter(~F.col("keep")).drop("keep"), pk
+        rejected = flagged.filter(~F.col("keep")).drop("keep")
+        self.store.publish_append(
+            rejected, f"{rule.target_name}_rejected", batch_id
         )
-        rtable = f"{rule.target_name}_rejected"
-        if hasattr(self.store, "publish_append"):
-            self.store.publish_append(rejected, rtable, batch_id)
-        else:
-            prev = self.store.read(self.spark, rtable)
-            out = (
-                prev.unionByName(rejected, allowMissingColumns=True)
-                if prev is not None else rejected
-            )
-            dedup_keys = [pk] + [
-                c for c in self.order_by if c in out.columns
-            ]
-            self.store.publish(out.dropDuplicates(dedup_keys), rtable)
-        keep_ids = flags.filter(F.col("keep")).select(pk)
-        passing = docs.join(keep_ids, pk, "semi")
+        passing = flagged.filter(F.col("keep")).drop(*flags.keys())
         if has_op:
             passing = passing.unionByName(parsed.filter(F.col("op") == "d"))
         return passing
@@ -417,23 +421,12 @@ class CdcBatchProcessor:
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253
-                if hasattr(self.store, "publish_append"):
-                    # merge-on-read store: the delete log is pure append —
-                    # O(|batch|) written, replay-guarded by the delta
-                    # manifest instead of a full-log dedup rewrite
-                    self.store.publish_append(dels, dtable, batch_id)
-                else:
-                    prev = self.store.read(self.spark, dtable)
-                    out = prev.unionByName(dels) if prev is not None else dels
-                    # replay idempotency: a failed batch retried from the
-                    # checkpoint re-appends the same delete images; dedup on
-                    # (pk, event-time) so the append converges instead of
-                    # growing (the main target's merge is naturally
-                    # idempotent)
-                    out = out.dropDuplicates(
-                        list(rule.primary_key) + [c for c in order if c in out.columns]
-                    )
-                    self.store.publish(out, dtable)
+                # the delete log is pure append under BOTH store modes:
+                # O(|batch|) written, replay-guarded by the append manifest
+                # + the fold-spanning base-pointer guard — never the old
+                # O(|deletes-ever|) read-union-dedup-republish. Accrued
+                # delta dirs fold into the base in the maintenance cycle.
+                self.store.publish_append(dels, dtable, batch_id)
             return TaskStatus(rule.target_name, "finished", rows=n)
         except Exception as e:  # noqa: BLE001 - reported to fail-fast logic
             return TaskStatus(rule.target_name, "error", error=repr(e))
@@ -479,7 +472,30 @@ class CdcBatchProcessor:
         if errors:
             raise RuntimeError(f"batch {batch_id} failed: {errors}")
         self._maybe_compact()
+        self._maybe_fold_backstop()
         return statuses
+
+    def _maybe_fold_backstop(self) -> None:
+        """Fold any table whose unfolded delta count reached
+        `max_deltas_before_fold` — the cadence-independent cap on
+        merge-on-read / append-log read amplification. A fold error is
+        maintenance, not data loss: recorded and retried next batch, like
+        compaction."""
+        cap = self.max_deltas_before_fold
+        if not cap or not hasattr(self.store, "delta_count"):
+            return
+        for rule in self.rules:
+            for t in (
+                rule.target_name,
+                f"{rule.target_name}_delete",
+                f"{rule.target_name}_history",
+                f"{rule.target_name}_rejected",
+            ):
+                try:
+                    if self.store.delta_count(t) >= cap:
+                        self.store.fold_deltas(self.spark, t)
+                except Exception as e:  # noqa: BLE001 - maintenance only
+                    self.compact_errors.append((t, repr(e)))
 
     def _maybe_compact(self) -> None:
         if not self.compact_every_n_batches:
@@ -501,6 +517,11 @@ class CdcBatchProcessor:
                 # the history accrues per-batch state too (file-sets under
                 # copy-on-write, deltas under merge-on-read) — same cycle
                 tables.append((f"{rule.target_name}_history", ()))
+            if rule.quality_gate:
+                # the quarantine appends one delta per batch under both
+                # store modes — without a fold its read cost grows without
+                # bound, exactly like the delete log
+                tables.append((f"{rule.target_name}_rejected", ()))
             for t, zcols in tables:
                 # maintenance must not fail a batch whose data work already
                 # committed: a transient compaction error is recorded, not

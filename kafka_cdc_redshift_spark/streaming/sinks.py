@@ -177,6 +177,11 @@ def build_merge_sql(
     DISTINCT INSERT SELECT — so the reference's merge strategy itself
     (not just the MERGE INTO rewrite) is executable and execution-tested
     on engines without Redshift's syntax extensions (live on Derby).
+    `dialect="redshift_merge"` emits the RESTRICTED MERGE shape Redshift
+    actually accepts — exactly one unrefined WHEN MATCHED and one
+    unrefined WHEN NOT MATCHED clause — with delete images applied ahead
+    of the merge (see _build_redshift_merge_sql); the restricted shape is
+    also valid SQL:2008, so it is execution-tested live on Derby.
     """
     if dialect == "ansi_merge":
         return _build_ansi_merge_sql(
@@ -186,6 +191,12 @@ def build_merge_sql(
         )
     if dialect == "delete_insert":
         return _build_delete_insert_sql(
+            target=target, stage=stage, columns=columns, keys=keys,
+            op_col=op_col, delete_op=delete_op, skip_delete=skip_delete,
+            bootstrap=bootstrap,
+        )
+    if dialect == "redshift_merge":
+        return _build_redshift_merge_sql(
             target=target, stage=stage, columns=columns, keys=keys,
             op_col=op_col, delete_op=delete_op, skip_delete=skip_delete,
             bootstrap=bootstrap,
@@ -322,6 +333,81 @@ def _build_delete_insert_sql(
     return stmts
 
 
+def _build_redshift_merge_sql(
+    *,
+    target: str,
+    stage: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    op_col: str,
+    delete_op: str,
+    skip_delete: bool,
+    bootstrap: bool,
+) -> list[str]:
+    """Redshift's RESTRICTED MERGE: the engine accepts exactly one
+    WHEN MATCHED clause and one WHEN NOT MATCHED clause, neither with a
+    refinement predicate — so the ansi_merge dialect's refined branches
+    (`WHEN MATCHED AND op = 'd' THEN DELETE`) are rejected there. This
+    dialect completes the merge-strategy matrix with the shape Redshift
+    actually runs:
+
+      1. delete images are applied BEFORE the merge: delete matching
+         target keys (portable correlated-EXISTS — valid on Redshift and
+         SQL:2008 engines alike), then delete the images from the stage
+         so the unrefined MERGE cannot re-insert them (the stage is
+         transaction-local and truncated after the merge anyway);
+      2. one restricted `MERGE INTO ... WHEN MATCHED THEN UPDATE ...
+         WHEN NOT MATCHED THEN INSERT ...` upserts the remainder.
+
+    Under skip_delete, step 1 is skipped and delete images upsert like
+    any row — identical semantics to the other dialects. The stage must
+    be key-deduped (the pipeline lww_dedups before staging); a duplicate
+    key trips the engine's MERGE cardinality error. Bootstrap uses the
+    portable WITH-NO-DATA CTAS for the live Derby tests; on Redshift
+    itself the `redshift` dialect's `WHERE 1 = 3` CTAS is the native
+    spelling. The restricted MERGE is also valid SQL:2008, so the whole
+    statement list is execution-tested live on embedded Derby."""
+    cols_no_op = [c for c in columns if c != op_col]  # op never lands (P5)
+    collist = ", ".join(_q(c) for c in cols_no_op)
+    on = merge_condition(stage, target, keys)
+    set_cols = [c for c in cols_no_op if c not in keys]
+    # CLOB-staged op columns can't be '='-compared on Derby — CAST, a
+    # no-op on engines that staged VARCHAR (see _build_ansi_merge_sql)
+    op_ref = f"CAST({_q(op_col)} AS VARCHAR(32))"
+    stmts: list[str] = []
+    if bootstrap:
+        stmts.append(
+            f"CREATE TABLE {target} AS "
+            f"SELECT {collist} FROM {stage} WITH NO DATA"
+        )
+    stmts.append("BEGIN")
+    if not skip_delete:
+        stmts.append(
+            f"DELETE FROM {target} WHERE EXISTS "
+            f"(SELECT 1 FROM {stage} WHERE {on} "
+            f"AND CAST({stage}.{_q(op_col)} AS VARCHAR(32)) = '{delete_op}')"
+        )
+        stmts.append(
+            f"DELETE FROM {stage} WHERE {op_ref} = '{delete_op}'"
+        )
+    # exactly ONE unrefined matched + ONE unrefined not-matched clause —
+    # the restricted shape. All-key tables update a key to itself (a
+    # no-op) because the restricted form requires both clauses.
+    sets = ", ".join(
+        f"{_q(c)} = {stage}.{_q(c)}" for c in (set_cols or [keys[0]])
+    )
+    stmts.append(
+        f"MERGE INTO {target} USING {stage} ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ("
+        + ", ".join(f"{stage}.{_q(c)}" for c in cols_no_op)
+        + ")"
+    )
+    stmts.append(f"TRUNCATE TABLE {stage}")
+    stmts.append("END")
+    return stmts
+
+
 class JdbcMergeSink:
     def __init__(self, url: str, *, user: str, password: str,
                  driver: str = "org.postgresql.Driver",
@@ -341,8 +427,10 @@ class JdbcMergeSink:
         # instead of row-batched JDBC inserts
         self.bulk = bulk
         # "redshift" (reference statement shape, warehouse syntax),
-        # "ansi_merge" (standard MERGE INTO — Derby/Postgres 15+), or
-        # "delete_insert" (reference shape in portable SQL:2003)
+        # "ansi_merge" (standard MERGE INTO — Derby/Postgres 15+),
+        # "delete_insert" (reference shape in portable SQL:2003), or
+        # "redshift_merge" (Redshift's RESTRICTED MERGE: one unrefined
+        # matched + one unrefined not-matched clause, deletes pre-applied)
         self.dialect = dialect
         # forwarded to the Spark JDBC writer (e.g. createTableColumnTypes
         # to keep strings VARCHAR on engines whose default mapping is CLOB)
@@ -443,7 +531,9 @@ class JdbcMergeSink:
             skip_delete=skip_delete, dialect=self.dialect,
         )
         props = self._props()
-        tolerant = self.dialect in ("ansi_merge", "delete_insert")
+        tolerant = self.dialect in (
+            "ansi_merge", "delete_insert", "redshift_merge"
+        )
         drop_stage = (
             f"DROP TABLE {stage}" if tolerant else f"DROP TABLE IF EXISTS {stage}"
         )

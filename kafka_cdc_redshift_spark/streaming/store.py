@@ -42,15 +42,32 @@ class ParquetTargetStore:
         batch already landed" survives a crash between publish and
         checkpoint commit — the guard that makes read-modify-append
         updates (SCD2 history, delete log) replay-idempotent without any
-        extra scan or shuffle."""
+        extra scan or shuffle. Maintenance republishes (compaction, delta
+        folds) carry the pointer FORWARD (see `publish`): a rewrite that
+        moves no data must not erase the replay guard."""
         try:
             with open(self._meta_path(table)) as f:
                 return json.load(f).get("batch_id")
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
+    def folded_batch_ids(self, table: str) -> list:
+        """Batch ids whose deltas were folded into the CURRENT base version
+        (recorded atomically with the fold's pointer flip). Closes the
+        fold's crash window: if the fold publishes base but dies before
+        retiring the delta manifest, readers must not resolve those
+        deltas a second time — `read` excludes any committed delta whose
+        id appears here, and the next fold retires the leftovers."""
+        try:
+            with open(self._meta_path(table)) as f:
+                return json.load(f).get("folded_ids", [])
+        except (FileNotFoundError, json.JSONDecodeError):
+            return []
+
     def exists(self, table: str) -> bool:
-        return self.current_version(table) is not None
+        return self.current_version(table) is not None or bool(
+            self._live_append_ids(table)[1]
+        )
 
     def path(self, table: str) -> str | None:
         v = self.current_version(table)
@@ -59,21 +76,108 @@ class ParquetTargetStore:
         return os.path.join(self.root, table, f"version={v}")
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        base = None
         p = self.path(table)
-        return spark.read.parquet(p) if p else None
+        if p:
+            base = spark.read.parquet(p)
+        log, ids = self._live_append_ids(table)
+        if not ids:
+            return base
+        # per-batch reads + unionByName so columns added across batches
+        # null-fill instead of failing the multi-dir scan
+        from functools import reduce
 
-    def publish(self, df: DataFrame, table: str, *, batch_id=None) -> int:
+        parts = ([base] if base is not None else []) + [
+            spark.read.parquet(os.path.join(log.root, table, f"batch={b}"))
+            for b in ids
+        ]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+
+    # -- append-shaped side tables (delete log, quarantine) ----------------
+    # The copy-on-write store's answer to tables that only ever GROW: a
+    # read-union-dedup-republish per batch costs O(|table-ever|) per batch,
+    # so appends land in an AppendLog instead (O(|batch|) written) and the
+    # maintenance cycle folds them into the base version. Same shape the
+    # merge-on-read store uses for its delete log; here it rides the plain
+    # store so BOTH target_store_modes get append-cost quarantine/delete
+    # publishes.
+    def _append_log(self) -> "AppendLog":
+        return AppendLog(os.path.join(self.root, "_append"))
+
+    def _live_append_ids(self, table: str):
+        log = self._append_log()
+        folded = set(self.folded_batch_ids(table))
+        return log, [b for b in log.committed(table) if b not in folded]
+
+    def delta_count(self, table: str) -> int:
+        """Committed-but-unfolded deltas for `table` — the read-amplification
+        gauge the job's fold backstop polls."""
+        return len(self._live_append_ids(table)[1])
+
+    def publish_append(self, rows: DataFrame, table: str, batch_id) -> None:
+        """Append one batch's rows to `table` (delete-log shape: no keys,
+        no resolution). Replay-guarded by the append manifest AND — so the
+        guard spans folds — by the base pointer's batch_id / folded_ids."""
+        log = self._append_log()
+        if log.has_batch(table, batch_id) or (
+            batch_id is not None
+            and (
+                self.last_batch_id(table) == batch_id
+                or batch_id in self.folded_batch_ids(table)
+            )
+        ):
+            return
+        log.append(rows, table, batch_id)
+
+    def fold_deltas(self, spark: SparkSession, table: str) -> int | None:
+        """Fold committed append deltas into the next base version and
+        retire them — run from the maintenance cycle. Crash-safe in either
+        order: the publish records the folded ids atomically with the
+        pointer flip, `read` excludes folded-but-unretired deltas, and the
+        next fold retires those leftovers before folding anything new."""
+        log = self._append_log()
+        committed = log.committed(table)
+        if not committed:
+            return None
+        folded = set(self.folded_batch_ids(table))
+        leftovers = [b for b in committed if b in folded]
+        if leftovers:  # heal a crash between a prior fold's publish+retire
+            log.retire(table, leftovers)
+        ids = [b for b in committed if b not in folded]
+        if not ids:
+            return None
+        resolved = self.read(spark, table)
+        v = self.publish(resolved, table, batch_id=ids[-1], folded_ids=ids)
+        log.retire(table, ids)
+        return v
+
+    def publish(self, df: DataFrame, table: str, *, batch_id=None,
+                folded_ids=None) -> int:
         """Write df as the next version and atomically flip the pointer.
         `batch_id` (optional) is committed in the same pointer flip; see
-        `last_batch_id`."""
+        `last_batch_id`. When the caller passes no batch_id (maintenance
+        rewrites: compaction, re-clustering), the CURRENT pointer's
+        batch_id — and any recorded folded_ids — carry forward: a rewrite
+        that only reorganizes files must not erase the replay guard, or a
+        crash after maintenance would let a checkpoint retry re-apply a
+        batch the table already absorbed (zero-length SCD2 duplicates,
+        double-appended deltas)."""
         prev = self.current_version(table)
         nxt = 0 if prev is None else prev + 1
         out = os.path.join(self.root, table, f"version={nxt}")
         self._write_version(df, table, out, nxt)
         tmp = self._meta_path(table) + ".tmp"
         meta = {"version": nxt}
+        if batch_id is None:
+            batch_id = self.last_batch_id(table)  # carry forward
+        if folded_ids is None:
+            folded_ids = self.folded_batch_ids(table)  # carry forward
         if batch_id is not None:
             meta["batch_id"] = batch_id
+        if folded_ids:
+            meta["folded_ids"] = list(folded_ids)
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path(table))  # atomic pointer flip
@@ -248,10 +352,12 @@ class MergeOnReadTargetStore(ParquetTargetStore):
     either mode slots under the identical processor loop.
 
     Read cost is bounded by the deltas since the last fold (cap it with
-    the job's `compact_every_n_batches`); a crash between the fold's base
-    publish and delta retirement is safe — re-resolving a delta whose
-    rows are already in base picks identical winners (resolution is
-    idempotent). Schema evolution: added columns appear at read via
+    the job's `compact_every_n_batches`, plus the delta-count backstop
+    `max_deltas_before_fold`); a crash between the fold's base publish
+    and delta retirement is safe for EVERY table kind — the fold records
+    the folded batch ids atomically with the base pointer and `read`
+    excludes them, so keyed, SCD2, and pure-append resolutions all see
+    each delta exactly once. Schema evolution: added columns appear at read via
     null-filled alignment; a DROPPED column disappears only when a fold
     materializes the narrower schema.
     """
@@ -294,12 +400,18 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         keys, skip_delete: bool = False,
     ) -> None:
         """Append one batch's LWW-deduped changelog (payload + op [+ order
-        cols]). Idempotent per batch_id; O(|batch|) written."""
+        cols]). Idempotent per batch_id; O(|batch|) written. Keyed-merge
+        resolution is replay-idempotent even WITHOUT a guard (latest-wins
+        re-picks identical winners over its own folded effect), but the
+        fold-spanning `has_applied` check still skips the pointless
+        re-append of a just-folded batch."""
         self._ensure_config(
             table,
             {"kind": "merge", "keys": list(keys),
              "skip_delete": bool(skip_delete)},
         )
+        if self.has_applied(table, batch_id):
+            return
         self._delta.append(updates, table, batch_id)
 
     def publish_scd2_delta(
@@ -332,22 +444,44 @@ class MergeOnReadTargetStore(ParquetTargetStore):
             return
         self._delta.append(events, table, batch_id)
 
+    def exists(self, table: str) -> bool:
+        return super().exists(table) or bool(self._live_delta_ids(table))
+
     def has_applied(self, table: str, batch_id) -> bool:
-        """True when `batch_id`'s delta is committed OR was the last one
-        folded into the base version."""
+        """True when `batch_id`'s delta is committed OR was folded into the
+        base version (the fold records every folded id — not just the
+        last — atomically with the base pointer, so the guard spans folds
+        AND the fold's publish/retire crash window)."""
         return self._delta.has_batch(table, batch_id) or (
             self.last_batch_id(table) == batch_id
-        )
+        ) or (batch_id in self.folded_batch_ids(table))
+
+    def _live_delta_ids(self, table: str) -> list:
+        """Committed delta ids minus any already folded into the current
+        base — a fold that crashed between its base publish and manifest
+        retire leaves folded-but-committed deltas, which a reader must
+        not resolve twice (for append/SCD2 tables that means duplicates,
+        not a no-op)."""
+        folded = set(self.folded_batch_ids(table))
+        return [b for b in self._delta.committed(table) if b not in folded]
 
     def last_delta_batch_id(self, table: str):
-        ids = self._delta.committed(table)
+        ids = self._live_delta_ids(table)
         return ids[-1] if ids else None
+
+    def delta_count(self, table: str) -> int:
+        """Committed-but-unfolded deltas for `table` — the read-amplification
+        gauge the job's fold backstop polls."""
+        return len(self._live_delta_ids(table))
 
     def publish_append(self, rows: DataFrame, table: str, batch_id) -> None:
         """Pure-append table (no keys, no resolution — the delete log
-        shape): O(|rows|) written per batch, replay-guarded by the same
-        manifest. `read` returns base ∪ deltas verbatim; `fold_deltas`
-        just re-materializes into one base version."""
+        shape): O(|rows|) written per batch. Replay-guarded by
+        `has_applied`, which spans folds: unlike keyed-merge resolution,
+        re-reading an append delta whose rows were already folded into
+        base is NOT a no-op (base ∪ delta duplicates every row), so the
+        manifest guard alone — which the fold's retire erases — is not
+        enough."""
         cfg = {"keys": None}
         prev = self._load_config(table)
         if prev is None:
@@ -360,11 +494,13 @@ class MergeOnReadTargetStore(ParquetTargetStore):
             raise ValueError(
                 f"table {table!r} is a keyed merge table, not an append table"
             )
+        if self.has_applied(table, batch_id):
+            return
         self._delta.append(rows, table, batch_id)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         base = super().read(spark, table)
-        ids = self._delta.committed(table)
+        ids = self._live_delta_ids(table)
         if not ids:
             return base
         cfg = self._load_config(table)
@@ -375,9 +511,15 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         from pyspark.sql import Window
 
         if keys is None:  # pure-append table: no resolution
-            parts = [self._delta.read(spark, table)]
-            if base is not None:
-                parts.append(base)
+            # per-batch reads (not one multi-dir scan) so columns added
+            # across batches null-fill via unionByName, same contract as
+            # the keyed/scd2 paths
+            parts = ([base] if base is not None else []) + [
+                spark.read.parquet(
+                    os.path.join(self._delta.root, table, f"batch={b}")
+                )
+                for b in ids
+            ]
             return reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
@@ -433,16 +575,25 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         """Materialize the resolved view as the next base version and
         retire the folded deltas — the merge-on-read maintenance step,
         run from the job's periodic compaction cycle. Crash-safe in
-        either order: the base publish is the parent store's atomic
-        pointer flip, and re-resolving already-folded deltas is a no-op
-        by construction."""
-        ids = self._delta.committed(table)
+        either order: the fold's publish records EVERY folded batch id
+        atomically with the pointer flip, `read` excludes folded-but-
+        still-committed deltas (so a crash between the publish and the
+        manifest retire cannot double-resolve append/SCD2 deltas), and
+        the next fold retires those leftovers before folding new ones.
+        The recorded ids also make `has_applied` span the fold — the
+        replay guard non-idempotent resolutions (SCD2, pure append)
+        need."""
+        committed = self._delta.committed(table)
+        if not committed:
+            return None
+        folded = set(self.folded_batch_ids(table))
+        leftovers = [b for b in committed if b in folded]
+        if leftovers:  # heal a prior fold's publish/retire crash window
+            self._delta.retire(table, leftovers)
+        ids = [b for b in committed if b not in folded]
         if not ids:
             return None
         resolved = self.read(spark, table)
-        # record the last folded batch in the base pointer: together with
-        # the delta manifest this makes `has_applied` span the fold, the
-        # guard non-idempotent resolutions (SCD2) need for replays
-        v = self.publish(resolved, table, batch_id=ids[-1])
+        v = self.publish(resolved, table, batch_id=ids[-1], folded_ids=ids)
         self._delta.retire(table, ids)
         return v

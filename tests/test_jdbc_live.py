@@ -71,10 +71,13 @@ def sink(spark):
     return s
 
 
-# both executable dialects: the SQL:2003 MERGE INTO rewrite AND the
-# reference's own DELETE-then-INSERT statement shape (portable form) run
-# the same core upsert/delete semantics against live Derby
-@pytest.fixture(scope="module", params=["ansi_merge", "delete_insert"])
+# all three executable dialects: the SQL:2003 MERGE INTO rewrite, the
+# reference's own DELETE-then-INSERT statement shape (portable form), AND
+# Redshift's restricted MERGE (one unrefined matched + one unrefined
+# not-matched clause, deletes pre-applied) run the same core upsert/delete
+# semantics against live Derby
+@pytest.fixture(scope="module",
+                params=["ansi_merge", "delete_insert", "redshift_merge"])
 def merge_sink(request, spark):
     s = _sink(request.param, extra_jdbc_props=_VARCHAR_STAGE)
     try:

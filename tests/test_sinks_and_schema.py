@@ -70,6 +70,49 @@ def test_merge_sql_delete_insert_dialect_shape():
     assert "'d'" not in ";".join(skip)
 
 
+def test_merge_sql_redshift_merge_restricted_shape():
+    """Redshift's restricted MERGE: exactly ONE unrefined WHEN MATCHED and
+    ONE unrefined WHEN NOT MATCHED clause (no refinement predicates —
+    what Redshift rejects in ansi_merge), with delete images applied
+    ahead of the merge (target delete via correlated EXISTS, then purged
+    from the stage so the unrefined merge can't re-insert them)."""
+    stmts = build_merge_sql(
+        target="product", stage="st",
+        columns=["pid", "pname", "op"], keys=["pid"],
+        dialect="redshift_merge",
+    )
+    joined = ";".join(stmts)
+    merge = next(s for s in stmts if s.startswith("MERGE"))
+    assert merge.count("WHEN MATCHED") == 1
+    assert merge.count("WHEN NOT MATCHED") == 1
+    # restricted shape: no refinement predicate on either clause
+    assert "WHEN MATCHED AND" not in merge
+    assert "WHEN NOT MATCHED AND" not in merge
+    assert "DELETE" not in merge  # deletes never ride the merge
+    assert 'UPDATE SET "pname" = st."pname"' in merge
+    # delete images: target keys deleted, then images purged from stage,
+    # BEFORE the merge (statement order matters)
+    i_del_t = next(i for i, s in enumerate(stmts) if s.startswith("DELETE FROM product"))
+    i_del_s = next(i for i, s in enumerate(stmts) if s.startswith("DELETE FROM st"))
+    i_merge = stmts.index(merge)
+    assert i_del_t < i_del_s < i_merge
+    assert "EXISTS" in stmts[i_del_t] and "= 'd'" in stmts[i_del_t]
+    assert stmts[-1] == "END" and "TRUNCATE TABLE st" in joined
+    # skip_delete: delete images upsert — no delete statements at all
+    skip = build_merge_sql(
+        target="t", stage="s", columns=["pid", "op"], keys=["pid"],
+        skip_delete=True, dialect="redshift_merge",
+    )
+    assert not any(s.startswith("DELETE") for s in skip)
+    # all-key table still emits both (required) clauses via a no-op SET
+    allkey = build_merge_sql(
+        target="t", stage="s", columns=["pid", "op"], keys=["pid"],
+        dialect="redshift_merge",
+    )
+    m = next(s for s in allkey if s.startswith("MERGE"))
+    assert 'UPDATE SET "pid" = s."pid"' in m
+
+
 def test_merge_condition_multi_key():
     on = merge_condition("s", "t", ["pid", "pname"])
     assert on == 's."pid" = t."pid" AND s."pname" = t."pname"'

@@ -1,0 +1,241 @@
+"""Maintenance vs replay-guard interactions (round-6 hardening).
+
+A maintenance rewrite (compaction, delta fold) moves no data, so it must
+not erase the replay guards the streaming paths rely on:
+
+  * the version pointer's batch_id must survive compact_table — otherwise
+    batch N lands SCD2 history, maintenance compacts it, a crash before
+    the checkpoint commit replays batch N, and the guard is gone
+    (zero-length duplicate versions);
+  * pure-append tables (delete log, quarantine) must not re-apply a
+    replayed batch AFTER its delta was folded into the base — unlike
+    keyed-merge resolution, base ∪ replayed-delta duplicates every row;
+  * a fold that crashes between its base publish and its manifest retire
+    must leave readers seeing each delta exactly once (the fold records
+    folded ids atomically with the pointer; read excludes them; the next
+    fold heals the manifest).
+"""
+
+from pyspark.sql import Row
+
+from kafka_cdc_redshift_spark.config import SyncRule
+from kafka_cdc_redshift_spark.operators.layout import compact_table
+from kafka_cdc_redshift_spark.streaming import (
+    CdcBatchProcessor,
+    MergeOnReadTargetStore,
+    ParquetTargetStore,
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [Row(pid=p, val=v) for p, v in rows], "pid long, val string"
+    )
+
+
+def _many_files(df):
+    return df.repartition(8)
+
+
+def test_compaction_carries_batch_id_forward(spark, tmp_path):
+    store = ParquetTargetStore(str(tmp_path / "s"))
+    store.publish(_many_files(_rows(spark, [(i, "x") for i in range(50)])),
+                  "t", batch_id=7)
+    assert store.last_batch_id("t") == 7
+    v = compact_table(store, spark, "t", target_bytes=1 << 30,
+                      min_files_to_compact=2)
+    assert v is not None, "compaction must actually run for this test"
+    # the HIGH finding: a maintenance republish erased the pointer
+    assert store.last_batch_id("t") == 7
+    # an explicit later batch still overrides the carried pointer
+    store.publish(_rows(spark, [(1, "y")]), "t", batch_id=8)
+    assert store.last_batch_id("t") == 8
+
+
+def test_fold_then_compact_keeps_has_applied(spark, tmp_path):
+    store = MergeOnReadTargetStore(str(tmp_path / "mor"))
+    ups = _rows(spark, [(i, "a") for i in range(50)]).selectExpr(
+        "pid", "val", "'c' as op", "1 as ts_ms"
+    )
+    store.publish_delta(_many_files(ups), "t", 3, keys=["pid"])
+    store.fold_deltas(spark, "t")
+    assert store.has_applied("t", 3)
+    compact_table(store, spark, "t", target_bytes=1 << 30,
+                  min_files_to_compact=2)
+    # the fold recorded batch 3 in the base pointer; compaction must not
+    # wipe it — a replay right after maintenance has to stay a no-op
+    assert store.has_applied("t", 3)
+
+
+def test_append_replay_after_fold_is_noop(spark, tmp_path):
+    store = MergeOnReadTargetStore(str(tmp_path / "mor"))
+    b0 = _rows(spark, [(1, "a"), (2, "b")])
+    b1 = _rows(spark, [(3, "c")])
+    store.publish_append(b0, "log", 0)
+    store.publish_append(b1, "log", 1)
+    assert store.read(spark, "log").count() == 3
+    store.fold_deltas(spark, "log")
+    assert store.read(spark, "log").count() == 3
+    # replay of the just-folded batches: the manifest forgot them, but the
+    # fold recorded them in the base pointer — re-appending would give
+    # base ∪ delta = permanent duplicates
+    store.publish_append(b1, "log", 1)
+    store.publish_append(b0, "log", 0)
+    assert store.read(spark, "log").count() == 3
+    assert store._delta.committed("log") == []
+
+
+def test_fold_crash_window_no_double_resolution(spark, tmp_path):
+    """Simulate a fold that published its base but crashed before retiring
+    the delta manifest — for every table kind, readers must see each
+    delta exactly once, and the next fold heals the manifest."""
+    store = MergeOnReadTargetStore(str(tmp_path / "mor"))
+    store.publish_append(_rows(spark, [(1, "a")]), "log", 0)
+    store.publish_append(_rows(spark, [(2, "b")]), "log", 1)
+    # crash-window replica: base publish with folded ids, NO retire
+    resolved = store.read(spark, "log")
+    store.publish(resolved, "log", batch_id=1, folded_ids=[0, 1])
+    assert store._delta.committed("log") == [0, 1]  # leftover manifest
+    assert store.read(spark, "log").count() == 2     # not 4
+    assert store.has_applied("log", 0) and store.has_applied("log", 1)
+    # the next fold retires the leftovers and finds nothing new
+    assert store.fold_deltas(spark, "log") is None
+    assert store._delta.committed("log") == []
+    assert store.read(spark, "log").count() == 2
+
+
+def test_cow_store_append_log_and_fold(spark, tmp_path):
+    """The copy-on-write store's append path: O(|batch|) publishes into its
+    own AppendLog, replay-guarded (including across a fold), schema drift
+    null-filled via per-batch unionByName, folded into a base version by
+    fold_deltas."""
+    store = ParquetTargetStore(str(tmp_path / "cow"))
+    store.publish_append(_rows(spark, [(1, "a"), (2, "b")]), "log", 0)
+    assert store.exists("log")
+    assert store.current_version("log") is None  # nothing rewritten
+    assert store.delta_count("log") == 1  # one committed delta dir
+    # schema drift across batches: the new column null-fills old rows
+    wide = spark.createDataFrame(
+        [Row(pid=3, val="c", extra=9)], "pid long, val string, extra long"
+    )
+    store.publish_append(wide, "log", 1)
+    out = {r.pid: r.extra for r in store.read(spark, "log").collect()}
+    assert out == {1: None, 2: None, 3: 9}
+    # replay pre-fold: manifest guard
+    store.publish_append(_rows(spark, [(1, "a"), (2, "b")]), "log", 0)
+    assert store.read(spark, "log").count() == 3
+    # fold, then replay post-fold: pointer guard
+    store.fold_deltas(spark, "log")
+    assert store.current_version("log") is not None
+    assert store.delta_count("log") == 0
+    store.publish_append(_rows(spark, [(1, "a"), (2, "b")]), "log", 0)
+    assert store.read(spark, "log").count() == 3
+
+
+def test_fold_backstop_caps_delta_count(spark, tmp_path):
+    """With compaction disabled, the processor's delta-count backstop must
+    still fold merge-on-read state so read amplification stays bounded."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.sources import load_table
+    from kafka_cdc_redshift_spark.sources.envelopes import synth_debezium_topic
+
+    sf_dir = "/root/testdata/sf0.001"
+    store = MergeOnReadTargetStore(str(tmp_path / "mor"))
+    proc = CdcBatchProcessor(
+        spark,
+        [SyncRule(db="salesdb", table="orders", primary_key=("o_orderkey",),
+                  save_delete=True)],
+        store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+        compact_every_n_batches=None,     # cadence "misconfigured" off
+        max_deltas_before_fold=2,
+    )
+    topic = synth_debezium_topic(spark, sf_dir, include_customer=False)
+    b1 = topic.filter(F.col("value").contains('"op":"c"'))
+    b2 = topic.filter(F.col("value").contains('"op":"u"')
+                      | F.col("value").contains('"op":"d"'))
+    proc.process_batch(b1, 0)
+    proc.process_batch(b2, 1)
+    # two deltas accrued -> the backstop folded both tables at the cap
+    assert store.delta_count("orders") == 0
+    assert store.delta_count("orders_delete") == 0
+    assert store.current_version("orders") is not None
+    # and the folded state is the resolved merge, not a truncation
+    got = store.read(spark, "orders").count()
+    assert got > 0
+
+
+def test_quality_gate_judges_each_image_on_its_own_text(spark, tmp_path):
+    """A pk whose INSERT passes the gate but whose later UPDATE fails it:
+    the update must be quarantined on its own text (not vouched for by
+    the passing insert), so the target keeps the insert's state."""
+    import json
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away with many other curious animals wandering nearby today")
+    bad = "spam spam spam spam spam spam spam spam spam spam spam spam " \
+          "spam spam spam spam spam spam spam spam"  # fails TTR
+
+    def env(doc_id, text, op, ts):
+        return json.dumps({
+            "before": None,
+            "after": {"doc_id": doc_id, "text": text},
+            "source": {"db": "corpus", "table": "documents", "ts_ms": ts},
+            "op": op, "ts_ms": ts,
+        })
+
+    batch = spark.createDataFrame(
+        [(env(1, good, "c", 100),), (env(1, bad, "u", 200),),
+         (env(2, good, "c", 100),)],
+        "value string",
+    )
+    for mode, store in (
+        ("cow", ParquetTargetStore(str(tmp_path / "cow"))),
+        ("mor", MergeOnReadTargetStore(str(tmp_path / "mor"))),
+    ):
+        proc = CdcBatchProcessor(
+            spark,
+            [SyncRule(db="corpus", table="documents", primary_key=("doc_id",),
+                      quality_gate=True)],
+            store,
+        )
+        proc.process_batch(batch, 0)
+        tgt = {r.doc_id: r.text for r in
+               store.read(spark, "documents").collect()}
+        # the failing update never reached the target: doc 1 holds the
+        # insert's text, not the spam update that was latest by ts
+        assert tgt == {1: good, 2: good}, mode
+        rej = store.read(spark, "documents_rejected").collect()
+        assert [(r.doc_id, r.text) for r in rej] == [(1, bad)], mode
+
+
+def test_quality_gate_quarantine_is_append_cost_under_cow(spark, tmp_path):
+    """The CoW quarantine must publish O(|batch|) appends (no version
+    rewrite of <table>_rejected per batch) — the round-5 finding."""
+    import json
+
+    bad = "a a a a a a a a a a a a a a a a a a a a a"
+
+    def env(doc_id, ts):
+        return json.dumps({
+            "before": None,
+            "after": {"doc_id": doc_id, "text": bad},
+            "source": {"db": "corpus", "table": "documents", "ts_ms": ts},
+            "op": "c", "ts_ms": ts,
+        })
+
+    store = ParquetTargetStore(str(tmp_path / "cow"))
+    proc = CdcBatchProcessor(
+        spark,
+        [SyncRule(db="corpus", table="documents", primary_key=("doc_id",),
+                  quality_gate=True)],
+        store,
+    )
+    for bid in range(3):
+        batch = spark.createDataFrame([(env(100 + bid, bid),)], "value string")
+        proc.process_batch(batch, bid)
+    # three batches -> three append deltas, zero rejected-table rewrites
+    assert store.current_version("documents_rejected") is None
+    assert store.delta_count("documents_rejected") == 3
+    assert store.read(spark, "documents_rejected").count() == 3
