@@ -44,6 +44,17 @@ class SyncRule:
     # key is the doc id; `dedup_text_column` is the content column.
     dedup_ingest: bool = False
     dedup_text_column: str = "text"
+    # streaming ANN ingest (streaming/ann_ingest.VersionedAnnIndex): keep
+    # an incremental IVF index over `ann_vec_column` (first primary key =
+    # vector id). Centroids train on the first batch and persist; the
+    # maintenance cycle measures centroid drift and, when the size-
+    # weighted similarity drops below `ann_drift_floor`, retrains and
+    # atomically swaps a fresh index version (0 disables the rebuild
+    # loop; the drift signal stays measurable).
+    ann_ingest: bool = False
+    ann_vec_column: str = "embedding"
+    ann_n_centroids: int = 8
+    ann_drift_floor: float = 0.0
     # ingest quality gate: drop batch documents failing the Gopher-style
     # rule filters (functions/text.gopher_flags over `dedup_text_column`)
     # BEFORE they reach any target; rejected docs land, with their audit
@@ -128,6 +139,10 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 zorder_columns=_split(it.get("zorder_columns", "")),
                 dedup_ingest=_flag(it.get("dedup_ingest", False)),
                 dedup_text_column=it.get("dedup_text_column") or "text",
+                ann_ingest=_flag(it.get("ann_ingest", False)),
+                ann_vec_column=it.get("ann_vec_column") or "embedding",
+                ann_n_centroids=int(it.get("ann_n_centroids", 8)),
+                ann_drift_floor=float(it.get("ann_drift_floor", 0.0)),
                 quality_gate=_flag(it.get("quality_gate", False)),
                 stats_group_columns=_split(it.get("stats_group_columns", "")),
                 stats_value_column=it.get("stats_value_column") or None,
@@ -137,6 +152,8 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "save_delete", "only_save_delete", "skip_delete",
                     "scd2_history", "zorder_columns",
                     "dedup_ingest", "dedup_text_column", "quality_gate",
+                    "ann_ingest", "ann_vec_column", "ann_n_centroids",
+                    "ann_drift_floor",
                     "stats_group_columns", "stats_value_column",
                     "stats_distinct_column",
                     "super_columns", "timestamp_columns", "date_columns"}},

@@ -117,7 +117,47 @@ def kmeans(
     (the signal diversity-sampling and IVF cell-balance checks read).
     Empty cells keep their previous centroid (k-means standard practice).
     """
-    spark = emb.sparkSession
+    centroids = _lloyd(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    final = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+    from pyspark.sql import Window
+
+    return final.select(
+        F.col(id_col),
+        "cell",
+        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("cell_size"),
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The converged centroid VECTORS from the same Lloyd loop as `kmeans`,
+    as a (cent_id, c_emb) DataFrame — the shape `similarity.ivf_topk` and
+    `streaming/ann_ingest.AnnIngest` take as an index's centroid set.
+    This is the trainer the drift-triggered IVF rebuild calls: retrain on
+    the standing corpus, build a NEW index version, swap atomically."""
+    centroids = _lloyd(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return emb.sparkSession.createDataFrame(
+        [(cid, [float(x) for x in ce]) for cid, ce in centroids],
+        "cent_id int, c_emb array<double>",
+    )
+
+
+def _lloyd(
+    emb: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """`iters` assign+update rounds; returns the converged centroid list
+    (see `kmeans` for the determinism contract)."""
     seed = (
         emb.select(F.col(id_col), _dbl(F.col(vec_col)).alias("e"))
         .orderBy(id_col)
@@ -151,12 +191,4 @@ def kmeans(
             )
             for cid, ce in centroids
         ]
-
-    final = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
-    from pyspark.sql import Window
-
-    return final.select(
-        F.col(id_col),
-        "cell",
-        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("cell_size"),
-    )
+    return centroids

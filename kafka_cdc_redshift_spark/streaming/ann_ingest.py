@@ -145,6 +145,17 @@ class AnnIngest:
             k=k, nprobe=nprobe, id_col=self.id_col, vec_col=self.vec_col,
         )
 
+    def weighted_drift(self, spark: SparkSession) -> float:
+        """Size-weighted mean of `centroid_drift`'s per-cell similarity —
+        the single scalar a rebuild schedule compares against its floor."""
+        row = self.centroid_drift(spark).agg(
+            (
+                F.sum(F.col("mean_sim") * F.col("cell_size"))
+                / F.sum("cell_size")
+            ).alias("w")
+        ).first()
+        return float(row["w"]) if row["w"] is not None else 1.0
+
     def centroid_drift(self, spark: SparkSession) -> DataFrame:
         """Per-cell staleness: cosine similarity between each persisted
         centroid and its cell's CURRENT mean vector, plus the cell size.
@@ -187,3 +198,181 @@ class AnnIngest:
             .join(sizes, "cell")
             .select("cell", "cell_size", sim.alias("mean_sim"))
         )
+
+
+class VersionedAnnIndex:
+    """Atomic-swap index lifecycle over `AnnIngest` — the piece that closes
+    the drift loop: `AnnIngest` deliberately refuses a centroid swap under
+    a standing index (the assignments would silently corrupt), so a
+    retrain must build a NEW index version and flip a pointer, exactly the
+    versioned-publish contract the target store uses.
+
+    State under `log.root`: per-version `{name}_v{N}_cells/_centroids`
+    tables (plain AnnIngest state) plus `{name}_index.json`, the pointer
+    `{version, watermark}` rewritten atomically (os.replace). `watermark`
+    is the highest STREAM batch id absorbed into a rebuild's corpus
+    snapshot: structured-streaming batch ids are monotone, so a replayed
+    batch (id <= watermark) delivered after a swap is skipped — the new
+    version's own manifest cannot know pre-swap ids, the watermark spans
+    versions for it.
+
+    Lifecycle:
+      * first batch bootstraps v0: centroids train on that batch
+        (`kmeans_centroids`) and persist; a bootstrap that crashed between
+        centroid persist and pointer flip heals by recovering the
+        persisted set instead of retraining;
+      * `process_batch` ingests into the current version (O(|batch| x k),
+        replay-guarded by manifest + watermark);
+      * `maintain` (call it from the job's compaction cycle) measures
+        `weighted_drift` and, below `drift_floor`, rebuilds: retrain on
+        the standing index's vectors, snapshot the full corpus into
+        version N+1, flip the pointer. The rebuild is O(corpus) by
+        design — it rides maintenance economics (layout.compact_table),
+        never the ingest hot path. Crash-safe: everything before the
+        pointer flip is invisible to readers and heals idempotently on
+        retry (persisted-centroid recovery + per-table manifest).
+
+    Drivable from the `.properties` surface via the per-rule keys
+    `ann_ingest`, `ann_vec_column`, `ann_n_centroids`, `ann_drift_floor`
+    (config.SyncRule; streaming/job.py wires batches and maintenance).
+    """
+
+    _SNAPSHOT = "rebuild"  # the rebuild corpus snapshot's batch id
+
+    def __init__(
+        self,
+        log: AppendLog,
+        *,
+        name: str = "emb",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 8,
+        drift_floor: float = 0.0,
+    ):
+        self.log = log
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_centroids = n_centroids
+        self.drift_floor = drift_floor
+
+    # -- pointer -----------------------------------------------------------
+    def _pointer_path(self) -> str:
+        import os
+
+        return os.path.join(self.log.root, f"{self.name}_index.json")
+
+    def _pointer(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _flip(self, version: int, watermark) -> None:
+        import json
+        import os
+
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "watermark": watermark}, f)
+        os.replace(tmp, self._pointer_path())
+
+    def _index(self, version: int) -> AnnIngest:
+        return AnnIngest(
+            self.log, name=f"{self.name}_v{version}",
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+    def current(self) -> AnnIngest:
+        ptr = self._pointer()
+        if ptr is None:
+            raise ValueError(f"index {self.name!r} has no published version")
+        return self._index(ptr["version"])
+
+    def current_version(self) -> int | None:
+        ptr = self._pointer()
+        return None if ptr is None else ptr["version"]
+
+    # -- ingest ------------------------------------------------------------
+    def _bootstrap_or_recover(
+        self, version: int, train_df: DataFrame
+    ) -> AnnIngest:
+        """The version's AnnIngest, training+persisting centroids when the
+        version has none yet. Healing: an attempt that crashed after the
+        centroid persist recovers the SAME set instead of retraining, so
+        assignments stay consistent across the retry."""
+        idx = self._index(version)
+        if not self.log.has_batch(idx.centroids_table, _CENTROID_BATCH):
+            from ..functions.clustering import kmeans_centroids
+
+            cents = kmeans_centroids(
+                train_df, k=self.n_centroids,
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
+            idx = AnnIngest(
+                self.log, centroids=cents, name=f"{self.name}_v{version}",
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
+        return idx
+
+    def process_batch(self, batch_df: DataFrame, batch_id) -> None:
+        ptr = self._pointer()
+        if ptr is None:
+            idx = self._bootstrap_or_recover(0, batch_df)
+            idx.process_batch(batch_df, batch_id)
+            self._flip(0, watermark=None)
+            return
+        wm = ptr.get("watermark")
+        if wm is not None and isinstance(batch_id, int) and batch_id <= wm:
+            return  # replay of a batch a rebuild snapshot already absorbed
+        self._index(ptr["version"]).process_batch(batch_df, batch_id)
+
+    # -- serving / maintenance ----------------------------------------------
+    def topk(self, queries: DataFrame, *, k: int = 3, nprobe: int = 2):
+        return self.current().topk(queries, k=k, nprobe=nprobe)
+
+    def maintain(self, spark: SparkSession) -> bool:
+        """Drift-gated rebuild: when the current version's size-weighted
+        centroid similarity drops below `drift_floor`, retrain and swap.
+        Returns True when a rebuild happened. drift_floor <= 0 disables
+        the loop (measurement stays available via the index)."""
+        ptr = self._pointer()
+        if ptr is None or self.drift_floor <= 0:
+            return False
+        cur = self._index(ptr["version"])
+        if self.log.read(spark, cur.cells_table) is None:
+            return False
+        if cur.weighted_drift(spark) >= self.drift_floor:
+            return False
+        self.rebuild(spark)
+        return True
+
+    def rebuild(self, spark: SparkSession) -> int:
+        """Retrain on the standing corpus (the index rows carry their
+        vectors), snapshot it into version N+1 under fresh centroids, and
+        atomically flip the pointer. The watermark advances to the highest
+        stream batch id the snapshot absorbed, so pre-swap replays are
+        skipped. Returns the new version."""
+        ptr = self._pointer()
+        if ptr is None:
+            raise ValueError(f"index {self.name!r} has no published version")
+        cur = self._index(ptr["version"])
+        corpus = self.log.read(spark, cur.cells_table)
+        if corpus is None:
+            raise ValueError(f"index {self.name!r} is empty")
+        corpus = corpus.select(self.id_col, self.vec_col)
+        new_version = ptr["version"] + 1
+        idx = self._bootstrap_or_recover(new_version, corpus)
+        idx.process_batch(corpus, self._SNAPSHOT)
+        old_ids = [
+            b for b in self.log.committed(cur.cells_table)
+            if isinstance(b, int)
+        ]
+        wm_parts = [b for b in old_ids]
+        if ptr.get("watermark") is not None:
+            wm_parts.append(ptr["watermark"])
+        self._flip(new_version, max(wm_parts) if wm_parts else None)
+        return new_version

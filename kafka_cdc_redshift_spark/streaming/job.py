@@ -113,6 +113,7 @@ class CdcBatchProcessor:
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
         self.compact_errors: list[tuple[str, str]] = []  # (table, error)
         self._dedup_ingestors: dict[str, object] = {}  # rule target -> DedupIngest
+        self._ann_ingestors: dict[str, object] = {}  # rule target -> VersionedAnnIndex
 
     def _dedup_ingestor(self, rule: SyncRule):
         """Lazily build one DedupIngest per dedup_ingest rule, stateful in
@@ -133,6 +134,28 @@ class CdcBatchProcessor:
             )
             self._dedup_ingestors[rule.target_name] = ing
         return ing
+
+    def _ann_ingestor(self, rule: SyncRule):
+        """Lazily build one VersionedAnnIndex per ann_ingest rule, stateful
+        in an AppendLog under the store root (survives restarts; replay-
+        idempotent via manifest + post-rebuild watermark)."""
+        ann = self._ann_ingestors.get(rule.target_name)
+        if ann is None:
+            import os
+
+            from .ann_ingest import VersionedAnnIndex
+            from .store import AppendLog
+
+            ann = VersionedAnnIndex(
+                AppendLog(os.path.join(self.store.root, "_ann_state")),
+                name=rule.target_name,
+                id_col=rule.primary_key[0],
+                vec_col=rule.ann_vec_column,
+                n_centroids=rule.ann_n_centroids,
+                drift_floor=rule.ann_drift_floor,
+            )
+            self._ann_ingestors[rule.target_name] = ann
+        return ann
 
     def _apply_quality_gate(
         self, parsed: DataFrame, rule: SyncRule, batch_id
@@ -418,6 +441,21 @@ class CdcBatchProcessor:
                     if "op" in parsed.columns else parsed
                 )
                 self._dedup_ingestor(rule).process_batch(docs, batch_id)
+            if rule.ann_ingest:
+                # streaming ANN ingest (streaming/ann_ingest.py): assign
+                # the batch's non-delete vectors against the persisted
+                # centroids and append to the standing IVF index —
+                # O(|batch| x k), the corpus never re-assigned. The first
+                # batch bootstraps (trains + persists) the centroids;
+                # drift-triggered rebuilds ride the maintenance cycle.
+                vecs = (
+                    parsed.filter(F.col("op") != "d")
+                    if "op" in parsed.columns else parsed
+                )
+                self._ann_ingestor(rule).process_batch(
+                    vecs.select(rule.primary_key[0], rule.ann_vec_column),
+                    batch_id,
+                )
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253
@@ -542,6 +580,17 @@ class CdcBatchProcessor:
                     )
                 except Exception as e:  # noqa: BLE001
                     self.compact_errors.append((t, repr(e)))
+            if rule.ann_ingest:
+                # the drift loop rides the same maintenance economics as
+                # re-clustering: measure, and rebuild+swap only when the
+                # size-weighted centroid similarity fell below the rule's
+                # floor (streaming/ann_ingest.VersionedAnnIndex.maintain)
+                try:
+                    self._ann_ingestor(rule).maintain(self.spark)
+                except Exception as e:  # noqa: BLE001
+                    self.compact_errors.append(
+                        (f"{rule.target_name}_ann_index", repr(e))
+                    )
 
 
 def run_file_stream(

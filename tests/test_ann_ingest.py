@@ -113,3 +113,146 @@ def test_centroid_drift_signal(spark, emb, tmp_path):
     import statistics
 
     assert statistics.mean(drift2.values()) >= statistics.mean(drift.values())
+
+
+def test_versioned_index_drift_rebuild_swaps_atomically(
+    spark, emb, queries, tmp_path
+):
+    """The drift loop closed: a VersionedAnnIndex whose weighted drift
+    falls below the floor retrains (kmeans_centroids on the standing
+    corpus), snapshots into a NEW index version, and flips the pointer —
+    after which topk equals the batch ivf_topk under the retrained
+    centroids, and pre-swap batch replays are watermark-skipped."""
+    from kafka_cdc_redshift_spark.streaming.ann_ingest import VersionedAnnIndex
+
+    idx = VersionedAnnIndex(
+        AppendLog(str(tmp_path / "state")), name="vx",
+        n_centroids=4, drift_floor=1.1,  # floor > max sim -> always rebuild
+    )
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx.process_batch(b0, 0)   # bootstraps v0 (centroids train on b0)
+    idx.process_batch(b1, 1)
+    assert idx.current_version() == 0
+    v0_cents = idx.current().centroids(spark)
+    want_v0 = sorted(map(_topk_key, similarity.ivf_topk(
+        emb, queries, v0_cents, k=3, nprobe=2).collect()))
+    assert sorted(map(_topk_key, idx.topk(queries, k=3, nprobe=2).collect())) \
+        == want_v0
+
+    assert idx.maintain(spark) is True
+    assert idx.current_version() == 1
+    # post-rebuild serving == batch ivf under the RETRAINED centroids
+    v1_cents = idx.current().centroids(spark)
+    want_v1 = sorted(map(_topk_key, similarity.ivf_topk(
+        emb, queries, v1_cents, k=3, nprobe=2).collect()))
+    got_v1 = sorted(map(_topk_key, idx.topk(queries, k=3, nprobe=2).collect()))
+    assert got_v1 == want_v1
+    # the retrained set is a real swap, not a copy
+    assert sorted(map(tuple, v1_cents.collect())) != sorted(
+        map(tuple, v0_cents.collect())
+    )
+
+    # replay-safe across the swap: pre-swap batch ids are <= watermark
+    log = idx.log
+    n = log.read(spark, idx.current().cells_table).count()
+    idx.process_batch(b0, 0)
+    idx.process_batch(b1, 1)
+    assert log.read(spark, idx.current().cells_table).count() == n
+    assert sorted(map(_topk_key, idx.topk(queries, k=3, nprobe=2).collect())) \
+        == want_v1
+    # a genuinely NEW batch still ingests into the new version
+    idx.process_batch(emb.filter(F.col("vec_id") % 7 == 3), 2)
+    assert log.read(spark, idx.current().cells_table).count() > n
+
+
+def test_versioned_index_no_rebuild_when_disabled_or_above_floor(
+    spark, emb, tmp_path
+):
+    from kafka_cdc_redshift_spark.streaming.ann_ingest import VersionedAnnIndex
+
+    idx = VersionedAnnIndex(
+        AppendLog(str(tmp_path / "state")), name="vd",
+        n_centroids=4, drift_floor=0.0,  # disabled
+    )
+    idx.process_batch(emb, 0)
+    assert idx.maintain(spark) is False
+    assert idx.current_version() == 0
+    # trained-on-the-full-corpus centroids sit near their cell means: a
+    # modest floor does not trigger either
+    idx2 = VersionedAnnIndex(
+        AppendLog(str(tmp_path / "s2")), name="vh",
+        n_centroids=4, drift_floor=0.05,
+    )
+    idx2.process_batch(emb, 0)
+    assert idx2.current().weighted_drift(spark) > 0.05
+    assert idx2.maintain(spark) is False
+
+
+def test_ann_ingest_properties_driven_e2e(spark, sf_dir, tmp_path):
+    """The round-5 gap: AnnIngest drivable from the .properties surface.
+    A bare sync rule with ann_* keys runs the incremental index inside
+    the unchanged CDC shell; the served topk equals batch ivf_topk over
+    the same corpus and the index's persisted centroids, and the
+    maintenance cycle owns the drift loop."""
+    from kafka_cdc_redshift_spark.config import parse_sync_rules
+    from kafka_cdc_redshift_spark.sources import load_table
+    from kafka_cdc_redshift_spark.streaming import (
+        CdcBatchProcessor,
+        ParquetTargetStore,
+    )
+
+    rules = parse_sync_rules(
+        '[{"db": "ml", "table": "embeddings", "primary_key": "vec_id", '
+        '"ann_ingest": "true", "ann_vec_column": "embedding", '
+        '"ann_n_centroids": "4", "ann_drift_floor": "1.1"}]'
+    )
+    r = rules[0]
+    assert (r.ann_ingest, r.ann_vec_column, r.ann_n_centroids,
+            r.ann_drift_floor) == (True, "embedding", 4, 1.1)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    env = emb.select(
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.struct("vec_id", "embedding").alias("after"),
+                F.struct(
+                    F.lit("ml").alias("db"),
+                    F.lit("embeddings").alias("table"),
+                    F.col("vec_id").alias("ts_ms"),
+                ).alias("source"),
+                F.lit("c").alias("op"),
+                F.col("vec_id").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"embeddings": emb.schema},
+        compact_every_n_batches=1,  # maintenance (drift check) every batch
+    )
+    # two micro-batches through the shell
+    b0 = env.filter(F.crc32(F.col("value")) % 2 == 0)
+    b1 = env.filter(F.crc32(F.col("value")) % 2 == 1)
+    s0 = proc.process_batch(b0, 0)
+    assert [x.status for x in s0] == ["finished"]
+    ann = proc._ann_ingestor(rules[0])
+    assert ann.current_version() >= 0
+    s1 = proc.process_batch(b1, 1)
+    assert [x.status for x in s1] == ["finished"]
+
+    # floor 1.1 forces a rebuild in the batch-1 maintenance cycle
+    assert ann.current_version() >= 1
+    assert not [e for e in proc.compact_errors if "_ann_index" in e[0]], (
+        proc.compact_errors
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cents = ann.current().centroids(spark)
+    want = sorted(map(_topk_key, similarity.ivf_topk(
+        emb, queries, cents, k=3, nprobe=2).collect()))
+    got = sorted(map(_topk_key, ann.topk(queries, k=3, nprobe=2).collect()))
+    assert got == want and got
