@@ -48,21 +48,29 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 5 priority: the r4 red row (corpus_stats_approx_audit — the
-    # audit's rank bound is now the tie-robust interval form; must green
-    # this round) and the two queries whose Spark plans changed
-    # (sample_k's duplicate-id dense_rank fix; scd2's cross-batch tie
-    # close guard). Everything after this list is ordered
-    # stalest-driver-row-first (see _stale_first) so the ~50-row cap
-    # rotates fresh rows across the whole catalog.
-    "corpus_stats_approx_audit",
-    "corpus_ndv_incremental",  # brand-new this round (HLL sketch fold)
-    "text_repeated_spans",  # brand-new this round (exact-substring dedup)
-    "dedup_keep_best",  # brand-new this round (quality-aware keep/drop)
-    "text_pretoken_stats",  # brand-new this round (real pre-tokenizer)
-    "doc_sample_k_per_source",
-    "cdc_scd2_history",
-    "sim_ivf_topk",  # now delegates through ivf_topk_from_cells
+    # round 6 priority: the one brand-new query (the composed
+    # span-removal -> dedup -> decontaminate -> budget-mix pipeline),
+    # one query whose operator internals changed (text_gopher_filters:
+    # gopher_flags now delegates to the per-row gopher_flag_cols), then
+    # the 13 queries whose newest green driver row is r3-era — the
+    # VERDICT staleness limit — pinned explicitly so the ~50-row cap
+    # cannot squeeze them out. Everything after this list is ordered
+    # stalest-driver-row-first (see _stale_first) so rows keep rotating
+    # across the whole catalog.
+    "curation_pipeline_v3",  # brand-new this round (composed curation)
+    "text_gopher_filters",  # r3-stale AND refactored flag expressions
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q20_excess_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "sim_pair_hist",
+    "text_commonness",
+    "text_ngram_counts",
+    "text_pii_redact",
+    "text_repetition",
 ]
 
 

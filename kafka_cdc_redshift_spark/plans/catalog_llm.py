@@ -1344,6 +1344,94 @@ def q_curation_pipeline_v2(spark, sf_dir):
 
 
 @_spec(
+    "curation_pipeline_v3",
+    "the full training-data curation order real pipelines run: "
+    "exact-substring span removal (corpus-repeated 20-grams cut from the "
+    "text) -> exact doc dedup over the CLEANED text -> fingerprint "
+    "decontamination vs the doc_id % 97 eval slice -> token-budget "
+    "source mixing on cleaned-token counts. Substring pass first: "
+    "boilerplate inflates both dedup hashes and token budgets, so every "
+    "downstream stage must see the rewritten text; each stage is a "
+    "standalone oracle-verified operator, this pins the composition",
+    r"""WITH d20 AS (SELECT doc_id, text FROM documents
+                     WHERE length(text) >= 20),
+    g AS (SELECT doc_id, unnest(range(1, length(text) - 20 + 2)) AS p, text
+          FROM d20),
+    h AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                 ('0x' || substr(md5(substring(text, p, 20)), 1, 15))::BIGINT AS h
+          FROM g),
+    dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT h.doc_id, h.p FROM h JOIN dup USING (h)),
+    isl AS (SELECT doc_id, p,
+                   sum(CASE WHEN prev IS NULL OR p > prev + 20 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY p) AS island
+            FROM (SELECT doc_id, p,
+                         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                  FROM hits) s),
+    spans AS (SELECT doc_id, min(p) AS span_start, max(p) + 20 AS span_end
+              FROM isl GROUP BY doc_id, island),
+    cover AS (SELECT doc_id, unnest(range(span_start, span_end)) AS p
+              FROM spans),
+    pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+            FROM documents),
+    kept_chars AS (SELECT pos.doc_id,
+                          string_agg(substring(pos.text, pos.p, 1),
+                                     '' ORDER BY pos.p) AS ct
+                   FROM pos LEFT JOIN cover
+                     ON pos.doc_id = cover.doc_id AND pos.p = cover.p
+                   WHERE cover.p IS NULL GROUP BY pos.doc_id),
+    cleaned AS (SELECT d.doc_id, d.source, COALESCE(kc.ct, '') AS text
+                FROM documents d LEFT JOIN kept_chars kc USING (doc_id)),
+    ex AS (SELECT doc_id, source, text FROM (
+             SELECT doc_id, source, text,
+                    row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn
+             FROM cleaned) t WHERE rn = 1),
+    fp AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(
+                    regexp_split_to_array(trim(lower(text)), '\s+'))), ' '))
+                    AS f
+           FROM ex),
+    evfp AS (SELECT DISTINCT
+                    md5(array_to_string(list_sort(list_distinct(
+                      regexp_split_to_array(trim(lower(text)), '\s+'))), ' '))
+                      AS f
+             FROM documents WHERE doc_id % 97 = 0),
+    keep AS (SELECT ex.doc_id, ex.source, ex.text
+             FROM ex JOIN fp USING (doc_id)
+             LEFT JOIN evfp ON fp.f = evfp.f WHERE evfp.f IS NULL),
+    d2 AS (SELECT doc_id, source,
+                  len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS n_tokens,
+                  ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hh
+           FROM keep),
+    w AS (SELECT doc_id, source, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY hh, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum
+          FROM d2)
+    SELECT doc_id, source, n_tokens FROM w
+    WHERE cum < CASE WHEN source IN ('src0','src1')
+                     THEN 900 ELSE 400 END""",
+)
+def q_curation_pipeline_v3(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    spans = text.repeated_ngram_spans(docs, n=20, min_count=2)
+    cleaned = text.remove_repeated_spans(docs, spans)
+    keep_ids = dedup_text.exact_dedup(cleaned).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept = cleaned.join(keep_ids, "doc_id", "left_semi")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)  # eval slice keeps RAW text
+    clean_ids = curation.decontaminate(kept, ev)
+    clean = kept.join(clean_ids, "doc_id", "left_semi")
+    return curation.budget_mix(
+        clean, base_budget=400, boosts={"src0": 900, "src1": 900}
+    )
+
+
+@_spec(
     "profile_documents",
     "one-scan table profile: per-column row / null / exact-distinct "
     "counts (single aggregation pass, stack() unpivot — no driver loop); "

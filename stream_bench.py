@@ -1,18 +1,34 @@
 #!/usr/bin/env python
 """CDC streaming throughput bench: drive the full streaming shell
 (file-backed micro-batches -> route -> parse -> LWW dedup -> merge into the
-keyed parquet target, two tables fanned out per batch) and report sustained
+keyed parquet target, N tables fanned out per batch) and report sustained
 records/second.
 
 The reference's published envelope is 1,000,000 records per 30 s trigger
-(~33,333 rec/s sustained ceiling — BASELINE.md). This bench measures the
+(~33,333 rec/s sustained ceiling — BASELINE.md) across a wide multi-table
+fan-out (~100 sync rules in its shipped configs). This bench measures the
 same quantity for this engine: multiplexed Debezium envelopes at
 $SPARK_GRAFT_SF_DIR, split into several micro-batches via the file-source
 rate limit (the `maxFilesPerTrigger` analog of `maxOffsetsPerTrigger`).
 
+Fan-out knobs:
+  SPARK_GRAFT_STREAM_TABLES   rules per batch (default 2). Counts above 2
+                              alias the same source tables to distinct
+                              targets (target_table override) — each rule
+                              is a full independent route->parse->dedup->
+                              merge task over the shared cached batch,
+                              exactly the reference's multi-rule shape
+                              (T10), so per-batch work scales with the
+                              rule count while the topic scan is paid once.
+  SPARK_GRAFT_STREAM_FANOUT   comma list (e.g. "2,10,30"): run BOTH store
+                              modes at each fan-out and emit a "fanout"
+                              map alongside the headline record.
+
 Prints ONE JSON line:
   {"metric": "cdc_stream_records_per_sec", "value": N,
    "unit": "records/sec", "records": R, "wall_sec": S, "batches": B,
+   "mor_records_per_sec": M, "tables": T,
+   ["fanout": {"10": {"cow": .., "mor": ..}, ...},]
    "baseline_records_per_sec": 33333, "sf": ...}
 
 Topic synthesis and session startup are excluded from the timed window
@@ -51,10 +67,65 @@ from kafka_cdc_redshift_spark.streaming import (  # noqa: E402
 N_FILES = 8
 FILES_PER_TRIGGER = 2  # -> 4 micro-batches
 
+_BASES = (
+    ("orders", ("o_orderkey",)),
+    ("customer", ("c_custkey",)),
+)
+
+
+def _rules_and_schemas(spark, sf_dir, n_tables: int):
+    """`n_tables` sync rules over the same two source tables: extra rules
+    alias a source to a distinct target_table, so every rule runs the full
+    per-table task (route -> parse -> dedup -> merge) against its own
+    target while the batch cache is shared — the reference's wide
+    multi-rule fan-out shape without needing n distinct topics."""
+    base_schema = {
+        t: load_table(spark, sf_dir, t).schema for t, _ in _BASES
+    }
+    rules, schemas = [], {}
+    for i in range(n_tables):
+        table, pk = _BASES[i % len(_BASES)]
+        target = table if i < len(_BASES) else f"{table}_t{i}"
+        rules.append(
+            SyncRule(db="salesdb", table=table, primary_key=pk,
+                     target_table=None if i < len(_BASES) else target)
+        )
+        schemas[target] = base_schema[table]
+    return rules, schemas
+
+
+def _timed_run(spark, work, topic_dir, rules, schemas, store, tag,
+               fold_after: bool) -> tuple[float, int]:
+    proc = CdcBatchProcessor(
+        spark, rules, store, payload_schemas=schemas, max_workers=8,
+    )
+    t0 = time.perf_counter()
+    q = run_file_stream(
+        spark, topic_dir, proc, os.path.join(work, f"ckpt_{tag}"),
+        max_files_per_trigger=FILES_PER_TRIGGER,
+    )
+    q.awaitTermination()
+    if fold_after:
+        # include one final fold so the merge-on-read number covers the
+        # full (amortized) cost of materializing the same final tables
+        for r in rules:
+            store.fold_deltas(spark, r.target_name)
+    wall = time.perf_counter() - t0
+    batches = len([b for b in proc.batch_statuses if b])
+    err = [s for b in proc.batch_statuses for s in b if s.status == "error"]
+    if err:
+        raise RuntimeError(f"{tag}: {err}")
+    return wall, batches
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_tables = int(os.environ.get("SPARK_GRAFT_STREAM_TABLES", "2"))
+    sweep = [
+        int(x) for x in
+        os.environ.get("SPARK_GRAFT_STREAM_FANOUT", "").split(",") if x
+    ]
     spark = build_session("stream_bench")
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
@@ -63,72 +134,46 @@ def main() -> None:
         n_records = topic.count()
         topic.repartition(N_FILES).write.mode("overwrite").text(topic_dir)
 
-        rules = [
-            SyncRule(db="salesdb", table="orders", primary_key=("o_orderkey",)),
-            SyncRule(db="salesdb", table="customer", primary_key=("c_custkey",)),
-        ]
-        schemas = {
-            "orders": load_table(spark, sf_dir, "orders").schema,
-            "customer": load_table(spark, sf_dir, "customer").schema,
-        }
-        proc = CdcBatchProcessor(
-            spark,
-            rules,
-            ParquetTargetStore(os.path.join(work, "store")),
-            payload_schemas=schemas,
-            max_workers=4,
-        )
-
-        t0 = time.perf_counter()
-        q = run_file_stream(
-            spark,
-            topic_dir,
-            proc,
-            os.path.join(work, "ckpt"),
-            max_files_per_trigger=FILES_PER_TRIGGER,
-        )
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
-        batches = len([b for b in proc.batch_statuses if b])
-
-        # merge-on-read mode: the SAME stream over MergeOnReadTargetStore —
-        # each batch appends an O(|batch|) delta instead of rewriting the
-        # target, with resolution deferred to read/fold. Timed window
-        # includes one final fold_deltas so the comparison covers the full
-        # (amortized) cost of materializing the same final table.
-        mor_store = MergeOnReadTargetStore(os.path.join(work, "mor_store"))
-        mor_proc = CdcBatchProcessor(
-            spark, rules, mor_store, payload_schemas=schemas, max_workers=4
-        )
-        t0 = time.perf_counter()
-        q = run_file_stream(
-            spark,
-            topic_dir,
-            mor_proc,
-            os.path.join(work, "ckpt_mor"),
-            max_files_per_trigger=FILES_PER_TRIGGER,
-        )
-        q.awaitTermination()
-        for r in rules:
-            mor_store.fold_deltas(spark, r.target_name)
-        mor_wall = time.perf_counter() - t0
-
-        print(
-            json.dumps(
-                {
-                    "metric": "cdc_stream_records_per_sec",
-                    "value": round(n_records / wall, 1),
-                    "unit": "records/sec",
-                    "records": n_records,
-                    "wall_sec": round(wall, 2),
-                    "batches": batches,
-                    "mor_records_per_sec": round(n_records / mor_wall, 1),
-                    "mor_wall_sec": round(mor_wall, 2),
-                    "baseline_records_per_sec": 33333,
-                    "sf": float(sf),
-                }
+        def run_pair(n: int, tag: str):
+            rules, schemas = _rules_and_schemas(spark, sf_dir, n)
+            cow_wall, batches = _timed_run(
+                spark, work, topic_dir, rules, schemas,
+                ParquetTargetStore(os.path.join(work, f"store_{tag}")),
+                f"cow_{tag}", fold_after=False,
             )
-        )
+            mor_wall, _ = _timed_run(
+                spark, work, topic_dir, rules, schemas,
+                MergeOnReadTargetStore(os.path.join(work, f"mor_{tag}")),
+                f"mor_{tag}", fold_after=True,
+            )
+            return cow_wall, mor_wall, batches
+
+        cow_wall, mor_wall, batches = run_pair(n_tables, f"main{n_tables}")
+        record = {
+            "metric": "cdc_stream_records_per_sec",
+            "value": round(n_records / cow_wall, 1),
+            "unit": "records/sec",
+            "records": n_records,
+            "wall_sec": round(cow_wall, 2),
+            "batches": batches,
+            "mor_records_per_sec": round(n_records / mor_wall, 1),
+            "mor_wall_sec": round(mor_wall, 2),
+            "tables": n_tables,
+            "baseline_records_per_sec": 33333,
+            "sf": float(sf),
+        }
+        if sweep:
+            record["fanout"] = {}
+            for n in sweep:
+                if n == n_tables:
+                    cw, mw = cow_wall, mor_wall
+                else:
+                    cw, mw, _ = run_pair(n, f"sweep{n}")
+                record["fanout"][str(n)] = {
+                    "cow_records_per_sec": round(n_records / cw, 1),
+                    "mor_records_per_sec": round(n_records / mw, 1),
+                }
+        print(json.dumps(record))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -94,7 +94,16 @@ def test_seen_keys_dedup_suppresses_cross_batch_replays(spark, tmp_path):
 def test_seen_keys_dedup_tws_suppresses_cross_batch_replays(spark, tmp_path):
     # Spark's transformWithStateInPandas runs a protobuf-based Python state
     # server; without the protobuf runtime the query worker cannot start.
-    pytest.importorskip("google.protobuf")
+    # The dep is auditable-absent in this container (no network: pip
+    # resolution fails, verified round 6 — NOTES.md), so the gate is an
+    # XFAIL carrying the concrete import error rather than a silent skip;
+    # where protobuf exists the test RUNS (strict xfail would then flag
+    # an unexpected pass, so the gate stays non-strict).
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        pytest.xfail(f"transformWithStateInPandas needs the protobuf "
+                     f"runtime, absent in this container: {e!r}")
     src = tmp_path / "cdc_json"
     src.mkdir()
     b1 = [
