@@ -58,6 +58,8 @@ _DRIVER_CHECK_FIRST = [
     # stalest-driver-row-first (see _stale_first) so rows keep rotating
     # across the whole catalog.
     "curation_pipeline_v3",  # brand-new this round (composed curation)
+    "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
+    "sim_ivf_recall",  # brand-new (ANN recall audit)
     "text_gopher_filters",  # r3-stale AND refactored flag expressions
     "q2_min_cost_supplier",
     "q7_volume_shipping",

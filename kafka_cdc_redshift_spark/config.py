@@ -75,6 +75,13 @@ class SyncRule:
     # only way a distinct count survives incremental maintenance and
     # at-least-once replay). Requires stats_group_columns.
     stats_distinct_column: str | None = None
+    # ...and <table>_qsk: per-group QUANTILES of this column kept as a
+    # mergeable log-bucket histogram sketch (functions/incremental
+    # group_quantile_sketch — counts add, so batches fold in
+    # O(|groups|+|batch|) and read-time estimates are deterministic).
+    # Requires stats_group_columns; batch-id-guarded like the stats/ndv
+    # tables (count addition is not idempotent).
+    stats_quantile_column: str | None = None
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -147,6 +154,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 stats_group_columns=_split(it.get("stats_group_columns", "")),
                 stats_value_column=it.get("stats_value_column") or None,
                 stats_distinct_column=it.get("stats_distinct_column") or None,
+                stats_quantile_column=it.get("stats_quantile_column") or None,
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
@@ -155,7 +163,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "ann_ingest", "ann_vec_column", "ann_n_centroids",
                     "ann_drift_floor",
                     "stats_group_columns", "stats_value_column",
-                    "stats_distinct_column",
+                    "stats_distinct_column", "stats_quantile_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

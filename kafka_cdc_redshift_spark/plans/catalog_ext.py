@@ -1081,3 +1081,77 @@ def q_events_corr(spark, sf_dir):
              / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_value_hour"),
         )
     )
+
+
+@_spec(
+    "events_quantile_sketch_audit",
+    "mergeable quantile sketch audited on its RANK guarantee: the "
+    "log-bucket histogram (functions/incremental.group_quantile_sketch — "
+    "counts add, so streaming batches fold algebraically) must place "
+    "each target-rank order statistic inside the bucket it selected. "
+    "Output is the EXACT rank statistic (a data value — order-stat "
+    "selection, no interpolation arithmetic) plus the in-query audit "
+    "flag; the sketch's own bucket ids/estimates stay out of the compare "
+    "because cross-engine log2 is not correctly-rounded (the "
+    "events_approx_distinct pattern). Bound + merge properties are "
+    "pinned in tests/test_properties.py",
+    """WITH n AS (SELECT event_type, count(*) AS tot FROM events GROUP BY 1),
+    r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn
+          FROM events),
+    p AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+    SELECT r.event_type, p.p, r.value AS exact_q,
+           TRUE AS sketch_in_bucket
+    FROM r JOIN n USING (event_type) CROSS JOIN p
+    WHERE r.rn = greatest(CAST(ceil(p.p * n.tot) AS BIGINT), 1)""",
+)
+def q_events_quantile_sketch_audit(spark, sf_dir):
+    from ..functions import incremental
+
+    ev = load_table(spark, sf_dir, "events")
+    probs = [0.5, 0.9, 0.99]
+    # exact rank-r order statistic per (group, p) — a data VALUE, so it
+    # hash-matches the oracle's identical selection (event_id tiebreak
+    # only stabilizes which duplicate row is picked; the value is equal)
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        ),
+    ).withColumn(
+        "tot", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    pl = F.explode(F.array(*[F.lit(p) for p in probs])).alias("p")
+    exact = (
+        ranked.select("event_type", "value", "rn", "tot", pl)
+        .filter(
+            F.col("rn")
+            == F.greatest(
+                F.ceil(F.col("p") * F.col("tot")).cast("long"), F.lit(1)
+            )
+        )
+        .select("event_type", "p", F.col("value").alias("exact_q"))
+    )
+    # the sketch's selected bucket must CONTAIN that order statistic: the
+    # cumulative-count selection walks buckets in value order, so this
+    # holds by construction — the flag audits the implementation
+    sk = incremental.group_quantile_sketch(ev, ["event_type"], "value")
+    est = incremental.estimate_quantiles(sk, ["event_type"], probs)
+    width = 2.0 ** (1.0 / incremental.QSK_BITS_PER_OCTAVE)
+    v = F.col("exact_q").cast("double")
+    lo, hi = F.col("est"), F.col("est") * F.lit(width)
+    in_bucket = F.when(
+        F.col("bucket") == 0, F.abs(v) < F.lit(1e-9)
+    ).otherwise(
+        F.when(
+            F.col("bucket") > 0, (v >= lo * 0.999999) & (v <= hi * 1.000001)
+        ).otherwise((v <= lo * 0.999999) & (v >= hi * 1.000001))
+    )
+    return (
+        exact.join(est, ["event_type", "p"])
+        .select(
+            "event_type", "p", "exact_q",
+            in_bucket.alias("sketch_in_bucket"),
+        )
+    )

@@ -550,6 +550,87 @@ def q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, centroids, k=3, nprobe=2)
 
 
+def _ivf_recall_oracle(nlist: int = 8, nprobe: int = 2, k: int = 3) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id < {nlist}),
+    asn AS (SELECT vec_id, e, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c_sim DESC, cent_id) AS c_rnk
+            FROM (SELECT c.vec_id, c.e, cent.cent_id,
+                         {cos.format(a="c.e", b="cent.ce")} AS c_sim
+                  FROM c CROSS JOIN cent) s),
+    cells AS (SELECT vec_id, e, cent_id AS cell FROM asn WHERE c_rnk = 1),
+    q AS (SELECT vec_id, e FROM c WHERE vec_id % 50 = 0),
+    probes AS (SELECT vec_id AS q_id, e AS qe, cent_id AS cell
+               FROM (SELECT q.vec_id, q.e, cent.cent_id,
+                            row_number() OVER (PARTITION BY q.vec_id
+                                               ORDER BY {cos.format(a="q.e", b="cent.ce")} DESC,
+                                                        cent_id) AS c_rnk
+                     FROM q CROSS JOIN cent) s WHERE c_rnk <= {nprobe}),
+    ivf AS (SELECT q_id, neighbor_id FROM (
+      SELECT q_id, cells.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY {cos.format(a="cells.e", b="probes.qe")} DESC,
+                                         cells.vec_id) AS rnk
+      FROM cells JOIN probes USING (cell) WHERE cells.vec_id != q_id) t
+      WHERE rnk <= {k}),
+    exq AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id % 50 = 0),
+    ex AS (SELECT q_id, neighbor_id FROM (
+      SELECT q_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY {cos.format(a="c.e", b="exq.qe")} DESC,
+                                         c.vec_id) AS rnk
+      FROM c, exq WHERE c.vec_id != exq.q_id) t WHERE rnk <= {k})
+    SELECT ivf.q_id, CAST(count(ex.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(ex.neighbor_id) AS DOUBLE) / {k}.0 AS recall_at_k
+    FROM ivf LEFT JOIN ex
+      ON ivf.q_id = ex.q_id AND ivf.neighbor_id = ex.neighbor_id
+    GROUP BY ivf.q_id"""
+
+
+@_spec(
+    "sim_ivf_recall",
+    "ANN quality audit: per-query recall@3 of the IVF index (8 cells, "
+    "nprobe=2) against exact brute-force cosine top-3 — the measurement "
+    "that justifies an approximate index in production (the nprobe dial "
+    "trades this number against scan cost). Composes the two "
+    "oracle-verified formulations; both sides and the join are exact, "
+    "so recall itself hash-matches",
+    _ivf_recall_oracle(),
+)
+def q_sim_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    k = 3
+    ivf = similarity.ivf_topk(emb, queries, centroids, k=k, nprobe=2).select(
+        "q_id", "neighbor_id"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=k).select(
+        "q_id", F.col("neighbor_id").alias("ex_neighbor_id")
+    )
+    hits = ivf.join(
+        exact,
+        (ivf.q_id == exact.q_id)
+        & (ivf.neighbor_id == exact.ex_neighbor_id),
+        "left",
+    ).groupBy(ivf.q_id).agg(
+        F.count("ex_neighbor_id").alias("n_hits"),
+        (F.count("ex_neighbor_id").cast("double") / F.lit(float(k))).alias(
+            "recall_at_k"
+        ),
+    )
+    return hits
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -429,6 +429,35 @@ class CdcBatchProcessor:
                         ),
                         ntable, batch_id=batch_id,
                     )
+            if rule.stats_group_columns and rule.stats_quantile_column:
+                # mergeable quantile-sketch maintenance: log-bucket counts
+                # add, so the fold is algebraic like group_stats — and like
+                # it, NOT idempotent, hence the same batch-id guard.
+                from ..functions.incremental import (
+                    group_quantile_sketch,
+                    merge_quantile_sketches,
+                )
+
+                qtable = f"{rule.target_name}_qsk"
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(qtable) != batch_id
+                ):
+                    obs = (
+                        parsed.filter(F.col("op") != "d")
+                        if "op" in parsed.columns else parsed
+                    )
+                    bq = group_quantile_sketch(
+                        obs, list(rule.stats_group_columns),
+                        rule.stats_quantile_column,
+                    )
+                    prev_q = self.store.read(self.spark, qtable)
+                    self.store.publish(
+                        merge_quantile_sketches(
+                            prev_q, bq, list(rule.stats_group_columns)
+                        ),
+                        qtable, batch_id=batch_id,
+                    )
             if rule.dedup_ingest:
                 # streaming near-dup ingest (streaming/dedup_ingest.py):
                 # the batch's non-delete images are deduped against the

@@ -405,3 +405,64 @@ def test_incremental_ndv_sketch_any_batching_equals_direct(spark, rows, nb, salt
         got2 = sorted(map(tuple, incremental.estimate_distinct(refolded)
                           .select("k", "ndv_est").collect()))
         assert got2 == want  # idempotent under replay
+
+
+@given(rows=vals, nb=st.integers(min_value=1, max_value=5), salt=st.integers(0, 99))
+@settings(**SETTINGS)
+def test_quantile_sketch_any_batching_and_rank_bound(spark, rows, nb, salt):
+    """Log-bucket quantile sketch: (1) ANY batching folded through
+    merge_quantile_sketches equals the one-shot sketch (count addition is
+    associative/commutative); (2) the estimate honors the rank
+    guarantee — the target-rank order statistic lies inside the selected
+    bucket, so est <= |v_r| <= est * 2^(1/8) (sign-adjusted), i.e. a
+    bounded RELATIVE error at every scale."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import incremental
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, i long"
+    )
+    if df.isEmpty():
+        return
+    probs = [0.5, 0.9]
+    direct = incremental.group_quantile_sketch(df, ["k"], "v")
+    want = sorted(
+        map(tuple, incremental.estimate_quantiles(direct, ["k"], probs)
+            .collect())
+    )
+    sk = None
+    for b in range(nb):
+        batch = df.filter((F.col("i") + salt) % nb == b)
+        if batch.isEmpty():
+            continue
+        sk = incremental.merge_quantile_sketches(
+            sk, incremental.group_quantile_sketch(batch, ["k"], "v"), ["k"]
+        )
+    got = sorted(
+        map(tuple, incremental.estimate_quantiles(sk, ["k"], probs).collect())
+    )
+    assert got == want
+
+    # rank bound vs the exact order statistic, per (group, prob)
+    width = 2.0 ** (1.0 / incremental.QSK_BITS_PER_OCTAVE)
+    data: dict[int, list[int]] = {}
+    for k, v, _ in df.collect():
+        data.setdefault(k, []).append(v)
+    est_by = {(r["k"], r["p"]): r for r in
+              incremental.estimate_quantiles(sk, ["k"], probs).collect()}
+    for k, vs in data.items():
+        vs.sort()
+        for p in probs:
+            r = max(math.ceil(p * len(vs)), 1)
+            v_r = float(vs[r - 1])
+            e = est_by[(k, p)]
+            assert e["n_total"] == len(vs)
+            if e["bucket"] == 0:
+                assert abs(v_r) < 1e-9
+            elif e["bucket"] > 0:
+                assert e["est"] * 0.999999 <= v_r <= e["est"] * width * 1.000001
+            else:
+                assert e["est"] * width * 1.000001 <= v_r <= e["est"] * 0.999999

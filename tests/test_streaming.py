@@ -402,6 +402,7 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
             stats_group_columns=("o_orderstatus",),
             stats_value_column="o_custkey",
             stats_distinct_column="o_custkey",
+            stats_quantile_column="o_totalprice",
         )
     ]
     proc = CdcBatchProcessor(
@@ -445,6 +446,24 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
     }
     assert got_ndv == want_ndv
 
+    # the quantile-sketch table tracked alongside: streamed fold must
+    # equal the one-shot sketch of the full table (deterministic — same
+    # buckets, same counts, same estimates)
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        estimate_quantiles,
+        group_quantile_sketch,
+    )
+
+    qsk = store.read(spark, "orders_qsk")
+    assert qsk is not None
+    probs = [0.5, 0.9, 0.99]
+    got_q = sorted(map(tuple, estimate_quantiles(
+        qsk, ["o_orderstatus"], probs).collect()))
+    want_q = sorted(map(tuple, estimate_quantiles(
+        group_quantile_sketch(want_src, ["o_orderstatus"], "o_totalprice"),
+        ["o_orderstatus"], probs).collect()))
+    assert got_q == want_q and got_q
+
     # replay guard: re-applying the last batch id directly is a no-op
     last_bid = store.last_batch_id("orders_stats")
     assert last_bid is not None
@@ -459,6 +478,9 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
         for r in estimate_distinct(ndv2).collect()
     }
     assert got_ndv2 == want_ndv
+    qsk2 = store.read(spark, "orders_qsk")
+    assert sorted(map(tuple, estimate_quantiles(
+        qsk2, ["o_orderstatus"], probs).collect())) == got_q
 
 
 def test_quality_gate_quarantines_rejected_docs(spark, sf_dir, tmp_path):
