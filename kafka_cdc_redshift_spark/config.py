@@ -82,6 +82,13 @@ class SyncRule:
     # Requires stats_group_columns; batch-id-guarded like the stats/ndv
     # tables (count addition is not idempotent).
     stats_quantile_column: str | None = None
+    # ...and <table>_cms + <table>_topk: per-group Count-Min frequency
+    # sketch of this column plus the standing top-m candidate set
+    # (functions/incremental group_freq_sketch / topk_candidates —
+    # counters add, so batches fold in O(|groups|+|batch|); estimates
+    # are one-sided >= truth). Requires stats_group_columns;
+    # batch-id-guarded (counter addition is not idempotent).
+    stats_topk_column: str | None = None
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -155,6 +162,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 stats_value_column=it.get("stats_value_column") or None,
                 stats_distinct_column=it.get("stats_distinct_column") or None,
                 stats_quantile_column=it.get("stats_quantile_column") or None,
+                stats_topk_column=it.get("stats_topk_column") or None,
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
@@ -164,6 +172,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "ann_drift_floor",
                     "stats_group_columns", "stats_value_column",
                     "stats_distinct_column", "stats_quantile_column",
+                    "stats_topk_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

@@ -255,3 +255,163 @@ def estimate_quantiles(
         sign * F.pow(F.lit(2.0), ip.cast("double")) * frac
     )
     return sel.select(*keys, "p", "bucket", est.alias("est"), "n_total")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequent-items (heavy hitters) sketches
+#
+# The third census column the algebraic parts can't carry: "which values
+# are the most frequent" needs per-value counts, and the distinct-value
+# space is unbounded at corpus scale. The mergeable answer is a
+# Count-Min sketch: d hash rows x w counters per group; counters ADD, so
+# merging is associative + commutative (any batching converges to the
+# one-shot sketch, exactly like the NDV/quantile tables — property-
+# tested) and a standing (group, cms) table folds a batch in
+# O(|groups| + |batch|). Estimates are one-sided: est(v) >= true
+# count(v) always (the audit query pins this), overcount bounded by
+# colliding mass (~2n/w per row, min over d rows).
+#
+# The hash rows are plain 64-bit modular arithmetic over a Mersenne
+# prime with literal constants — NOT an engine-private hash — so DuckDB
+# replays every bucket id and every estimate bit-for-bit (the same
+# portability trick the quantile sketch uses for its bucket math).
+# Counter addition is NOT idempotent: streaming callers need the
+# batch-id guard, like group_stats.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows (failure prob of the union bound ~ exp(-d))
+CMS_W = 256  # counters per row (overcount ~ 2n/w per row, min over rows)
+CMS_P = 2147483647  # Mersenne 2^31 - 1: a*x stays < 2^62, exact in int64
+#: per-row affine constants (classic LCG multipliers/increments — public
+#: domain numerics; any odd a < 2^31 works, these are just fixed)
+CMS_A = (1664525, 1103515245, 22695477, 214013)
+CMS_B = (1013904223, 12345, 1, 2531011)
+
+
+def _cms_residue(value_col: str):
+    """Non-negative residue of the (integer-encoded) value mod P, written
+    with the sign-safe double-mod both engines evaluate identically."""
+    x = F.col(value_col).cast("long")
+    p = F.lit(CMS_P)
+    return ((x % p) + p) % p
+
+
+def _cms_bucket(residue, i: int):
+    """Row-i bucket id in [0, w): ((a_i * r + b_i) mod P) mod w."""
+    return (
+        (F.lit(CMS_A[i]) * residue + F.lit(CMS_B[i])) % F.lit(CMS_P)
+    ) % F.lit(CMS_W)
+
+
+def group_freq_sketch(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group CMS of `value_col`: (keys..., cms array<long> of length
+    d*w, row-major). One combinable shuffle over (group, position) then a
+    dense re-pack; sketch size is a fixed d*w longs (8 KB at 4x256) per
+    group regardless of group cardinality."""
+    r = _cms_residue(value_col)
+    positions = F.array(
+        *[(_cms_bucket(r, i) + F.lit(i * CMS_W)).cast("int")
+          for i in range(CMS_D)]
+    )
+    size = CMS_D * CMS_W
+    return (
+        df.select(*keys, F.explode(positions).alias("pos"))
+        .groupBy(*keys, "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("pos", "n"))
+            ).alias("m")
+        )
+        .select(
+            *keys,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(size - 1)),
+                lambda p: F.coalesce(
+                    F.element_at("m", p.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("cms"),
+        )
+    )
+
+
+def merge_freq_sketches(
+    prev: DataFrame | None, batch_sketch: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold a batch's CMS table into the standing one: element-wise
+    counter addition (associative + commutative; collect_list order
+    doesn't matter because addition commutes). NOT idempotent — callers
+    under at-least-once delivery need the batch-id guard. Cost: one
+    combinable shuffle over |groups| rows; each group folds its handful
+    of d*w arrays JVM-side."""
+    if prev is None:
+        return batch_sketch
+    zero = F.array_repeat(F.lit(0).cast("long"), CMS_D * CMS_W)
+    u = prev.unionByName(batch_sketch)
+    return u.groupBy(*keys).agg(
+        F.aggregate(
+            F.collect_list("cms"),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("cms")
+    )
+
+
+def estimate_freq(
+    sketches: DataFrame, candidates: DataFrame, keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Point-estimate counts for candidate values: join candidates to
+    their group's sketch and take min over the d row counters
+    (`cms_est`). One-sided: cms_est >= true count, always. Cost: one
+    equi-join on the group keys (broadcast-able — the sketch table is
+    |groups| rows) + map-side array reads."""
+    r = _cms_residue(value_col)
+    reads = [
+        F.element_at(
+            "cms", (_cms_bucket(r, i) + F.lit(i * CMS_W + 1)).cast("int")
+        )
+        for i in range(CMS_D)
+    ]
+    return candidates.join(sketches, list(keys)).withColumn(
+        "cms_est", F.least(*reads)
+    )
+
+
+def topk_candidates(
+    prev: DataFrame | None,
+    batch: DataFrame,
+    merged_sketch: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    m: int = 32,
+) -> DataFrame:
+    """Maintain the candidate set CMS alone can't give you (a sketch
+    estimates counts for values you NAME; enumerating heavy hitters
+    needs the standing top-m per group): re-rank (previous candidates
+    UNION batch's distinct values) by the merged sketch's estimate, keep
+    m. A true heavy hitter is present in some batch, and its one-sided
+    estimate only grows, so once ranked into the top m it can only be
+    displaced by heavier (estimated) values. Output: (keys..., value
+    aliased to `value_col`, cms_est, rnk). O(|groups| * m + |batch
+    distinct|) state and cost per fold."""
+    from pyspark.sql import Window
+
+    vals = batch.select(*keys, F.col(value_col)).distinct()
+    if prev is not None:
+        vals = vals.unionByName(
+            prev.select(*keys, F.col(value_col))
+        ).distinct()
+    est = estimate_freq(merged_sketch, vals, keys, value_col)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("cms_est").desc(), F.col(value_col)
+    )
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select(*keys, value_col, "cms_est", "rnk")
+    )

@@ -1155,3 +1155,68 @@ def q_events_quantile_sketch_audit(spark, sf_dir):
             in_bucket.alias("sketch_in_bucket"),
         )
     )
+
+
+@_spec(
+    "events_topk_cms_audit",
+    "mergeable Count-Min heavy-hitters sketch audited on its one-sided "
+    "guarantee: for each group's exact top-3 values, the sketch estimate "
+    "(functions/incremental.group_freq_sketch — counters add, so "
+    "streaming batches fold algebraically) must be >= the true count. "
+    "The hash rows are literal modular arithmetic over a Mersenne "
+    "prime, not an engine-private hash, so the oracle replays every "
+    "bucket id and the estimate itself hash-matches bit-for-bit; "
+    "any-batching + bound properties are pinned in "
+    "tests/test_properties.py",
+    """WITH h AS (SELECT * FROM (VALUES (0, 1664525, 1013904223),
+                                 (1, 1103515245, 12345),
+                                 (2, 22695477, 1),
+                                 (3, 214013, 2531011)) AS t(i, a, b)),
+    r AS (SELECT event_type,
+                 ((user_id % 2147483647) + 2147483647) % 2147483647 AS rr
+          FROM events),
+    cnt AS (SELECT event_type, h.i,
+                   ((h.a * r.rr + h.b) % 2147483647) % 256 AS bucket,
+                   count(*) AS n
+            FROM r CROSS JOIN h GROUP BY 1, 2, 3),
+    exact AS (SELECT event_type, user_id, count(*) AS exact_cnt
+              FROM events GROUP BY 1, 2),
+    top3 AS (SELECT event_type, user_id, exact_cnt,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY exact_cnt DESC, user_id) AS rnk
+             FROM exact QUALIFY rnk <= 3),
+    est AS (SELECT t.event_type, t.user_id, min(c.n) AS cms_est
+            FROM top3 t CROSS JOIN h
+            JOIN cnt c ON c.event_type = t.event_type AND c.i = h.i
+             AND c.bucket = ((h.a * (((t.user_id % 2147483647) + 2147483647)
+                                     % 2147483647) + h.b)
+                             % 2147483647) % 256
+            GROUP BY 1, 2)
+    SELECT t.event_type, t.user_id, CAST(t.rnk AS INTEGER) AS rnk,
+           CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= t.exact_cnt AS est_ge_exact
+    FROM top3 t JOIN est e
+      ON t.event_type = e.event_type AND t.user_id = e.user_id""",
+)
+def q_events_topk_cms_audit(spark, sf_dir):
+    from ..functions import incremental
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top3 = exact.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("exact_cnt").desc(), "user_id"
+            )
+        ),
+    ).filter(F.col("rnk") <= 3)
+    sk = incremental.group_freq_sketch(ev, ["event_type"], "user_id")
+    est = incremental.estimate_freq(sk, top3, ["event_type"], "user_id")
+    return est.select(
+        "event_type", "user_id", "rnk", "exact_cnt", "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+    )

@@ -458,6 +458,46 @@ class CdcBatchProcessor:
                         ),
                         qtable, batch_id=batch_id,
                     )
+            if rule.stats_group_columns and rule.stats_topk_column:
+                # mergeable Count-Min heavy-hitters maintenance: counters
+                # add (batch-id-guarded like group_stats — addition is not
+                # idempotent); <table>_topk re-ranks (standing candidates
+                # UNION batch distinct values) by the merged sketch, so
+                # the candidate set a sketch alone can't enumerate is
+                # maintained in O(|groups|*m + |batch distinct|).
+                from ..functions.incremental import (
+                    group_freq_sketch,
+                    merge_freq_sketches,
+                    topk_candidates,
+                )
+
+                ctable = f"{rule.target_name}_cms"
+                ttable = f"{rule.target_name}_topk"
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(ctable) != batch_id
+                ):
+                    obs = (
+                        parsed.filter(F.col("op") != "d")
+                        if "op" in parsed.columns else parsed
+                    )
+                    bc = group_freq_sketch(
+                        obs, list(rule.stats_group_columns),
+                        rule.stats_topk_column,
+                    )
+                    prev_c = self.store.read(self.spark, ctable)
+                    merged_c = merge_freq_sketches(
+                        prev_c, bc, list(rule.stats_group_columns)
+                    )
+                    self.store.publish(merged_c, ctable, batch_id=batch_id)
+                    cand = topk_candidates(
+                        self.store.read(self.spark, ttable),
+                        obs,
+                        self.store.read(self.spark, ctable),
+                        list(rule.stats_group_columns),
+                        rule.stats_topk_column,
+                    )
+                    self.store.publish(cand, ttable, batch_id=batch_id)
             if rule.dedup_ingest:
                 # streaming near-dup ingest (streaming/dedup_ingest.py):
                 # the batch's non-delete images are deduped against the

@@ -466,3 +466,77 @@ def test_quantile_sketch_any_batching_and_rank_bound(spark, rows, nb, salt):
                 assert e["est"] * 0.999999 <= v_r <= e["est"] * width * 1.000001
             else:
                 assert e["est"] * width * 1.000001 <= v_r <= e["est"] * 0.999999
+
+
+@given(rows=vals, nb=st.integers(min_value=1, max_value=5), salt=st.integers(0, 99))
+@settings(**SETTINGS)
+def test_cms_sketch_any_batching_and_one_sided_bound(spark, rows, nb, salt):
+    """Count-Min frequent-items sketch: (1) ANY batching folded through
+    merge_freq_sketches equals the one-shot sketch exactly (counter
+    addition is associative/commutative); (2) the estimate is one-sided —
+    cms_est >= true count for every present value, and <= the group
+    total (a counter can't exceed its group's row count)."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import incremental
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, i long"
+    )
+    if df.isEmpty():
+        return
+    direct = incremental.group_freq_sketch(df, ["k"], "v")
+    want = sorted((r["k"], tuple(r["cms"])) for r in direct.collect())
+    sk = None
+    for b in range(nb):
+        batch = df.filter((F.col("i") + salt) % nb == b)
+        if batch.isEmpty():
+            continue
+        sk = incremental.merge_freq_sketches(
+            sk, incremental.group_freq_sketch(batch, ["k"], "v"), ["k"]
+        )
+    got = sorted((r["k"], tuple(r["cms"])) for r in sk.collect())
+    assert got == want
+
+    cand = df.groupBy("k", "v").agg(F.count(F.lit(1)).alias("exact"))
+    tot = dict(df.groupBy("k").count().collect())
+    for r in incremental.estimate_freq(sk, cand, ["k"], "v").collect():
+        assert r["exact"] <= r["cms_est"] <= tot[r["k"]]
+
+
+@given(rows=vals, nb=st.integers(min_value=1, max_value=4), salt=st.integers(0, 99))
+@settings(**SETTINGS)
+def test_cms_topk_candidates_keep_every_present_value_when_small(spark, rows, nb, salt):
+    """With m >= the number of distinct values per group, the streamed
+    candidate fold must keep EVERY value (nothing can be displaced), and
+    final ranking equals ranking the full data's sketch directly — so at
+    real scale, a true heavy hitter that outranks the m-th estimate
+    survives every fold."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import incremental
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, i long"
+    )
+    if df.isEmpty():
+        return
+    m = 64  # > max distinct values the strategy can generate per group
+    sk, cand = None, None
+    for b in range(nb):
+        batch = df.filter((F.col("i") + salt) % nb == b)
+        if batch.isEmpty():
+            continue
+        sk = incremental.merge_freq_sketches(
+            sk, incremental.group_freq_sketch(batch, ["k"], "v"), ["k"]
+        )
+        cand = incremental.topk_candidates(
+            cand, batch, sk, ["k"], "v", m=m
+        )
+    got = sorted((r["k"], r["v"], r["cms_est"], r["rnk"]) for r in cand.collect())
+    direct = incremental.topk_candidates(
+        None, df, incremental.group_freq_sketch(df, ["k"], "v"),
+        ["k"], "v", m=m,
+    )
+    want = sorted((r["k"], r["v"], r["cms_est"], r["rnk"]) for r in direct.collect())
+    assert got == want

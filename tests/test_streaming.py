@@ -403,6 +403,7 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
             stats_value_column="o_custkey",
             stats_distinct_column="o_custkey",
             stats_quantile_column="o_totalprice",
+            stats_topk_column="o_custkey",
         )
     ]
     proc = CdcBatchProcessor(
@@ -463,6 +464,52 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
         group_quantile_sketch(want_src, ["o_orderstatus"], "o_totalprice"),
         ["o_orderstatus"], probs).collect()))
     assert got_q == want_q and got_q
+
+    # the CMS + candidate tables tracked alongside: the streamed counter
+    # fold must equal the one-shot sketch of the full table, and the
+    # candidate ranking must equal ranking that one-shot sketch directly
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_freq_sketch,
+        topk_candidates,
+    )
+
+    cms = store.read(spark, "orders_cms")
+    assert cms is not None
+    want_cms = sorted(
+        (r["o_orderstatus"], tuple(r["cms"]))
+        for r in group_freq_sketch(
+            want_src, ["o_orderstatus"], "o_custkey"
+        ).collect()
+    )
+    got_cms = sorted((r["o_orderstatus"], tuple(r["cms"])) for r in cms.collect())
+    assert got_cms == want_cms and got_cms
+    # the candidate fold is batch-order-sensitive (m=32 < ~145 distinct
+    # custkeys/group), so replicate the stream's own split (b1 then b2)
+    # rather than comparing to a one-shot ranking
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        merge_freq_sketches,
+    )
+
+    got_topk = sorted(
+        map(tuple, store.read(spark, "orders_topk").collect())
+    )
+    sk_fold, tk = None, None
+    for h in (0, 1):
+        bkeys = topic.filter(F.col("half") == h).select(
+            F.get_json_object("value", "$.after.o_orderkey")
+            .cast("long").alias("o_orderkey")
+        )
+        batch = want_src.join(bkeys, "o_orderkey")
+        sk_fold = merge_freq_sketches(
+            sk_fold,
+            group_freq_sketch(batch, ["o_orderstatus"], "o_custkey"),
+            ["o_orderstatus"],
+        )
+        tk = topk_candidates(
+            tk, batch, sk_fold, ["o_orderstatus"], "o_custkey"
+        )
+    want_topk = sorted(map(tuple, tk.collect()))
+    assert got_topk == want_topk and got_topk
 
     # replay guard: re-applying the last batch id directly is a no-op
     last_bid = store.last_batch_id("orders_stats")
