@@ -89,6 +89,13 @@ class SyncRule:
     # are one-sided >= truth). Requires stats_group_columns;
     # batch-id-guarded (counter addition is not idempotent).
     stats_topk_column: str | None = None
+    # ...and <table>_sample: per-group KMV bottom-k uniform sample of
+    # this column's distinct values plus an oracle-replayable NDV
+    # estimator (functions/incremental group_sample_sketch — min-of-
+    # union folds, so merging is associative+commutative+IDEMPOTENT;
+    # the batch-id guard is belt-and-braces here, like the HLL table).
+    # Requires stats_group_columns.
+    stats_sample_column: str | None = None
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -163,6 +170,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 stats_distinct_column=it.get("stats_distinct_column") or None,
                 stats_quantile_column=it.get("stats_quantile_column") or None,
                 stats_topk_column=it.get("stats_topk_column") or None,
+                stats_sample_column=it.get("stats_sample_column") or None,
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
@@ -172,7 +180,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "ann_drift_floor",
                     "stats_group_columns", "stats_value_column",
                     "stats_distinct_column", "stats_quantile_column",
-                    "stats_topk_column",
+                    "stats_topk_column", "stats_sample_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

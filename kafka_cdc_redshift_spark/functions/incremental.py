@@ -415,3 +415,129 @@ def topk_candidates(
         .filter(F.col("rnk") <= m)
         .select(*keys, value_col, "cms_est", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable uniform-sample sketches (KMV / bottom-k)
+#
+# The fourth census column: "show me representative rows". A naive
+# reservoir sample is order-sensitive and random — useless for replayed
+# streams and impossible to oracle-check. The mergeable answer is a
+# K-MINIMUM-VALUES sketch: hash every distinct value with a FIXED public
+# hash and keep the k smallest (hash, value) pairs per group. Because
+# min-of-union = union-of-mins, merging is associative, commutative, AND
+# idempotent — any batching, any arrival order, and any replay converge
+# to exactly the one-shot sketch (property-tested; the strongest of the
+# incremental family — stronger than the CMS/quantile counters, which
+# add). A uniform hash makes the kept set a uniform sample of the
+# group's distinct values, and the k-th smallest hash doubles as a
+# distinct-count estimator: ndv ~ (k-1) * P / h_k (std error ~
+# 1/sqrt(k-2)).
+#
+# The hash is the same literal Mersenne-prime affine arithmetic as the
+# CMS rows (constants from the public-domain MINSTD generator), so a
+# SQL oracle replays every hash, the full sample membership, AND the
+# NDV estimate bit-for-bit — unlike the engine-private HLL sketch,
+# whose estimate the catalog can only bound.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sample size per group; NDV std error ~ 1/sqrt(k-2) ~ 13%
+KMV_A = 48271  # MINSTD multiplier (public-domain Lehmer constant)
+KMV_B = 33554393  # fixed odd offset (prime; any constant works)
+#: (k-1) * P precomputed as ONE double literal so both engines divide
+#: the same bits (exact: 63 * (2^31-1) < 2^53)
+_KMV_NUM = float((KMV_K - 1) * CMS_P)
+
+
+def _kmv_hash(value_col: str):
+    """Fixed public hash into [0, P): (a * residue + b) mod P, with the
+    sign-safe residue the CMS rows use. a*r < 2^48 — exact in int64."""
+    r = _cms_residue(value_col)
+    return (F.lit(KMV_A) * r + F.lit(KMV_B)) % F.lit(CMS_P)
+
+
+def group_sample_sketch(
+    df: DataFrame, keys: Sequence[str], value_col: str, *, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketch of `value_col`: (keys..., ksample
+    array<struct<h,v>> — the k smallest-hashed DISTINCT non-null values,
+    sorted by (h, v)). Cost: one distinct shuffle over the batch + one
+    per-group sort bounded by |batch distinct|; sketch size is a fixed
+    <= k structs per group regardless of group cardinality."""
+    from pyspark.sql import Window
+
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, F.col(value_col).cast("long").alias("v"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h", "v")
+    return (
+        d.withColumn("h", _kmv_hash("v"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("h", "v"))).alias("ksample"))
+    )
+
+
+def merge_sample_sketches(
+    prev: DataFrame | None, batch_sketch: DataFrame, keys: Sequence[str],
+    *, k: int = KMV_K,
+) -> DataFrame:
+    """Fold a batch's KMV table into the standing one: union the kept
+    pairs, dedup, re-keep the k smallest. min-of-union = union-of-mins,
+    so this is associative + commutative + IDEMPOTENT — replayed batches
+    are harmless even without the batch-id guard (the guard stays on in
+    the streaming loop as belt-and-braces, like the HLL table). Cost:
+    one shuffle over <= 2k rows per group."""
+    from pyspark.sql import Window
+
+    if prev is None:
+        return batch_sketch
+    u = prev.unionByName(batch_sketch)
+    ex = u.select(*keys, F.explode("ksample").alias("e")).select(
+        *keys, F.col("e.h").alias("h"), F.col("e.v").alias("v")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("h", "v")
+    return (
+        ex.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("h", "v"))).alias("ksample"))
+    )
+
+
+def sample_rows(sketches: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Explode the stored sketches to sampled rows: (keys..., v, h, rnk
+    — rank by hash, i.e. uniform-sample order)."""
+    ex = sketches.select(
+        *keys, F.posexplode("ksample").alias("pos", "e")
+    )
+    return ex.select(
+        *keys,
+        F.col("e.v").alias("v"),
+        F.col("e.h").alias("h"),
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+    )
+
+
+def estimate_distinct_kmv(
+    sketches: DataFrame, keys: Sequence[str], *, k: int = KMV_K
+) -> DataFrame:
+    """Read-time NDV estimate from the stored sketches: exact when the
+    group holds fewer than k distinct values (the sketch IS the distinct
+    set), else (k-1) * P / h_k with h_k the k-th smallest hash. Every op
+    is exact int64 + one IEEE divide over a precomputed literal, so the
+    estimate replays bit-for-bit in the SQL oracle. Output: (keys...,
+    sample_size, ndv_est)."""
+    size = F.size("ksample")
+    hk = F.col("ksample")[k - 1]["h"].cast("double")
+    est = F.when(size < k, size.cast("double")).otherwise(
+        F.lit(_KMV_NUM) / F.greatest(hk, F.lit(1.0))
+    )
+    return sketches.select(
+        *keys,
+        size.cast("int").alias("sample_size"),
+        est.alias("ndv_est"),
+    )

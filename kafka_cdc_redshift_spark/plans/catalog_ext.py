@@ -1220,3 +1220,64 @@ def q_events_topk_cms_audit(spark, sf_dir):
         "event_type", "user_id", "rnk", "exact_cnt", "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
     )
+
+
+@_spec(
+    "events_kmv_sample_audit",
+    "mergeable KMV bottom-k uniform sample audited end-to-end: the k=64 "
+    "smallest-hashed distinct users per event type (functions/incremental"
+    ".group_sample_sketch — min-of-union folds, so streaming merges are "
+    "idempotent as well as associative/commutative) plus the sketch's "
+    "NDV estimator. The hash is literal MINSTD affine arithmetic over a "
+    "Mersenne prime, so the oracle replays every hash, the exact sample "
+    "membership, AND the estimate bit-for-bit — unlike the engine-"
+    "private HLL sketch, whose estimate the catalog can only bound. "
+    "Any-batching/replay properties are pinned in tests/test_properties.py",
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+                  WHERE user_id IS NOT NULL),
+    h AS (SELECT event_type, user_id AS v,
+                 (48271 * (((user_id % 2147483647) + 2147483647)
+                           % 2147483647) + 33554393) % 2147483647 AS h
+          FROM d),
+    r AS (SELECT event_type, v, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, v) AS rnk
+          FROM h QUALIFY rnk <= 64),
+    g AS (SELECT event_type, count(*) AS sample_size,
+                 max(CASE WHEN rnk = 64 THEN h END) AS hk
+          FROM r GROUP BY 1),
+    x AS (SELECT event_type, count(*) AS ndv_exact FROM d GROUP BY 1),
+    e AS (SELECT event_type, sample_size,
+                 CASE WHEN sample_size < 64 THEN CAST(sample_size AS DOUBLE)
+                      ELSE 135291469761.0 / greatest(CAST(hk AS DOUBLE), 1.0)
+                 END AS ndv_est
+          FROM g)
+    SELECT r.event_type, r.v AS sampled_user, r.h,
+           CAST(r.rnk AS INTEGER) AS rnk,
+           CAST(e.sample_size AS INTEGER) AS sample_size, e.ndv_est,
+           CAST(x.ndv_exact AS BIGINT) AS ndv_exact,
+           abs(e.ndv_est / x.ndv_exact - 1.0) < 0.5 AS est_ok
+    FROM r JOIN e USING (event_type) JOIN x USING (event_type)""",
+)
+def q_events_kmv_sample_audit(spark, sf_dir):
+    from ..functions import incremental
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = incremental.group_sample_sketch(ev, ["event_type"], "user_id")
+    rows = incremental.sample_rows(sk, ["event_type"]).withColumnRenamed(
+        "v", "sampled_user"
+    )
+    est = incremental.estimate_distinct_kmv(sk, ["event_type"])
+    exact = ev.filter(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("ndv_exact")
+    )
+    return (
+        rows.join(est, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type", "sampled_user", "h", "rnk", "sample_size",
+            "ndv_est", "ndv_exact",
+            (F.abs(F.col("ndv_est") / F.col("ndv_exact") - F.lit(1.0))
+             < F.lit(0.5)).alias("est_ok"),
+        )
+    )

@@ -498,6 +498,38 @@ class CdcBatchProcessor:
                         rule.stats_topk_column,
                     )
                     self.store.publish(cand, ttable, batch_id=batch_id)
+            if rule.stats_group_columns and rule.stats_sample_column:
+                # mergeable KMV uniform-sample maintenance: min-of-union
+                # folds, so the merge is idempotent — like the HLL table,
+                # the batch-id guard here is belt-and-braces, not load-
+                # bearing. <table>_sample keeps the k smallest-hashed
+                # distinct values per group (uniform sample + an oracle-
+                # replayable NDV estimator).
+                from ..functions.incremental import (
+                    group_sample_sketch,
+                    merge_sample_sketches,
+                )
+
+                mtable = f"{rule.target_name}_sample"
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(mtable) != batch_id
+                ):
+                    obs = (
+                        parsed.filter(F.col("op") != "d")
+                        if "op" in parsed.columns else parsed
+                    )
+                    bm = group_sample_sketch(
+                        obs, list(rule.stats_group_columns),
+                        rule.stats_sample_column,
+                    )
+                    prev_m = self.store.read(self.spark, mtable)
+                    self.store.publish(
+                        merge_sample_sketches(
+                            prev_m, bm, list(rule.stats_group_columns)
+                        ),
+                        mtable, batch_id=batch_id,
+                    )
             if rule.dedup_ingest:
                 # streaming near-dup ingest (streaming/dedup_ingest.py):
                 # the batch's non-delete images are deduped against the

@@ -540,3 +540,71 @@ def test_cms_topk_candidates_keep_every_present_value_when_small(spark, rows, nb
     )
     want = sorted((r["k"], r["v"], r["cms_est"], r["rnk"]) for r in direct.collect())
     assert got == want
+
+
+@given(rows=vals, nb=st.integers(min_value=1, max_value=5), salt=st.integers(0, 99))
+@settings(**SETTINGS)
+def test_kmv_sample_any_batching_replay_and_model(spark, rows, nb, salt):
+    """KMV bottom-k sample sketch: (1) ANY batching folded through
+    merge_sample_sketches — INCLUDING a deliberately replayed batch —
+    equals the one-shot sketch exactly (min-of-union is idempotent, the
+    strongest guarantee in the incremental family); (2) the kept set
+    equals a pure-Python model of 'k smallest (hash, value) distinct
+    pairs'; (3) the NDV estimate is exact below k and matches the
+    (k-1)*P/h_k formula at k."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import incremental as inc
+
+    k = 4  # small enough that the estimator branch is exercised
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "k long, v long, i long"
+    )
+    if df.isEmpty():
+        return
+    direct = inc.group_sample_sketch(df, ["k"], "v", k=k)
+    want = sorted(
+        (r["k"], tuple((e["h"], e["v"]) for e in r["ksample"]))
+        for r in direct.collect()
+    )
+
+    sk = None
+    replayed = False
+    for b in range(nb):
+        batch = df.filter((F.col("i") + salt) % nb == b)
+        if batch.isEmpty():
+            continue
+        bs = inc.group_sample_sketch(batch, ["k"], "v", k=k)
+        sk = inc.merge_sample_sketches(sk, bs, ["k"], k=k)
+        if not replayed:  # replay the first non-empty batch verbatim
+            sk = inc.merge_sample_sketches(sk, bs, ["k"], k=k)
+            replayed = True
+    got = sorted(
+        (r["k"], tuple((e["h"], e["v"]) for e in r["ksample"]))
+        for r in sk.collect()
+    )
+    assert got == want
+
+    # pure-Python model of the kept set and the estimator
+    P, A, B = inc.CMS_P, inc.KMV_A, inc.KMV_B
+    model = {}
+    for g, v in set(rows):
+        h = (A * (((v % P) + P) % P) + B) % P
+        model.setdefault(g, []).append((h, v))
+    for g, pairs in model.items():
+        model[g] = sorted(pairs)[:k]
+    assert {g: list(p) for g, p in model.items()} == {
+        g: list(p) for g, p in ((r[0], r[1]) for r in got)
+    }
+
+    ests = {
+        r["k"]: (r["sample_size"], r["ndv_est"])
+        for r in inc.estimate_distinct_kmv(sk, ["k"], k=k).collect()
+    }
+    exact = {g: len({v for gg, v in set(rows) if gg == g}) for g, _ in model.items()}
+    for g, (size, est) in ests.items():
+        if exact[g] < k:
+            assert size == exact[g] and est == float(exact[g])
+        else:
+            hk = model[g][k - 1][0]
+            assert est == float((k - 1) * P) / max(float(hk), 1.0)

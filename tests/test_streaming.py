@@ -404,6 +404,7 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
             stats_distinct_column="o_custkey",
             stats_quantile_column="o_totalprice",
             stats_topk_column="o_custkey",
+            stats_sample_column="o_custkey",
         )
     ]
     proc = CdcBatchProcessor(
@@ -510,6 +511,27 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
         )
     want_topk = sorted(map(tuple, tk.collect()))
     assert got_topk == want_topk and got_topk
+
+    # the KMV sample table tracked alongside: min-of-union folding is
+    # order-INSENSITIVE, so the streamed fold must equal the one-shot
+    # sketch of the full table directly (no batch replication needed)
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_sample_sketch,
+    )
+
+    samp = store.read(spark, "orders_sample")
+    assert samp is not None
+    got_samp = sorted(
+        (r["o_orderstatus"], tuple((e["h"], e["v"]) for e in r["ksample"]))
+        for r in samp.collect()
+    )
+    want_samp = sorted(
+        (r["o_orderstatus"], tuple((e["h"], e["v"]) for e in r["ksample"]))
+        for r in group_sample_sketch(
+            want_src, ["o_orderstatus"], "o_custkey"
+        ).collect()
+    )
+    assert got_samp == want_samp and got_samp
 
     # replay guard: re-applying the last batch id directly is a no-op
     last_bid = store.last_batch_id("orders_stats")
