@@ -1649,3 +1649,75 @@ def q_dedup_keep_best(spark, sf_dir):
 )
 def q_text_pretoken_stats(spark, sf_dir):
     return text.pretoken_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "doc_contamination_bloom",
+    "Bloom-filter contamination pre-screen audited against the exact "
+    "membership join: an 8192-bit / 4-probe bloom over the eval slice's "
+    "3-gram hashes (functions/membership.py — bit positions are the "
+    "literal CMS affine hashes, words pack 32 bits per int64, bit_or "
+    "merge is idempotent), probed map-side per training shingle. The "
+    "one-sided contract bloom_matched >= n_matched must hold for every "
+    "doc (a bloom miss is a certified true negative — that is what lets "
+    "clean docs skip the exact join entirely at corpus scale); the "
+    "oracle replays every bit of the filter",
+    r"""WITH tok AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+         FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t)-2)])) AS g
+              FROM tok WHERE len(t) >= 3),
+       shh AS (SELECT doc_id, g,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+               FROM sh),
+       hc AS (SELECT * FROM (VALUES (0, 1664525, 1013904223),
+                                    (1, 1103515245, 12345),
+                                    (2, 22695477, 1),
+                                    (3, 214013, 2531011)) AS t(i, a, b)),
+       evpos AS (SELECT DISTINCT
+                   ((hc.a * (((s.gh % 2147483647) + 2147483647)
+                             % 2147483647) + hc.b)
+                    % 2147483647) % 8192 AS pos
+                 FROM shh s CROSS JOIN hc WHERE s.doc_id % 97 = 0),
+       bw AS (SELECT pos // 32 AS w,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+              FROM evpos GROUP BY 1),
+       pr AS (SELECT s.doc_id, s.g, s.gh,
+                     ((hc.a * (((s.gh % 2147483647) + 2147483647)
+                               % 2147483647) + hc.b)
+                      % 2147483647) % 8192 AS pos
+              FROM shh s CROSS JOIN hc),
+       probe AS (SELECT pr.doc_id, pr.g, pr.gh,
+                        bool_and((COALESCE(bw.word, 0)
+                                  & (1::BIGINT << CAST(pr.pos % 32 AS INTEGER)))
+                                 <> 0) AS hit
+                 FROM pr LEFT JOIN bw ON bw.w = pr.pos // 32
+                 GROUP BY 1, 2, 3),
+       ev AS (SELECT DISTINCT gh FROM shh WHERE doc_id % 97 = 0)
+       SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(sum(CASE WHEN p.hit THEN 1 ELSE 0 END) AS BIGINT)
+                AS bloom_matched,
+              CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+              CAST(sum(CASE WHEN p.hit THEN 1 ELSE 0 END) AS BIGINT)
+                >= CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bloom_ge_exact
+       FROM probe p LEFT JOIN ev ON p.gh = ev.gh
+       GROUP BY 1""",
+)
+def q_doc_contamination_bloom(spark, sf_dir):
+    from ..functions import membership
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    bloom = membership.ngram_bloom(eval_df)
+    pre = membership.contamination_prefilter(docs, bloom)
+    exact = curation.contamination_score(docs, eval_df).select(
+        "doc_id", "n_matched"
+    )
+    return pre.join(exact, "doc_id").select(
+        "doc_id", "n_shingles", "bloom_matched", "n_matched",
+        (F.col("bloom_matched") >= F.col("n_matched")).alias("bloom_ge_exact"),
+    )

@@ -608,3 +608,49 @@ def test_kmv_sample_any_batching_replay_and_model(spark, rows, nb, salt):
         else:
             hk = model[g][k - 1][0]
             assert est == float((k - 1) * P) / max(float(hk), 1.0)
+
+
+hashes = st.lists(
+    st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=0, max_size=30
+)
+
+
+@given(a=hashes, b=hashes)
+@settings(**SETTINGS)
+def test_bloom_no_false_negatives_and_lossless_union(spark, a, b):
+    """Bloom membership sketch: (1) every inserted hash probes True (no
+    false negatives — the contract that lets bloom-negative docs skip
+    the exact join); (2) bloom(A ∪ B) == merge(bloom(A), bloom(B)) word
+    for word, and merging a bloom with itself is a no-op (bit_or is
+    idempotent); (3) absent values may probe True (false positive) but
+    the probe never errors on an empty bloom."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import membership as M
+
+    m, d = 512, 4  # small m so collisions actually occur under test
+    dfa = spark.createDataFrame([(h,) for h in a] or [(None,)], "gh long").filter(
+        F.col("gh").isNotNull()
+    )
+    dfb = spark.createDataFrame([(h,) for h in b] or [(None,)], "gh long").filter(
+        F.col("gh").isNotNull()
+    )
+    ba = M.bloom_from_hashes(dfa, "gh", m=m, d=d)
+    bb = M.bloom_from_hashes(dfb, "gh", m=m, d=d)
+    bu = M.bloom_from_hashes(dfa.unionByName(dfb), "gh", m=m, d=d)
+    merged = M.merge_blooms(ba, bb)
+    assert [list(r["bloom"]) for r in merged.collect()] == [
+        list(r["bloom"]) for r in bu.collect()
+    ]
+    assert [list(r["bloom"]) for r in M.merge_blooms(bu, bu).collect()] == [
+        list(r["bloom"]) for r in bu.collect()
+    ]
+
+    probed = (
+        dfa.unionByName(dfb)
+        .join(F.broadcast(bu))
+        .withColumn("hit", M.bloom_hit_col(F.col("gh"), F.col("bloom"), m=m, d=d))
+    )
+    rows = probed.collect()
+    assert all(r["hit"] for r in rows)
+    assert len(rows) == len(a) + len(b)
