@@ -50,6 +50,21 @@ _ROUTE_PARSERS = {
     "CANAL-CDC": route_parse_canal,
 }
 
+#: per-format JSON paths of the routing keys (db, table, and for DMS the
+#: record-type whose 'control' rows routing drops) — used to take ONE
+#: per-batch routing census instead of one isEmpty probe job per rule
+#: (the A1/A2 probe, redshift_sink.py:585). At a reference-shaped ~100-
+#: rule fan-out that is ~100 driver-side jobs per micro-batch replaced
+#: by one combinable count over the cached batch.
+_ROUTE_KEY_PATHS = {
+    "FLINK-CDC": ("$.source.db", "$.source.table", None),
+    "MSK-DEBEZIUM-CDC": ("$.source.db", "$.source.table", None),
+    "DMS-CDC": ("$.metadata.schema-name", "$.metadata.table-name",
+                "$.metadata.record-type"),
+    "CANAL-CDC": ("$.database", "$.table", None),
+    "MONGO-CDC": ("$.ns.db", "$.ns.coll", None),
+}
+
 
 @dataclass
 class TaskStatus:
@@ -202,9 +217,37 @@ class CdcBatchProcessor:
         return passing
 
     # -- per-table task ----------------------------------------------------
+    def _batch_route_counts(self, batch_df: DataFrame) -> dict | None:
+        """One routing census for the whole batch: rows per (db, table)
+        under the format's routing keys, with DMS 'control' records
+        excluded exactly as the route predicate excludes them. Replaces
+        the per-rule isEmpty probe job for exact-match rules — at an
+        N-rule fan-out, 1 job instead of N. Returns None for formats
+        without declared key paths (those rules keep the per-rule probe)."""
+        paths = _ROUTE_KEY_PATHS.get(self.cdc_format)
+        if paths is None:
+            return None
+        db_p, tb_p, ctl_p = paths
+        v = F.col("value")
+        cols = [
+            F.get_json_object(v, db_p).alias("__db"),
+            F.get_json_object(v, tb_p).alias("__tb"),
+        ]
+        df = batch_df.select(*cols) if ctl_p is None else (
+            batch_df.select(
+                *cols, F.get_json_object(v, ctl_p).alias("__ctl")
+            ).filter(F.col("__ctl") != "control")
+        )
+        return {
+            (r["__db"], r["__tb"]): r["cnt"]
+            for r in df.groupBy("__db", "__tb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
     def _run_table(
         self, batch_df: DataFrame, rule: SyncRule, job_group: str | None = None,
-        batch_id: int | None = None,
+        batch_id: int | None = None, route_counts: dict | None = None,
     ) -> TaskStatus:
         try:
             if job_group is not None:
@@ -216,6 +259,14 @@ class CdcBatchProcessor:
                 )
             fmt = self.cdc_format
             is_regex = any(ch in rule.table for ch in ".*+?[](){}|^$\\")
+            # exact-match rules consult the shared routing census instead
+            # of running their own probe job; regex rules keep the
+            # per-rule probe (rlike dialect stays JVM-side, un-replicated)
+            precounted = (
+                route_counts is not None and not is_regex
+            )
+            if precounted and route_counts.get((rule.db, rule.table), 0) == 0:
+                return TaskStatus(rule.target_name, "no-data")
             if fmt == "MONGO-CDC":
                 parsed = route_parse_mongo(batch_df, rule.db, rule.table)
             else:
@@ -232,7 +283,11 @@ class CdcBatchProcessor:
                     batch_df, rule.db, rule.table, schema,
                     table_is_regex=is_regex,
                 )
-            if parsed.isEmpty():
+            if not precounted and parsed.isEmpty():
+                # the A1/A2 empty probe — only rules the census can't
+                # cover pay a probe job (route-matched rows are valid
+                # JSON for the routing keys, so a positive census count
+                # implies a non-empty parse)
                 return TaskStatus(rule.target_name, "no-data")
             parsed = apply_rule_conversions(parsed, rule)
             if rule.quality_gate:
@@ -581,8 +636,18 @@ class CdcBatchProcessor:
         pool = cf.ThreadPoolExecutor(max_workers=self.max_workers)
         try:
             batch_df.count()  # materialize the cache once for all tasks
+            # one routing census for all rules (multi-rule fan-outs only:
+            # with a single rule the census job would just replace the
+            # one probe job it saves)
+            route_counts = (
+                self._batch_route_counts(batch_df)
+                if len(self.rules) > 1 else None
+            )
             futs = [
-                pool.submit(self._run_table, batch_df, rule, group, batch_id)
+                pool.submit(
+                    self._run_table, batch_df, rule, group, batch_id,
+                    route_counts,
+                )
                 for rule in self.rules
             ]
             try:

@@ -23,6 +23,10 @@ Fan-out knobs:
   SPARK_GRAFT_STREAM_FANOUT   comma list (e.g. "2,10,30"): run BOTH store
                               modes at each fan-out and emit a "fanout"
                               map alongside the headline record.
+  SPARK_GRAFT_STREAM_WORKERS  processor thread-pool width (default 8;
+                              widening to the rule count measured SLOWER
+                              at fan-out 30 on one JVM — the knob is for
+                              cluster-shaped probes).
 
 Prints ONE JSON line:
   {"metric": "cdc_stream_records_per_sec", "value": N,
@@ -96,8 +100,12 @@ def _rules_and_schemas(spark, sf_dir, n_tables: int):
 
 def _timed_run(spark, work, topic_dir, rules, schemas, store, tag,
                fold_after: bool) -> tuple[float, int]:
+    # default stays 8: a 30-wide pool was MEASURED slower at fan-out 30
+    # on one JVM (4.5k vs 6.1k rec/s) — driver-side contention, not pool
+    # queueing, binds first; the knob exists for cluster-shaped probes
+    workers = int(os.environ.get("SPARK_GRAFT_STREAM_WORKERS", "8"))
     proc = CdcBatchProcessor(
-        spark, rules, store, payload_schemas=schemas, max_workers=8,
+        spark, rules, store, payload_schemas=schemas, max_workers=workers,
     )
     t0 = time.perf_counter()
     q = run_file_stream(

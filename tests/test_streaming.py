@@ -611,3 +611,49 @@ def test_quality_gate_quarantines_rejected_docs(spark, sf_dir, tmp_path):
             rej.select("doc_id"), "doc_id", "semi"
         ).count()
         assert leaked == 0, mode
+
+
+def test_routing_census_short_circuit_matches_probe_path(spark, sf_dir, tmp_path):
+    """The per-batch routing census (one job) must make the same keep /
+    no-data decisions the per-rule isEmpty probe made: present exact
+    table -> merged, absent exact table -> no-data with no target, regex
+    rule -> still probed per rule and merged, and final target state is
+    identical to a census-free run."""
+    topic = synth_debezium_topic(spark, sf_dir, include_customer=True)
+    schemas = {
+        "orders": load_table(spark, sf_dir, "orders").schema,
+        "customer": load_table(spark, sf_dir, "customer").schema,
+        "cust_rx": load_table(spark, sf_dir, "customer").schema,
+        "ghost": load_table(spark, sf_dir, "orders").schema,
+    }
+    rules = [
+        SyncRule(db="salesdb", table="orders", primary_key=("o_orderkey",)),
+        SyncRule(db="salesdb", table="ghost", primary_key=("o_orderkey",)),
+        SyncRule(db="salesdb", table="cust.*", primary_key=("c_custkey",),
+                 target_table="cust_rx"),
+        SyncRule(db="otherdb", table="orders", primary_key=("o_orderkey",),
+                 target_table="ghost2"),
+    ]
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    proc = CdcBatchProcessor(spark, rules, store, payload_schemas=schemas)
+    statuses = {s.table: s.status for s in proc.process_batch(topic, 0)}
+    assert statuses == {
+        "orders": "finished",
+        "ghost": "no-data",
+        "cust_rx": "finished",
+        "ghost2": "no-data",
+    }
+    assert store.read(spark, "ghost") is None
+    assert store.read(spark, "ghost2") is None
+
+    # census-free twin (single-rule processors never build the census):
+    # target contents must be identical
+    store2 = ParquetTargetStore(str(tmp_path / "store2"))
+    for rule in (rules[0], rules[2]):
+        CdcBatchProcessor(
+            spark, [rule], store2, payload_schemas=schemas
+        ).process_batch(topic, 0)
+    for t in ("orders", "cust_rx"):
+        a = sorted(map(tuple, store.read(spark, t).collect()))
+        b = sorted(map(tuple, store2.read(spark, t).collect()))
+        assert a == b and a
