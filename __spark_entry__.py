@@ -62,6 +62,7 @@ _DRIVER_CHECK_FIRST = [
     "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)
     "events_kmv_sample_audit",  # brand-new (mergeable KMV uniform sample)
     "doc_contamination_bloom",  # brand-new (bloom decontamination prescreen)
+    "sim_pq_rerank",  # brand-new (PQ shortlist + exact re-rank ANN)
     "sim_ivf_recall",  # brand-new (ANN recall audit)
     "text_gopher_filters",  # r3-stale AND refactored flag expressions
     "q2_min_cost_supplier",

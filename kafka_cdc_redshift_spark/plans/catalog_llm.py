@@ -1721,3 +1721,85 @@ def q_doc_contamination_bloom(spark, sf_dir):
         "doc_id", "n_shingles", "bloom_matched", "n_matched",
         (F.col("bloom_matched") >= F.col("n_matched")).alias("bloom_ge_exact"),
     )
+
+
+def _pq_rerank_oracle(n_sub=8, subdim=8, n_codes=32, shortlist=100, k=3):
+    """SQL twin of the full PQ pipeline: slice codebooks -> argmin encode
+    -> ADC distance tables -> sub-ordered estimate fold (the explicit
+    (((0.0+d0)+d1)+...) chain replays Spark's sequential aggregate
+    bit-for-bit — float addition is not associative, so the order is
+    part of the contract) -> top-C shortlist -> exact re-rank."""
+
+    def l2(a, b):
+        return (
+            f"(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    c_sl = f"list_slice(c.e, cb.sub*{subdim} + 1, cb.sub*{subdim} + {subdim})"
+    q_sl = f"list_slice(q.qe, cb.sub*{subdim} + 1, cb.sub*{subdim} + {subdim})"
+    adc_sum = "0.0"
+    for s in range(n_sub):
+        adc_sum = f"({adc_sum} + d{s})"
+    pivots = ", ".join(
+        f"max(CASE WHEN sub = {s} THEN dist END) AS d{s}" for s in range(n_sub)
+    )
+    return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    subs AS (SELECT CAST(i AS INTEGER) AS sub FROM generate_series(0, {n_sub - 1}) t(i)),
+    cb AS (SELECT subs.sub, CAST(b.vec_id AS INTEGER) AS code,
+                  list_slice(b.e, subs.sub*{subdim} + 1, subs.sub*{subdim} + {subdim}) AS cvec
+           FROM c b CROSS JOIN subs WHERE b.vec_id < {n_codes}),
+    enc0 AS (SELECT c.vec_id, cb.sub, cb.code, {l2(c_sl, "cb.cvec")} AS dist
+             FROM c CROSS JOIN cb),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, code) AS rn
+              FROM enc0) t WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id % 50 = 0),
+    qd AS (SELECT q.q_id, cb.sub, cb.code, {l2(q_sl, "cb.cvec")} AS dist
+           FROM q CROSS JOIN cb),
+    adc0 AS (SELECT qd.q_id, enc.vec_id AS neighbor_id, qd.sub, qd.dist
+             FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
+             WHERE enc.vec_id != qd.q_id),
+    adcp AS (SELECT q_id, neighbor_id, {pivots} FROM adc0 GROUP BY 1, 2),
+    adc AS (SELECT q_id, neighbor_id, {adc_sum} AS pq_dist FROM adcp),
+    short AS (SELECT q_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id
+                                             ORDER BY pq_dist, neighbor_id) AS rn
+                FROM adc) t WHERE rn <= {shortlist}),
+    rer AS (SELECT s.q_id, s.neighbor_id, {l2("n.e", "q.qe")} AS l2_dist
+            FROM short s JOIN c n ON n.vec_id = s.neighbor_id
+            JOIN q ON q.q_id = s.q_id)
+    SELECT q_id, neighbor_id, l2_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY l2_dist, neighbor_id) AS rnk
+      FROM rer) t WHERE rnk <= {k}"""
+
+
+@_spec(
+    "sim_pq_rerank",
+    "product-quantization ANN in its production serving shape: the "
+    "corpus is PQ-encoded (8 subspaces x 32 codewords — 32x smaller "
+    "than the float vectors), ADC table lookups prune to a 100-deep "
+    "shortlist per query, and exact squared-L2 re-ranks only the "
+    "shortlist (functions/similarity.pq_encode / pq_topk / "
+    "pq_shortlist_rerank). Codewords are fixed corpus rows so the "
+    "oracle replays every argmin, every ADC fold (sub-ordered — float "
+    "addition is not associative) and the final ranking bit-for-bit; "
+    "production trains codebooks with per-subspace k-means "
+    "(functions/clustering.kmeans_centroids), exercised in "
+    "tests/test_curation.py::test_pq_trained_codebooks",
+    _pq_rerank_oracle(),
+)
+def q_sim_pq_rerank(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.subvector_codebooks(
+        emb.filter(F.col("vec_id") < 32), n_sub=8
+    )
+    codes = similarity.pq_encode(emb, cb, n_sub=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.pq_shortlist_rerank(
+        codes, emb, q, cb, k=3, shortlist=100
+    )

@@ -440,3 +440,59 @@ def test_lsh_hot_bucket_cap_recall_and_degenerate(spark, sf_dir):
         docs, max_bucket=1000).collect()))
     assert capped == base and base  # generous cap: pair set unchanged
     assert dedup_text.minhash_lsh_pairs(docs, max_bucket=1).count() == 0
+
+
+def test_pq_trained_codebooks(spark, sf_dir):
+    """PQ serving pipeline with per-subspace k-means codebooks (the
+    production trainer): (1) every vector encodes to exactly n_sub codes
+    within codebook range; (2) the ADC shortlist->exact-rerank top-3
+    captures a solid majority of the exact L2 top-3 even on this
+    worst-case corpus (isotropic random vectors — no cluster structure
+    for the quantizer to exploit); (3) re-ranked distances are exact,
+    i.e. equal to the brute-force distance for the same pair."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from kafka_cdc_redshift_spark.functions import clustering
+    from kafka_cdc_redshift_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_sub, sub = 8, 8
+    parts = []
+    for s in range(n_sub):
+        sl = emb.select(
+            "vec_id", F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding")
+        )
+        parts.append(
+            clustering.kmeans_centroids(sl, k=16, iters=2).select(
+                F.lit(s).alias("sub"),
+                F.col("cent_id").alias("code"),
+                F.col("c_emb").alias("cvec"),
+            )
+        )
+    cb = reduce(lambda a, b: a.unionByName(b), parts)
+    codes = S.pq_encode(emb, cb, n_sub=n_sub)
+    enc = codes.collect()
+    assert all(len(r["codes"]) == n_sub for r in enc)
+    assert all(0 <= c < 16 for r in enc for c in r["codes"])
+    assert len(enc) == emb.count()
+
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.pq_shortlist_rerank(codes, emb, q, cb, k=3, shortlist=100)
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    l2 = S._sq_l2(S._dbl(F.col("embedding")), S._dbl(F.col("q_emb")))
+    w = Window.partitionBy("q_id").orderBy("l2_dist", "en")
+    exact = (
+        pairs.select("q_id", F.col("vec_id").alias("en"), l2.alias("l2_dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+    )
+    ex = {(r["q_id"], r["en"]): r["l2_dist"] for r in exact.collect()}
+    got_rows = {(r["q_id"], r["neighbor_id"]): r["l2_dist"] for r in got.collect()}
+    hits = set(got_rows) & set(ex)
+    assert len(hits) >= len(ex) // 2, (len(hits), len(ex))
+    for pair in hits:  # re-ranked distance IS the exact distance
+        assert got_rows[pair] == ex[pair]
