@@ -21,7 +21,8 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
                             dedup_ingest, quality_gate, ann_ingest,
                             stats_group_columns + stats_value_column /
                             stats_distinct_column / stats_quantile_column /
-                            stats_topk_column / stats_sample_column
+                            stats_topk_column / stats_sample_column /
+                            stats_bloom_column
   checkpoint_location       stream checkpoint dir (T3)
   checkpoint_interval       '30 seconds' (processingTime, T1) or
                             'availableNow' (bounded, T2)

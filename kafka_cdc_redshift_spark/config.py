@@ -96,6 +96,14 @@ class SyncRule:
     # the batch-id guard is belt-and-braces here, like the HLL table).
     # Requires stats_group_columns.
     stats_sample_column: str | None = None
+    # ...and <table>_bloom: a standing Bloom membership bitset over this
+    # column's values (functions/membership.py — bit_or folds, so merging
+    # is associative+commutative+IDEMPOTENT like the KMV table). The
+    # O(1)-probe answer to "was this value ever ingested" without
+    # touching the target: a miss is a certified never-seen, a hit
+    # routes to the exact check. Independent of stats_group_columns —
+    # the bloom is table-global (membership has no group axis).
+    stats_bloom_column: str | None = None
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -171,6 +179,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 stats_quantile_column=it.get("stats_quantile_column") or None,
                 stats_topk_column=it.get("stats_topk_column") or None,
                 stats_sample_column=it.get("stats_sample_column") or None,
+                stats_bloom_column=it.get("stats_bloom_column") or None,
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
@@ -181,6 +190,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "stats_group_columns", "stats_value_column",
                     "stats_distinct_column", "stats_quantile_column",
                     "stats_topk_column", "stats_sample_column",
+                    "stats_bloom_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

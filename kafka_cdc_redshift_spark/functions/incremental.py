@@ -444,9 +444,6 @@ def topk_candidates(
 KMV_K = 64  # sample size per group; NDV std error ~ 1/sqrt(k-2) ~ 13%
 KMV_A = 48271  # MINSTD multiplier (public-domain Lehmer constant)
 KMV_B = 33554393  # fixed odd offset (prime; any constant works)
-#: (k-1) * P precomputed as ONE double literal so both engines divide
-#: the same bits (exact: 63 * (2^31-1) < 2^53)
-_KMV_NUM = float((KMV_K - 1) * CMS_P)
 
 
 def _kmv_hash(value_col: str):
@@ -533,8 +530,11 @@ def estimate_distinct_kmv(
     sample_size, ndv_est)."""
     size = F.size("ksample")
     hk = F.col("ksample")[k - 1]["h"].cast("double")
+    # (k-1) * P precomputed as ONE double literal for THIS k so both
+    # engines divide the same bits (exact while (k-1)*P < 2^53)
+    num = float((k - 1) * CMS_P)
     est = F.when(size < k, size.cast("double")).otherwise(
-        F.lit(_KMV_NUM) / F.greatest(hk, F.lit(1.0))
+        F.lit(num) / F.greatest(hk, F.lit(1.0))
     )
     return sketches.select(
         *keys,

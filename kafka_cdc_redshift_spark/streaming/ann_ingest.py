@@ -48,10 +48,13 @@ from ..functions.similarity import (
     ivf_assign,
     ivf_topk_from_cells,
     norm_col,
+    pq_encode,
+    pq_shortlist_rerank,
 )
 from .store import AppendLog
 
 _CENTROID_BATCH = "__centroids__"  # singleton "batch" id for the centroid table
+_CODEBOOK_BATCH = "__codebooks__"  # singleton "batch" id for the PQ codebooks
 
 
 class AnnIngest:
@@ -59,7 +62,11 @@ class AnnIngest:
 
     State tables (under `log.root`): `{name}_cells` (the index:
     vec_id, embedding, cell — one row per ingested vector) and
-    `{name}_centroids` (cent_id, c_emb — written once).
+    `{name}_centroids` (cent_id, c_emb — written once). With
+    `codebooks=` the index also maintains `{name}_codes` (the PQ code
+    relation — n_sub small ints per vector, the 32x-compressed serving
+    artifact `pq_rerank` shortlists over) and `{name}_codebooks`
+    (written once, same no-swap rule as the centroids).
 
     Use from any micro-batch loop::
 
@@ -80,6 +87,8 @@ class AnnIngest:
         log: AppendLog,
         *,
         centroids: DataFrame | None = None,
+        codebooks: DataFrame | None = None,
+        n_sub: int = 8,
         name: str = "emb",
         id_col: str = "vec_id",
         vec_col: str = "embedding",
@@ -88,6 +97,7 @@ class AnnIngest:
         self.name = name
         self.id_col = id_col
         self.vec_col = vec_col
+        self.n_sub = n_sub
         if centroids is not None:
             if self.log.has_batch(self.centroids_table, _CENTROID_BATCH):
                 raise ValueError(
@@ -99,6 +109,20 @@ class AnnIngest:
                 centroids.select("cent_id", "c_emb"),
                 self.centroids_table, _CENTROID_BATCH,
             )
+        if codebooks is not None:
+            # PQ is optional per index; the codebooks carry the same
+            # no-swap rule as the centroids (codes assigned under one
+            # codebook are garbage under another — rebuild instead)
+            if self.log.has_batch(self.codebooks_table, _CODEBOOK_BATCH):
+                raise ValueError(
+                    f"index {name!r} already has persisted PQ codebooks; "
+                    "swapping codebooks under standing codes corrupts "
+                    "them — rebuild into a fresh index instead"
+                )
+            self.log.append(
+                codebooks.select("sub", "code", "cvec"),
+                self.codebooks_table, _CODEBOOK_BATCH,
+            )
 
     @property
     def cells_table(self) -> str:
@@ -107,6 +131,14 @@ class AnnIngest:
     @property
     def centroids_table(self) -> str:
         return f"{self.name}_centroids"
+
+    @property
+    def codes_table(self) -> str:
+        return f"{self.name}_codes"
+
+    @property
+    def codebooks_table(self) -> str:
+        return f"{self.name}_codebooks"
 
     def centroids(self, spark: SparkSession) -> DataFrame:
         c = self.log.read(spark, self.centroids_table)
@@ -122,15 +154,27 @@ class AnnIngest:
         append it to the index. O(|batch| x n_centroids) compute, zero
         standing-state reads; a replayed batch is skipped via the log's
         committed manifest."""
-        if self.log.has_batch(self.cells_table, batch_id):
-            return
         spark = batch_df.sparkSession
-        assigned = ivf_assign(
-            batch_df.select(self.id_col, self.vec_col),
-            self.centroids(spark),
-            n_cells=1, id_col=self.id_col, vec_col=self.vec_col,
-        )
-        self.log.append(assigned, self.cells_table, batch_id)
+        if not self.log.has_batch(self.cells_table, batch_id):
+            assigned = ivf_assign(
+                batch_df.select(self.id_col, self.vec_col),
+                self.centroids(spark),
+                n_cells=1, id_col=self.id_col, vec_col=self.vec_col,
+            )
+            self.log.append(assigned, self.cells_table, batch_id)
+        # PQ codes ride the same batch, guarded SEPARATELY: a crash
+        # between the two appends replays into "cells committed, codes
+        # not", and an early-return on the cells guard would lose the
+        # codes forever
+        cbs = self.log.read(spark, self.codebooks_table)
+        if cbs is not None and not self.log.has_batch(
+            self.codes_table, batch_id
+        ):
+            codes = pq_encode(
+                batch_df.select(self.id_col, self.vec_col), cbs,
+                n_sub=self.n_sub, id_col=self.id_col, vec_col=self.vec_col,
+            )
+            self.log.append(codes, self.codes_table, batch_id)
 
     def topk(
         self, queries: DataFrame, *, k: int = 3, nprobe: int = 2
@@ -143,6 +187,31 @@ class AnnIngest:
             self.log.read(spark, self.cells_table),
             queries, self.centroids(spark),
             k=k, nprobe=nprobe, id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+    def pq_rerank(
+        self, queries: DataFrame, *, k: int = 3, shortlist: int = 100
+    ) -> DataFrame:
+        """PQ serving against the standing codes: ADC shortlist over the
+        incrementally maintained code relation, exact re-rank against
+        the index's own stored vectors — identical results to batch
+        `pq_shortlist_rerank` over the same corpus and codebooks
+        (tested). Requires the index to have been built with
+        `codebooks=`."""
+        spark = queries.sparkSession
+        codes = self.log.read(spark, self.codes_table)
+        cbs = self.log.read(spark, self.codebooks_table)
+        if codes is None or cbs is None:
+            raise ValueError(
+                f"index {self.name!r} has no PQ codes — construct "
+                "AnnIngest with codebooks= first"
+            )
+        emb = self.log.read(spark, self.cells_table).select(
+            self.id_col, self.vec_col
+        )
+        return pq_shortlist_rerank(
+            codes, emb, queries, cbs, k=k, shortlist=shortlist,
+            id_col=self.id_col, vec_col=self.vec_col,
         )
 
     def weighted_drift(self, spark: SparkSession) -> float:

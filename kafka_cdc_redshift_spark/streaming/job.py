@@ -585,6 +585,35 @@ class CdcBatchProcessor:
                         ),
                         mtable, batch_id=batch_id,
                     )
+            if rule.stats_bloom_column:
+                # standing Bloom membership bitset over every value this
+                # table has ever ingested: bit_or folding is idempotent
+                # (like the KMV sample), so the guard is belt-and-braces;
+                # a probe miss certifies "never seen" in O(1) with zero
+                # reads of the target
+                from ..functions.membership import (
+                    bloom_from_hashes,
+                    merge_blooms,
+                )
+
+                btable = f"{rule.target_name}_bloom"
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(btable) != batch_id
+                ):
+                    obs = (
+                        parsed.filter(F.col("op") != "d")
+                        if "op" in parsed.columns else parsed
+                    )
+                    vals = obs.select(
+                        F.col(rule.stats_bloom_column).cast("long").alias("v")
+                    ).filter(F.col("v").isNotNull())
+                    bb = bloom_from_hashes(vals, "v")
+                    prev_b = self.store.read(self.spark, btable)
+                    self.store.publish(
+                        bb if prev_b is None else merge_blooms(prev_b, bb),
+                        btable, batch_id=batch_id,
+                    )
             if rule.dedup_ingest:
                 # streaming near-dup ingest (streaming/dedup_ingest.py):
                 # the batch's non-delete images are deduped against the

@@ -256,3 +256,59 @@ def test_ann_ingest_properties_driven_e2e(spark, sf_dir, tmp_path):
         emb, queries, cents, k=3, nprobe=2).collect()))
     got = sorted(map(_topk_key, ann.topk(queries, k=3, nprobe=2).collect()))
     assert got == want and got
+
+
+def test_streamed_pq_codes_serve_batch_rerank_results(
+    spark, emb, centroids, queries, tmp_path
+):
+    """With codebooks=, the index maintains the PQ code relation
+    incrementally; pq_rerank over the streamed codes must equal batch
+    pq_shortlist_rerank over the same corpus+codebooks (codes are
+    assignment-deterministic, so ANY batching converges), a replayed
+    batch must be a no-op, and the crash window between the cells and
+    codes appends must heal on replay."""
+    cb = similarity.subvector_codebooks(
+        emb.filter(F.col("vec_id") < 8), n_sub=4
+    )
+    want = sorted(
+        (r.q_id, r.rnk, r.neighbor_id, round(r.l2_dist, 9))
+        for r in similarity.pq_shortlist_rerank(
+            similarity.pq_encode(emb, cb, n_sub=4), emb, queries, cb,
+            k=3, shortlist=50,
+        ).collect()
+    )
+    assert want
+
+    ann = AnnIngest(
+        AppendLog(str(tmp_path / "state")), centroids=centroids,
+        codebooks=cb, n_sub=4,
+    )
+    for b in range(3):
+        ann.process_batch(emb.filter(F.col("vec_id") % 3 == b), b)
+    ann.process_batch(emb.filter(F.col("vec_id") % 3 == 1), 1)  # replay: no-op
+    got = sorted(
+        (r.q_id, r.rnk, r.neighbor_id, round(r.l2_dist, 9))
+        for r in ann.pq_rerank(queries, k=3, shortlist=50).collect()
+    )
+    assert got == want
+    assert ann.log.read(spark, ann.codes_table).count() == emb.count()
+
+    # crash window: cells committed for batch 3 but codes not (simulate
+    # by appending cells only), then the replayed process_batch must
+    # fill in the missing codes instead of early-returning
+    extra = emb.filter(F.col("vec_id") % 3 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    from kafka_cdc_redshift_spark.functions.similarity import ivf_assign
+
+    ann.log.append(
+        ivf_assign(extra, centroids, n_cells=1), ann.cells_table, 3
+    )
+    ann.process_batch(extra, 3)  # cells replay skipped, codes appended
+    n = emb.count() + extra.count()
+    assert ann.log.read(spark, ann.cells_table).count() == n
+    assert ann.log.read(spark, ann.codes_table).count() == n
+
+    # codebook no-swap rule mirrors the centroid rule
+    with pytest.raises(ValueError, match="codebooks"):
+        AnnIngest(ann.log, codebooks=cb, n_sub=4)

@@ -405,6 +405,7 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
             stats_quantile_column="o_totalprice",
             stats_topk_column="o_custkey",
             stats_sample_column="o_custkey",
+            stats_bloom_column="o_custkey",
         )
     ]
     proc = CdcBatchProcessor(
@@ -532,6 +533,33 @@ def test_incremental_group_stats_stream_matches_direct(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got_samp == want_samp and got_samp
+
+    # the Bloom membership table tracked alongside: bit_or folding is
+    # idempotent/order-insensitive, so the streamed bitset must equal
+    # the one-shot bloom of the full table, and every ingested custkey
+    # must probe True (no false negatives)
+    from kafka_cdc_redshift_spark.functions.membership import (
+        bloom_from_hashes,
+        bloom_hit_col,
+    )
+
+    bl = store.read(spark, "orders_bloom")
+    assert bl is not None
+    got_bits = [list(r["bloom"]) for r in bl.collect()]
+    want_bits = [
+        list(r["bloom"])
+        for r in bloom_from_hashes(
+            want_src.select(F.col("o_custkey").cast("long").alias("v")),
+            "v",
+        ).collect()
+    ]
+    assert got_bits == want_bits and any(any(ws) for ws in got_bits)
+    probed = (
+        want_src.select(F.col("o_custkey").cast("long").alias("v"))
+        .join(F.broadcast(bl))
+        .withColumn("hit", bloom_hit_col(F.col("v"), F.col("bloom")))
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
 
     # replay guard: re-applying the last batch id directly is a no-op
     last_bid = store.last_batch_id("orders_stats")
