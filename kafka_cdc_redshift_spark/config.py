@@ -55,6 +55,13 @@ class SyncRule:
     ann_vec_column: str = "embedding"
     ann_n_centroids: int = 8
     ann_drift_floor: float = 0.0
+    # ...with ann_pq_n_sub > 0 each version ALSO trains per-subspace PQ
+    # codebooks (k-means on vector slices, same deterministic trainer)
+    # and maintains the compressed code relation alongside the IVF
+    # cells; a drift rebuild retrains codebooks with the centroids, so
+    # the codes follow the same versioned-swap lifecycle. 0 = IVF only.
+    ann_pq_n_sub: int = 0
+    ann_pq_n_codes: int = 16
     # ingest quality gate: drop batch documents failing the Gopher-style
     # rule filters (functions/text.gopher_flags over `dedup_text_column`)
     # BEFORE they reach any target; rejected docs land, with their audit
@@ -172,6 +179,8 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 ann_vec_column=it.get("ann_vec_column") or "embedding",
                 ann_n_centroids=int(it.get("ann_n_centroids", 8)),
                 ann_drift_floor=float(it.get("ann_drift_floor", 0.0)),
+                ann_pq_n_sub=int(it.get("ann_pq_n_sub", 0)),
+                ann_pq_n_codes=int(it.get("ann_pq_n_codes", 16)),
                 quality_gate=_flag(it.get("quality_gate", False)),
                 stats_group_columns=_split(it.get("stats_group_columns", "")),
                 stats_value_column=it.get("stats_value_column") or None,
@@ -186,6 +195,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "scd2_history", "zorder_columns",
                     "dedup_ingest", "dedup_text_column", "quality_gate",
                     "ann_ingest", "ann_vec_column", "ann_n_centroids",
+                    "ann_pq_n_sub", "ann_pq_n_codes",
                     "ann_drift_floor",
                     "stats_group_columns", "stats_value_column",
                     "stats_distinct_column", "stats_quantile_column",

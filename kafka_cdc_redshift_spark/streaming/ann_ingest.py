@@ -302,7 +302,8 @@ class VersionedAnnIndex:
         retry (persisted-centroid recovery + per-table manifest).
 
     Drivable from the `.properties` surface via the per-rule keys
-    `ann_ingest`, `ann_vec_column`, `ann_n_centroids`, `ann_drift_floor`
+    `ann_ingest`, `ann_vec_column`, `ann_n_centroids`, `ann_drift_floor`,
+    plus `ann_pq_n_sub` / `ann_pq_n_codes` for the PQ code relation
     (config.SyncRule; streaming/job.py wires batches and maintenance).
     """
 
@@ -317,6 +318,8 @@ class VersionedAnnIndex:
         vec_col: str = "embedding",
         n_centroids: int = 8,
         drift_floor: float = 0.0,
+        pq_n_sub: int = 0,
+        pq_n_codes: int = 16,
     ):
         self.log = log
         self.name = name
@@ -324,6 +327,12 @@ class VersionedAnnIndex:
         self.vec_col = vec_col
         self.n_centroids = n_centroids
         self.drift_floor = drift_floor
+        # pq_n_sub > 0: every version also trains per-subspace PQ
+        # codebooks and maintains the compressed code relation; a drift
+        # rebuild retrains them with the centroids so codes follow the
+        # same versioned-swap lifecycle
+        self.pq_n_sub = pq_n_sub
+        self.pq_n_codes = pq_n_codes
 
     # -- pointer -----------------------------------------------------------
     def _pointer_path(self) -> str:
@@ -353,6 +362,7 @@ class VersionedAnnIndex:
         return AnnIngest(
             self.log, name=f"{self.name}_v{version}",
             id_col=self.id_col, vec_col=self.vec_col,
+            n_sub=self.pq_n_sub or 8,
         )
 
     def current(self) -> AnnIngest:
@@ -374,6 +384,7 @@ class VersionedAnnIndex:
         centroid persist recovers the SAME set instead of retraining, so
         assignments stay consistent across the retry."""
         idx = self._index(version)
+        cents = None
         if not self.log.has_batch(idx.centroids_table, _CENTROID_BATCH):
             from ..functions.clustering import kmeans_centroids
 
@@ -381,11 +392,48 @@ class VersionedAnnIndex:
                 train_df, k=self.n_centroids,
                 id_col=self.id_col, vec_col=self.vec_col,
             )
+        cbs = None
+        if self.pq_n_sub > 0 and not self.log.has_batch(
+            idx.codebooks_table, _CODEBOOK_BATCH
+        ):
+            cbs = self._train_codebooks(train_df)
+        if cents is not None or cbs is not None:
             idx = AnnIngest(
-                self.log, centroids=cents, name=f"{self.name}_v{version}",
+                self.log, centroids=cents, codebooks=cbs,
+                n_sub=self.pq_n_sub or 8, name=f"{self.name}_v{version}",
                 id_col=self.id_col, vec_col=self.vec_col,
             )
         return idx
+
+    def _train_codebooks(self, train_df: DataFrame):
+        """Per-subspace k-means codebooks on the training slice — the
+        same deterministic trainer as the centroids, run on vector
+        sub-slices (see functions/similarity PQ section)."""
+        from functools import reduce
+
+        from ..functions.clustering import kmeans_centroids
+
+        parts = []
+        for s in range(self.pq_n_sub):
+            sl = train_df.select(
+                F.col(self.id_col),
+                F.slice(
+                    F.col(self.vec_col),
+                    (F.size(self.vec_col) / self.pq_n_sub).cast("int") * s + 1,
+                    (F.size(self.vec_col) / self.pq_n_sub).cast("int"),
+                ).alias(self.vec_col),
+            )
+            parts.append(
+                kmeans_centroids(
+                    sl, k=self.pq_n_codes,
+                    id_col=self.id_col, vec_col=self.vec_col,
+                ).select(
+                    F.lit(s).alias("sub"),
+                    F.col("cent_id").alias("code"),
+                    F.col("c_emb").alias("cvec"),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def process_batch(self, batch_df: DataFrame, batch_id) -> None:
         ptr = self._pointer()
@@ -402,6 +450,9 @@ class VersionedAnnIndex:
     # -- serving / maintenance ----------------------------------------------
     def topk(self, queries: DataFrame, *, k: int = 3, nprobe: int = 2):
         return self.current().topk(queries, k=k, nprobe=nprobe)
+
+    def pq_rerank(self, queries: DataFrame, *, k: int = 3, shortlist: int = 100):
+        return self.current().pq_rerank(queries, k=k, shortlist=shortlist)
 
     def maintain(self, spark: SparkSession) -> bool:
         """Drift-gated rebuild: when the current version's size-weighted

@@ -168,6 +168,8 @@ class CdcBatchProcessor:
                 vec_col=rule.ann_vec_column,
                 n_centroids=rule.ann_n_centroids,
                 drift_floor=rule.ann_drift_floor,
+                pq_n_sub=rule.ann_pq_n_sub,
+                pq_n_codes=rule.ann_pq_n_codes,
             )
             self._ann_ingestors[rule.target_name] = ann
         return ann

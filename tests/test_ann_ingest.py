@@ -312,3 +312,60 @@ def test_streamed_pq_codes_serve_batch_rerank_results(
     # codebook no-swap rule mirrors the centroid rule
     with pytest.raises(ValueError, match="codebooks"):
         AnnIngest(ann.log, codebooks=cb, n_sub=4)
+
+
+def test_versioned_index_pq_codes_follow_rebuild(spark, emb, queries, tmp_path):
+    """With ann_pq enabled the versioned lifecycle carries PQ: v0 trains
+    per-subspace codebooks with the centroids and maintains codes;
+    pq_rerank == the batch PQ pipeline under v0's own codebooks; a
+    drift rebuild retrains codebooks into the new version and serving
+    follows the swap; pre-swap replays stay watermark-skipped for the
+    code relation too."""
+    from kafka_cdc_redshift_spark.streaming.ann_ingest import VersionedAnnIndex
+
+    idx = VersionedAnnIndex(
+        AppendLog(str(tmp_path / "state")), name="vpq",
+        n_centroids=4, drift_floor=1.1, pq_n_sub=4, pq_n_codes=8,
+    )
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx.process_batch(b0, 0)
+    idx.process_batch(b1, 1)
+    v0 = idx.current()
+    cbs0 = idx.log.read(spark, v0.codebooks_table)
+    assert cbs0 is not None and cbs0.count() == 4 * 8
+    want_v0 = sorted(
+        (r.q_id, r.rnk, r.neighbor_id, round(r.l2_dist, 9))
+        for r in similarity.pq_shortlist_rerank(
+            similarity.pq_encode(emb, cbs0, n_sub=4), emb, queries, cbs0,
+            k=3, shortlist=50,
+        ).collect()
+    )
+    got_v0 = sorted(
+        (r.q_id, r.rnk, r.neighbor_id, round(r.l2_dist, 9))
+        for r in idx.pq_rerank(queries, k=3, shortlist=50).collect()
+    )
+    assert got_v0 == want_v0 and got_v0
+
+    assert idx.maintain(spark) is True
+    v1 = idx.current()
+    cbs1 = idx.log.read(spark, v1.codebooks_table)
+    assert cbs1 is not None
+    n_codes = idx.log.read(spark, v1.codes_table).count()
+    assert n_codes == emb.count()
+    # replay across the swap: neither cells nor codes grow
+    idx.process_batch(b0, 0)
+    assert idx.log.read(spark, v1.codes_table).count() == n_codes
+    # serving under the retrained books == batch pipeline on them
+    want_v1 = sorted(
+        (r.q_id, r.rnk, r.neighbor_id, round(r.l2_dist, 9))
+        for r in similarity.pq_shortlist_rerank(
+            similarity.pq_encode(emb, cbs1, n_sub=4), emb, queries, cbs1,
+            k=3, shortlist=50,
+        ).collect()
+    )
+    got_v1 = sorted(
+        (r.q_id, r.rnk, r.neighbor_id, round(r.l2_dist, 9))
+        for r in idx.pq_rerank(queries, k=3, shortlist=50).collect()
+    )
+    assert got_v1 == want_v1
