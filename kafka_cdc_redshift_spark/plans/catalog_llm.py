@@ -1499,11 +1499,18 @@ def q_curation_pipeline_v2(spark, sf_dir):
 def q_curation_pipeline_v3(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     spans = text.repeated_ngram_spans(docs, n=20, min_count=2)
-    cleaned = text.remove_repeated_spans(docs, spans)
+    # the span-removal lineage (gram explode -> census -> islands ->
+    # fold) feeds FOUR consumers below; without truncation each re-runs
+    # it (multi-consumer replay pathology, NOTES.md r3)
+    cleaned = text.remove_repeated_spans(docs, spans).localCheckpoint(
+        eager=False
+    )
     keep_ids = dedup_text.exact_dedup(cleaned).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    kept = cleaned.join(keep_ids, "doc_id", "left_semi")
+    kept = cleaned.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     ev = docs.filter(F.col("doc_id") % 97 == 0)  # eval slice keeps RAW text
     clean_ids = curation.decontaminate(kept, ev)
     clean = kept.join(clean_ids, "doc_id", "left_semi")
