@@ -439,11 +439,11 @@ def pq_encode(
     """Quantize the corpus: (id, codes array<int>, ordered by subspace).
     This IS the serving index artifact — n_sub ints per vector instead
     of d floats. Plan: corpus x broadcast codebooks (|codebooks| =
-    n_sub * n_codes rows), per-(row, sub) argmin by (distance, code),
-    one combinable re-pack. The corpus is read once and never shuffles
-    except the final by-id pack."""
-    from pyspark.sql import Window
-
+    n_sub * n_codes rows), then ONE hash aggregation by id whose
+    per-subspace `min(struct(dist, code))` columns pick each argmin —
+    lexicographic struct-min == the (distance, code) ordering, and
+    unlike a window argmin it combines map-side, so the shuffle carries
+    |corpus| pre-reduced rows, not the x(n_sub*n_codes) cross product."""
     sub_sl = F.slice(
         _dbl(F.col(vec_col)),
         (F.size(F.col(vec_col)) / n_sub).cast("int") * F.col("sub") + 1,
@@ -459,15 +459,19 @@ def pq_encode(
             _sq_l2(sub_sl, F.col("cvec")).alias("dist"),
         )
     )
-    w = Window.partitionBy(id_col, "sub").orderBy("dist", "code")
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    aggs = [
+        F.min(F.when(F.col("sub") == s, F.struct("dist", "code")))
+        .alias(f"_c{s}")
+        for s in range(n_sub)
+    ]
     return (
-        best.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda e: e["code"],
-            ).alias("codes")
+        d.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.col(f"_c{s}.code") for s in range(n_sub)]
+            ).alias("codes"),
         )
     )
 
