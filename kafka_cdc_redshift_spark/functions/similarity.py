@@ -411,21 +411,23 @@ def subvector_codebooks(
     """Slice codeword source rows into per-subspace codebooks:
     (sub, code, cvec) with code = the source row's id. Production trains
     these with per-subspace k-means (functions/clustering); the catalog
-    query feeds fixed corpus rows for a deterministic oracle."""
-    parts = []
-    for s in range(n_sub):
-        parts.append(
-            rows.select(
-                F.lit(s).alias("sub"),
-                F.col(id_col).cast("int").alias("code"),
-                F.slice(
-                    _dbl(F.col(vec_col)),
-                    (F.size(F.col(vec_col)) / n_sub).cast("int") * s + 1,
-                    (F.size(F.col(vec_col)) / n_sub).cast("int"),
-                ).alias("cvec"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    query feeds fixed corpus rows for a deterministic oracle.
+
+    One scan: the subspace axis is generated (explode of a literal
+    range), not a per-subspace union that would re-read the source
+    n_sub times."""
+    return rows.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub"),
+        F.col(id_col).cast("int").alias("code"),
+        _dbl(F.col(vec_col)).alias("_v"),
+        (F.size(F.col(vec_col)) / n_sub).cast("int").alias("_w"),
+    ).select(
+        "sub",
+        "code",
+        F.slice(
+            F.col("_v"), F.col("_w") * F.col("sub") + 1, F.col("_w")
+        ).alias("cvec"),
+    )
 
 
 def pq_encode(
@@ -483,13 +485,23 @@ def pq_topk(
     *,
     k: int = 3,
     id_col: str = "vec_id",
+    n_sub: int | None = None,
 ) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: each query's per-codeword
     distance table joins the exploded (id, sub, code) corpus on
     (sub, code) — an O(1) add per corpus subspace — then a per-query
     top-k window on the summed estimate. Output: (q_id, neighbor_id,
     pq_dist, rnk). The distance table is |Q| * n_sub * n_codes rows —
-    broadcast; the corpus side never carries vectors, only codes."""
+    broadcast; the corpus side never carries vectors, only codes.
+
+    The per-subspace terms fold in SUBSPACE order: a bare F.sum over
+    doubles commits to no accumulation order, and float addition is not
+    associative — the ordered chain is what lets the oracle's explicit
+    ((0+d0)+d1)+... replay the estimate bit-for-bit. With `n_sub` given
+    (the fast path) the fold is n_sub combinable min-pivots plus a
+    codegen'd add chain — map-side partial aggregation, no interpreted
+    higher-order functions; without it, a generic collect_list +
+    array_sort + sequential aggregate computes the same chain."""
     from pyspark.sql import Window
 
     qsub = queries.crossJoin(F.broadcast(codebooks)).select(
@@ -509,15 +521,23 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("sub", "code"),
     )
-    # fold the per-subspace terms in SUBSPACE order (array_sort on sub,
-    # then a sequential aggregate): a bare F.sum over doubles commits to
-    # no accumulation order, and float addition is not associative — the
-    # ordered fold is what lets the oracle's explicit (d0+d1)+d2)+d3
-    # replay the estimate bit-for-bit
-    est = (
-        ex.join(F.broadcast(qsub), ["sub", "code"])
-        .groupBy("q_id", "neighbor_id")
-        .agg(
+    grouped = ex.join(F.broadcast(qsub), ["sub", "code"]).groupBy(
+        "q_id", "neighbor_id"
+    )
+    if n_sub is not None:
+        # exactly one joined row per (q, neighbor, sub) -> min == the value
+        est = grouped.agg(
+            *[
+                F.min(F.when(F.col("sub") == s, F.col("dist"))).alias(f"_d{s}")
+                for s in range(n_sub)
+            ]
+        )
+        acc = F.lit(0.0)
+        for s in range(n_sub):
+            acc = acc + F.col(f"_d{s}")
+        est = est.select("q_id", "neighbor_id", acc.alias("pq_dist"))
+    else:
+        est = grouped.agg(
             F.aggregate(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("sub", "dist"))),
@@ -527,7 +547,6 @@ def pq_topk(
                 lambda acc, x: acc + x,
             ).alias("pq_dist")
         )
-    )
     w = Window.partitionBy("q_id").orderBy("pq_dist", "neighbor_id")
     return (
         est.filter(F.col("q_id") != F.col("neighbor_id"))
@@ -546,6 +565,7 @@ def pq_shortlist_rerank(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_sub: int | None = None,
 ) -> DataFrame:
     """The production PQ serving shape: ADC over the code index prunes
     the corpus to a `shortlist` per query, then EXACT squared-L2 re-ranks
@@ -563,7 +583,8 @@ def pq_shortlist_rerank(
     from pyspark.sql import Window
 
     short = pq_topk(
-        codes_df, queries, codebooks, k=shortlist, id_col=id_col
+        codes_df, queries, codebooks, k=shortlist, id_col=id_col,
+        n_sub=n_sub,
     ).select("q_id", "neighbor_id")
     full = short.join(
         emb.select(

@@ -1808,5 +1808,5 @@ def q_sim_pq_rerank(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     return similarity.pq_shortlist_rerank(
-        codes, emb, q, cb, k=3, shortlist=100
+        codes, emb, q, cb, k=3, shortlist=100, n_sub=8
     )

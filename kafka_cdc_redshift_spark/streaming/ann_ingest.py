@@ -211,7 +211,7 @@ class AnnIngest:
         )
         return pq_shortlist_rerank(
             codes, emb, queries, cbs, k=k, shortlist=shortlist,
-            id_col=self.id_col, vec_col=self.vec_col,
+            id_col=self.id_col, vec_col=self.vec_col, n_sub=self.n_sub,
         )
 
     def weighted_drift(self, spark: SparkSession) -> float:
