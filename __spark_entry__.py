@@ -57,6 +57,7 @@ _DRIVER_CHECK_FIRST = [
     # cannot squeeze them out. Everything after this list is ordered
     # stalest-driver-row-first (see _stale_first) so rows keep rotating
     # across the whole catalog.
+    "text_bm25_topk",  # brand-new (BM25 lexical retrieval)
     "curation_pipeline_v3",  # brand-new this round (composed curation)
     "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
     "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)

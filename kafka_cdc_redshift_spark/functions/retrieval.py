@@ -1,0 +1,151 @@
+"""BM25 full-text retrieval over a document corpus.
+
+The retrieval primitive an LLM-data pipeline needs next to ANN: sparse
+lexical top-k (RAG candidate generation, eval-set leakage probes beyond
+exact n-gram containment, hard-negative mining against an embedding
+index). No reference-counterpart module — this extends the engine's
+similarity-search family (functions/similarity) to the lexical side.
+
+Shape at scale (the standard two-census + pruned-join BM25):
+  * one explode -> groupBy (doc, term) shuffle for term frequencies
+    (map-side partial aggs), carrying the map-side-computed doc length;
+  * document frequencies are derived from the tf relation (groupBy term,
+    map-side combinable) and immediately semi-pruned to the query terms —
+    the |vocab|-sized census never joins the corpus;
+  * the query-term relation is tiny (|Q| * terms-per-query) and
+    broadcast: the corpus-sized tf relation is pruned to matching terms
+    by a broadcast hash join, so the only corpus-wide shuffles are the
+    two censuses;
+  * per-(query, doc) scores fold in TERM order: float addition is not
+    associative, and the lexicographic chain is what a SQL oracle can
+    replay term-by-term (pivot columns + an explicit add chain — the
+    pq_topk contract). Terms-per-query is small, so the fold runs over
+    a handful of elements.
+
+Determinism contract: `idf_mode="raw"` uses the un-logged Robertson idf
+(N - df + 0.5)/(df + 0.5) — products/quotients of exact integer counts
+are IEEE-deterministic across engines, while ln() is libm-dependent and
+would flake a bit-exact oracle (the tfidf_top_terms convention).
+`idf_mode="lucene"` is the standard ln(1 + raw) variant for production
+ranking; its per-term idf is a monotone transform of raw, so single-term
+rankings are identical and multi-term rankings differ only through the
+usual BM25 weighting debates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..util import spread
+from .text import tokens_col
+
+
+def corpus_term_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, dfreq, stats): the three relations BM25 scores from.
+
+    tf:    (doc_id, dl, term, tf)   — one corpus shuffle keyed (doc, term)
+    dfreq: (term, df)               — derived from tf, keyed term
+    stats: 1 row (n_docs, sum_dl)   — broadcastable corpus constants
+
+    tf is localCheckpoint'ed (lazy): it feeds dfreq, stats AND the
+    scoring join — three consumers would otherwise each replay the
+    explode (the tfidf_top_terms treatment).
+    """
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).alias("dl"),
+        F.explode_outer(tokens_col(text_col)).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    tf = (
+        base.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    return tf, dfreq, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+    idf_mode: str = "raw",
+) -> DataFrame:
+    """Top-k documents per query by BM25. Output: (q_id, doc_id,
+    n_terms, score, rnk) — n_terms = how many distinct query terms the
+    document matched; ties break on doc_id.
+
+    `queries` is a small relation (q_id, q_text); its distinct terms are
+    broadcast against the corpus tf census, so only matching (doc, term)
+    rows ever reach the scorer. See the module docstring for the plan
+    shape and the idf_mode determinism contract.
+    """
+    if idf_mode not in ("raw", "lucene"):
+        raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    tf, dfreq, stats = corpus_term_stats(
+        docs, id_col=id_col, text_col=text_col
+    )
+    qterms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(F.array_distinct(tokens_col(q_text_col))).alias("term"),
+    )
+    # prune the |vocab| census to query terms before it joins the corpus
+    qdf = dfreq.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    raw_idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    idf = F.log(F.lit(1.0) + raw_idf) if idf_mode == "lucene" else raw_idf
+    sat = (F.lit(k1 + 1.0) * tf_d) / (
+        tf_d + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * dl_d) / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", "term", (idf * sat).alias("s"))
+    )
+    from pyspark.sql import Window
+
+    agg = scored.groupBy("q_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                lambda e: e["s"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "doc_id", "n_terms", "score", "rnk")
+    )

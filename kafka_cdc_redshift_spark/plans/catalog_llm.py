@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import curation, dedup_text, multimodal, similarity, text
+from ..functions import curation, dedup_text, multimodal, retrieval, similarity, text
 from ..sources import load_table
 from .catalog import _spec
 
@@ -1810,3 +1810,83 @@ def q_sim_pq_rerank(spark, sf_dir):
     return similarity.pq_shortlist_rerank(
         codes, emb, q, cb, k=3, shortlist=100, n_sub=8
     )
+
+
+_BM25_QUERIES = [
+    (0, "hash join"),
+    (1, "window agg stream"),
+    (2, "slow scan filter vector"),
+]
+
+
+def _bm25_oracle(queries, k=10, k1=1.2, b=0.75):
+    """SQL twin of the full BM25 pipeline: tf/df/length censuses, the
+    raw (un-logged, cross-engine-deterministic) Robertson idf, the
+    saturation term with identical expression-tree parenthesization,
+    and the per-(query, doc) score assembled as pivot columns folded in
+    one GLOBAL lexicographic term chain — Spark folds each doc's matched
+    terms in term order, and interleaving the absent terms as +0.0 is
+    an exact identity, so the single chain replays every query's fold
+    bit-for-bit. Float literals go through repr() so both engines parse
+    the identical double."""
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qt in queries
+        for t in sorted(set(qt.split()))
+    )
+    all_terms = sorted({t for _, qt in queries for t in qt.split()})
+    pivots = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN sc END) AS s_{i}"
+        for i, t in enumerate(all_terms)
+    )
+    chain = "0.0"
+    for i in range(len(all_terms)):
+        chain = f"({chain} + COALESCE(s_{i}, 0.0))"
+    k1p1, omb, k1r, br = repr(k1 + 1.0), repr(1.0 - b), repr(k1), repr(b)
+    return f"""WITH base AS (SELECT doc_id, len({_TOKS}) AS dl,
+                     unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl
+              FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+    q(q_id, term) AS (VALUES {vals}),
+    scored AS (SELECT q.q_id, tf.doc_id, tf.term,
+        (((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+          / (CAST(d.df AS DOUBLE) + 0.5))
+         * (({k1p1} * CAST(tf.tf AS DOUBLE))
+            / (CAST(tf.tf AS DOUBLE)
+               + {k1r} * ({omb} + ({br} * CAST(tf.dl AS DOUBLE))
+                                  / (CAST(s.sum_dl AS DOUBLE)
+                                     / CAST(s.n_docs AS DOUBLE)))))) AS sc
+      FROM tf JOIN q ON q.term = tf.term
+      JOIN dfreq d ON d.term = tf.term CROSS JOIN stats s),
+    piv AS (SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   {pivots}
+            FROM scored GROUP BY 1, 2),
+    agg AS (SELECT q_id, doc_id, n_terms, {chain} AS score FROM piv)
+    SELECT q_id, doc_id, n_terms, score, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY score DESC, doc_id) AS rnk
+          FROM agg) t
+    WHERE rnk <= {k}"""
+
+
+@_spec(
+    "text_bm25_topk",
+    "BM25 lexical top-k retrieval (functions/retrieval.bm25_topk): the "
+    "sparse counterpart to the ANN family for RAG candidate generation "
+    "and leakage probes. Corpus tf/df censuses shuffle once each; the "
+    "query-term relation broadcasts, pruning the corpus to matching "
+    "terms before any scoring; per-doc scores fold in lexicographic "
+    "term order (float addition is not associative — the ordered chain "
+    "is the oracle contract). raw-idf mode: products of exact integer "
+    "counts, bit-exact across engines; ln-idf mode is the production "
+    "ranking variant, unit-tested",
+    _bm25_oracle(_BM25_QUERIES),
+)
+def q_text_bm25_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "q_id int, q_text string"
+    )
+    return retrieval.bm25_topk(docs, queries, k=10)

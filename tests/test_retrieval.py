@@ -1,0 +1,111 @@
+"""BM25 retrieval: semantics, determinism contract, plan hygiene."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.functions import retrieval
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffles data between stages"),
+        (1, "broadcast joins avoid the shuffle entirely"),
+        (2, "shuffle shuffle shuffle partitions everywhere"),
+        (3, "catalyst optimizes the logical plan"),
+        (4, "a tiny doc"),
+        (5, "broadcast broadcast broadcast broadcast broadcast plan"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _topk(spark, corpus, q_text, **kw):
+    q = spark.createDataFrame([(0, q_text)], "q_id int, q_text string")
+    return retrieval.bm25_topk(corpus, q, **kw)
+
+
+def test_bm25_matches_handrolled_score(spark, corpus):
+    """Single-term query: score must equal the BM25 formula computed
+    by hand from exact counts, and ranking must follow tf saturation
+    (doc 2 with tf=3 beats doc 0 with tf=1) with length normalization."""
+    got = {
+        r["doc_id"]: r
+        for r in _topk(spark, corpus, "shuffle", k=10).collect()
+    }
+    # corpus facts: N=6, docs with 'shuffle': {0? no - 'shuffles'} ->
+    # doc 1 (tf=1, dl=6), doc 2 (tf=3, dl=5); sum_dl = 5+6+5+5+3+6 = 30
+    n_docs, sum_dl, df = 6, 30, 2
+    avgdl = sum_dl / n_docs
+    idf = (n_docs - df + 0.5) / (df + 0.5)
+
+    def sat(tf, dl):
+        return (2.2 * tf) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+
+    assert set(got) == {1, 2}
+    assert got[2]["rnk"] == 1 and got[1]["rnk"] == 2
+    assert got[2]["score"] == pytest.approx(idf * sat(3, 5), abs=0, rel=1e-15)
+    assert got[1]["score"] == pytest.approx(idf * sat(1, 6), abs=0, rel=1e-15)
+    assert got[2]["n_terms"] == 1
+
+
+def test_bm25_multi_term_and_tiebreak(spark, corpus):
+    """Multi-term scores are the sum of per-term scores; n_terms counts
+    matched DISTINCT query terms; k truncates per query."""
+    multi = {
+        r["doc_id"]: r
+        for r in _topk(spark, corpus, "shuffle plan", k=10).collect()
+    }
+    single_sh = {
+        r["doc_id"]: r["score"]
+        for r in _topk(spark, corpus, "shuffle", k=10).collect()
+    }
+    single_pl = {
+        r["doc_id"]: r["score"]
+        for r in _topk(spark, corpus, "plan", k=10).collect()
+    }
+    assert set(multi) == {1, 2, 3, 5}
+    for d, row in multi.items():
+        expect = single_sh.get(d, 0.0) + single_pl.get(d, 0.0)
+        assert row["score"] == pytest.approx(expect, rel=1e-15)
+        # 'shuffle' matches {1, 2}, 'plan' matches {3, 5} — disjoint,
+        # so every survivor matched exactly one distinct query term
+        assert row["n_terms"] == 1
+    ks = _topk(spark, corpus, "shuffle plan", k=2).collect()
+    assert len(ks) == 2 and [r["rnk"] for r in sorted(ks, key=lambda r: r["rnk"])] == [1, 2]
+
+
+def test_bm25_lucene_idf_is_log_of_raw(spark, corpus):
+    """idf_mode='lucene' applies ln(1 + raw_idf) per term — for a
+    single-term query every doc's score is the raw-mode score rescaled
+    by the same factor, so the ranking is identical."""
+    raw = {r["doc_id"]: r for r in _topk(spark, corpus, "broadcast", k=10).collect()}
+    ln = {
+        r["doc_id"]: r
+        for r in _topk(
+            spark, corpus, "broadcast", k=10, idf_mode="lucene"
+        ).collect()
+    }
+    assert set(raw) == set(ln)
+    n_docs, df = 6, 2
+    raw_idf = (n_docs - df + 0.5) / (df + 0.5)
+    factor = math.log(1.0 + raw_idf) / raw_idf
+    for d in raw:
+        assert ln[d]["score"] == pytest.approx(raw[d]["score"] * factor, rel=1e-12)
+        assert ln[d]["rnk"] == raw[d]["rnk"]
+
+
+def test_bm25_unknown_idf_mode_rejected(spark, corpus):
+    with pytest.raises(ValueError, match="idf_mode"):
+        _topk(spark, corpus, "x", idf_mode="bm25plus")
+
+
+def test_bm25_plan_no_python_and_broadcast_pruning(spark, corpus):
+    """The corpus side must stay JVM-native, and the query-term joins
+    must be broadcast (the corpus is pruned before scoring, never
+    shuffled on the term key for the join)."""
+    df = _topk(spark, corpus, "shuffle plan", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
