@@ -58,6 +58,7 @@ _DRIVER_CHECK_FIRST = [
     # stalest-driver-row-first (see _stale_first) so rows keep rotating
     # across the whole catalog.
     "text_bm25_topk",  # brand-new (BM25 lexical retrieval)
+    "doc_dsir_weights",  # brand-new (bucketed DSIR importance weights)
     "curation_pipeline_v3",  # brand-new this round (composed curation)
     "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
     "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)

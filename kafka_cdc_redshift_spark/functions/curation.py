@@ -466,3 +466,108 @@ def keep_best(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 64,
+    gram_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed n-gram importance weights for data mixing — the bucketed
+    form of DSIR (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): score every raw document by how much
+    its n-gram distribution looks like a small `target` corpus, using
+    two hashed-feature censuses instead of an LM.
+
+    Deviation from the paper, for cross-engine determinism: the paper's
+    log-linear weight sum(c_f * (ln p_t(f) - ln p_r(f))) needs ln(),
+    which is libm-dependent and breaks bit-exact oracles (the
+    tfidf_top_terms convention). This emits the LINEAR importance proxy
+
+        weight = sum_b c_b * rho_b / n_grams,
+        rho_b  = ((t_b + 1)/(T + B)) / ((r_b + 1)/(R + B))
+
+    — an add-one-smoothed likelihood ratio per hash bucket, averaged
+    over the document's grams. Monotone agreement with DSIR holds
+    per-bucket (rho_b is a monotone transform of the log-ratio); the
+    aggregation weights buckets by ratio rather than log-ratio, which
+    up-weights strong target evidence. Every c/t/r/T/R/B is an exact
+    integer; each rho_b is two IEEE divisions; the final sum folds in
+    BUCKET order as an explicit add chain over the n_buckets pivot
+    columns — deterministic and replayable term-by-term in SQL.
+
+    Shape at scale: grams explode map-side; the per-doc bucket pivot is
+    ONE combinable hash aggregation keyed doc_id (n_buckets conditional
+    sums — no (doc, bucket) shuffle, no second window); each census is
+    a single reduce to ONE row, broadcast back via crossJoin. The only
+    corpus-wide shuffle is the doc_id aggregation. n_buckets trades
+    collision bias for width — production DSIR uses 10^4+; the default
+    64 keeps generated-SQL oracles reviewable.
+    """
+    toks = tokens_col(text_col)
+    grams_arr = F.when(
+        F.size(toks) >= gram_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (gram_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode_outer(grams_arr).alias("gram"),
+            )
+            .filter(F.col("gram").isNotNull())
+            .select(
+                "doc_id", (hash60("gram") % n_buckets).alias("b")
+            )
+        )
+
+    t_stats = bucketed(target).agg(
+        F.count(F.lit(1)).alias("t_total"),
+        *[
+            F.sum((F.col("b") == i).cast("long")).alias(f"t{i}")
+            for i in range(n_buckets)
+        ],
+    )
+    per_doc = bucketed(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        *[
+            F.sum((F.col("b") == i).cast("long")).alias(f"c{i}")
+            for i in range(n_buckets)
+        ],
+    )
+    # the raw census is the column-sum of the per-doc pivot: the corpus
+    # explodes ONCE, and this second agg reduces |docs| pre-pivoted rows
+    per_doc = per_doc.localCheckpoint(eager=False)
+    r_stats = per_doc.agg(
+        F.sum("n_grams").alias("r_total"),
+        *[F.sum(f"c{i}").alias(f"r{i}") for i in range(n_buckets)],
+    )
+    bf = float(n_buckets)
+    acc = F.lit(0.0)
+    for i in range(n_buckets):
+        rho = (
+            (F.col(f"t{i}").cast("double") + F.lit(1.0))
+            / (F.col("t_total").cast("double") + F.lit(bf))
+        ) / (
+            (F.col(f"r{i}").cast("double") + F.lit(1.0))
+            / (F.col("r_total").cast("double") + F.lit(bf))
+        )
+        acc = acc + F.col(f"c{i}").cast("double") * rho
+    return (
+        per_doc.crossJoin(F.broadcast(t_stats))
+        .crossJoin(F.broadcast(r_stats))
+        .select(
+            "doc_id",
+            "n_grams",
+            (acc / F.col("n_grams").cast("double")).alias("weight"),
+        )
+    )

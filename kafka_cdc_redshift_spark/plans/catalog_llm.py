@@ -1890,3 +1890,58 @@ def q_text_bm25_topk(spark, sf_dir):
         _BM25_QUERIES, "q_id int, q_text string"
     )
     return retrieval.bm25_topk(docs, queries, k=10)
+
+
+def _dsir_oracle(n_buckets=64):
+    """SQL twin of the bucketed DSIR weights: bigram multiset -> hash60
+    bucket -> three censuses (target 1-row, raw 1-row, per-doc) as CASE
+    pivots -> the identical smoothed-ratio add chain in bucket order.
+    Every count is an exact integer; each rho is two IEEE divisions;
+    the chain parenthesization mirrors the Spark fold term-for-term."""
+    h = _HASH60.format(x="gram")
+    bf = repr(float(n_buckets))
+
+    def pivots(pre):
+        return ", ".join(
+            f"SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS {pre}{i}"
+            for i in range(n_buckets)
+        )
+
+    chain = "0.0"
+    for i in range(n_buckets):
+        rho = (
+            f"(((CAST(t{i} AS DOUBLE) + 1.0) / (CAST(t_total AS DOUBLE) + {bf}))"
+            f" / ((CAST(r{i} AS DOUBLE) + 1.0) / (CAST(r_total AS DOUBLE) + {bf})))"
+        )
+        chain = f"({chain} + (CAST(c{i} AS DOUBLE) * {rho}))"
+    return f"""WITH base AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    g0 AS (SELECT doc_id, lang,
+                  unnest([array_to_string(t[i:i+1], ' ')
+                          for i in generate_series(1, len(t)-1)]) AS gram
+           FROM base WHERE len(t) >= 2),
+    g AS (SELECT doc_id, lang, {h} % {n_buckets} AS b FROM g0),
+    tc AS (SELECT count(*) AS t_total, {pivots('t')} FROM g WHERE lang = 'en'),
+    rc AS (SELECT count(*) AS r_total, {pivots('r')} FROM g),
+    pd AS (SELECT doc_id, count(*) AS n_grams, {pivots('c')}
+           FROM g GROUP BY 1)
+    SELECT doc_id, n_grams, ({chain} / CAST(n_grams AS DOUBLE)) AS weight
+    FROM pd CROSS JOIN tc CROSS JOIN rc"""
+
+
+@_spec(
+    "doc_dsir_weights",
+    "bucketed DSIR importance weights (functions/curation.dsir_weights; "
+    "Xie et al. 2023): every raw document scored by hashed-bigram "
+    "likelihood ratio against the English subcorpus as the target — the "
+    "data-mixing step between quality filtering and budget_mix. Linear "
+    "smoothed-ratio form (no ln: libm-dependent, breaks bit-exact "
+    "oracles); per-doc bucket pivot is ONE combinable hash aggregation, "
+    "censuses reduce to single broadcast rows, and the weight folds as "
+    "an explicit bucket-ordered add chain the oracle replays exactly",
+    _dsir_oracle(),
+)
+def q_doc_dsir_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=64
+    )

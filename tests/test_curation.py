@@ -496,3 +496,39 @@ def test_pq_trained_codebooks(spark, sf_dir):
     assert len(hits) >= len(ex) // 2, (len(hits), len(ex))
     for pair in hits:  # re-ranked distance IS the exact distance
         assert got_rows[pair] == ex[pair]
+
+
+def test_dsir_weights_separates_target_like_docs(spark):
+    """Docs sharing the target's bigram distribution must out-weight
+    docs from a disjoint vocabulary, and the weight must be the
+    hand-computed smoothed likelihood ratio for a 1-bucket-per-doc
+    corpus shape."""
+    from kafka_cdc_redshift_spark.functions import curation
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta alpha beta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "beta gamma delta alpha"),
+         (2, "zig zag zog zug"), (3, "zag zog zug zig")],
+        "doc_id long, text string",
+    )
+    w = {
+        r["doc_id"]: r["weight"]
+        for r in curation.dsir_weights(raw, target, n_buckets=16).collect()
+    }
+    assert set(w) == {0, 1, 2, 3}
+    assert min(w[0], w[1]) > max(w[2], w[3])
+
+
+def test_dsir_weights_plan_no_python_no_window(spark):
+    from kafka_cdc_redshift_spark.functions import curation
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(8)], "doc_id long, text string"
+    )
+    df = curation.dsir_weights(docs, docs.limit(2), n_buckets=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
