@@ -111,6 +111,13 @@ class SyncRule:
     # routes to the exact check. Independent of stats_group_columns —
     # the bloom is table-global (membership has no group axis).
     stats_bloom_column: str | None = None
+    # streaming BM25 inverted-index ingest (streaming/retrieval_ingest):
+    # append each batch's (doc, dl, term, tf) postings to a standing
+    # lexical index over `bm25_text_column` (first primary key = doc id);
+    # df/avgdl derive from the postings at query time so serving is
+    # always corpus-consistent. Append-only contract like dedup_ingest.
+    bm25_ingest: bool = False
+    bm25_text_column: str = "text"
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -189,6 +196,8 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 stats_topk_column=it.get("stats_topk_column") or None,
                 stats_sample_column=it.get("stats_sample_column") or None,
                 stats_bloom_column=it.get("stats_bloom_column") or None,
+                bm25_ingest=_flag(it.get("bm25_ingest", False)),
+                bm25_text_column=it.get("bm25_text_column") or "text",
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
@@ -201,6 +210,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "stats_distinct_column", "stats_quantile_column",
                     "stats_topk_column", "stats_sample_column",
                     "stats_bloom_column",
+                    "bm25_ingest", "bm25_text_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

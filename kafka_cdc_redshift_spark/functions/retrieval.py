@@ -41,6 +41,26 @@ from ..util import spread
 from .text import tokens_col
 
 
+def term_freqs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (doc_id, dl, term, tf) relation — BM25's entire index state.
+    One corpus shuffle keyed (doc, term), doc length computed map-side
+    before the explode. This is the postings shape: stored partitioned
+    (or streamed/appended) by term it IS an inverted index."""
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).alias("dl"),
+        F.explode_outer(tokens_col(text_col)).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    return base.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
 def corpus_term_stats(
     docs: DataFrame,
     *,
@@ -57,16 +77,17 @@ def corpus_term_stats(
     scoring join — three consumers would otherwise each replay the
     explode (the tfidf_top_terms treatment).
     """
-    base = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(text_col)).alias("dl"),
-        F.explode_outer(tokens_col(text_col)).alias("term"),
-    ).filter(F.col("term").isNotNull())
-    tf = (
-        base.groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    tf = term_freqs(
+        docs, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+    dfreq, stats = stats_from_tf(tf)
+    return tf, dfreq, stats
+
+
+def stats_from_tf(tf: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(dfreq, stats) derived from a (doc_id, dl, term, tf) relation —
+    shared by the batch path and the streamed index (whose standing tf
+    is already materialized parquet, so no checkpoint is needed)."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = (
         tf.groupBy("doc_id")
@@ -76,7 +97,7 @@ def corpus_term_stats(
             F.sum("dl").alias("sum_dl"),
         )
     )
-    return tf, dfreq, stats
+    return dfreq, stats
 
 
 def bm25_topk(
@@ -101,11 +122,34 @@ def bm25_topk(
     rows ever reach the scorer. See the module docstring for the plan
     shape and the idf_mode determinism contract.
     """
-    if idf_mode not in ("raw", "lucene"):
-        raise ValueError(f"unknown idf_mode {idf_mode!r}")
     tf, dfreq, stats = corpus_term_stats(
         docs, id_col=id_col, text_col=text_col
     )
+    return bm25_topk_from_stats(
+        tf, dfreq, stats, queries, k=k, k1=k1, b=b,
+        q_id_col=q_id_col, q_text_col=q_text_col, idf_mode=idf_mode,
+    )
+
+
+def bm25_topk_from_stats(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+    idf_mode: str = "raw",
+) -> DataFrame:
+    """Score a query batch against precomputed BM25 index relations —
+    the serving path: `bm25_topk` delegates here after building the
+    censuses, and the streamed index (streaming/retrieval_ingest)
+    serves its standing tf relation through the same code."""
+    if idf_mode not in ("raw", "lucene"):
+        raise ValueError(f"unknown idf_mode {idf_mode!r}")
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(tokens_col(q_text_col))).alias("term"),

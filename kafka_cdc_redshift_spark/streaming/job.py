@@ -129,6 +129,7 @@ class CdcBatchProcessor:
         self.compact_errors: list[tuple[str, str]] = []  # (table, error)
         self._dedup_ingestors: dict[str, object] = {}  # rule target -> DedupIngest
         self._ann_ingestors: dict[str, object] = {}  # rule target -> VersionedAnnIndex
+        self._bm25_ingestors: dict[str, object] = {}  # rule target -> RetrievalIngest
 
     def _dedup_ingestor(self, rule: SyncRule):
         """Lazily build one DedupIngest per dedup_ingest rule, stateful in
@@ -173,6 +174,26 @@ class CdcBatchProcessor:
             )
             self._ann_ingestors[rule.target_name] = ann
         return ann
+
+    def _bm25_ingestor(self, rule: SyncRule):
+        """Lazily build one RetrievalIngest per bm25_ingest rule, stateful
+        in an AppendLog under the store root (survives restarts; replay-
+        idempotent via its committed-batch manifest)."""
+        ing = self._bm25_ingestors.get(rule.target_name)
+        if ing is None:
+            import os
+
+            from .retrieval_ingest import RetrievalIngest
+            from .store import AppendLog
+
+            ing = RetrievalIngest(
+                AppendLog(os.path.join(self.store.root, "_bm25_state")),
+                name=rule.target_name,
+                id_col=rule.primary_key[0],
+                text_col=rule.bm25_text_column,
+            )
+            self._bm25_ingestors[rule.target_name] = ing
+        return ing
 
     def _apply_quality_gate(
         self, parsed: DataFrame, rule: SyncRule, batch_id
@@ -628,6 +649,17 @@ class CdcBatchProcessor:
                     if "op" in parsed.columns else parsed
                 )
                 self._dedup_ingestor(rule).process_batch(docs, batch_id)
+            if rule.bm25_ingest:
+                # streaming BM25 index ingest (streaming/retrieval_ingest):
+                # append the batch's postings to the standing inverted
+                # index — O(|batch|) written, the corpus never
+                # re-tokenized. Replay-idempotent via the AppendLog's
+                # committed-batch manifest.
+                docs = (
+                    parsed.filter(F.col("op") != "d")
+                    if "op" in parsed.columns else parsed
+                )
+                self._bm25_ingestor(rule).process_batch(docs, batch_id)
             if rule.ann_ingest:
                 # streaming ANN ingest (streaming/ann_ingest.py): assign
                 # the batch's non-delete vectors against the persisted

@@ -109,3 +109,130 @@ def test_bm25_plan_no_python_and_broadcast_pruning(spark, corpus):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Streaming index (streaming/retrieval_ingest.RetrievalIngest)
+# ---------------------------------------------------------------------------
+
+def _score_key(r):
+    return (r.q_id, r.doc_id, r.n_terms, r.score, r.rnk)
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark, sf_dir):
+    from kafka_cdc_redshift_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def sf_queries(spark):
+    return spark.createDataFrame(
+        [(0, "hash join"), (1, "window agg stream")],
+        "q_id int, q_text string",
+    )
+
+
+def test_streamed_index_equals_batch_bm25(spark, sf_docs, sf_queries, tmp_path):
+    """Batch-by-batch ingest then serve == one-shot bm25_topk over the
+    concatenated corpus, EXACTLY (same relations, same scoring path)."""
+    from kafka_cdc_redshift_spark.streaming.retrieval_ingest import RetrievalIngest
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    ing = RetrievalIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    for b in range(3):
+        ing.process_batch(sf_docs.filter(F.col("doc_id") % 3 == b), b)
+    got = sorted(map(_score_key, ing.topk(sf_queries, k=10).collect()))
+    want = sorted(
+        map(_score_key, retrieval.bm25_topk(sf_docs, sf_queries, k=10).collect())
+    )
+    assert got == want and len(want) == 20
+
+
+def test_streamed_index_replay_is_noop(spark, sf_docs, sf_queries, tmp_path):
+    from kafka_cdc_redshift_spark.streaming.retrieval_ingest import RetrievalIngest
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    ing = RetrievalIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    ing.process_batch(sf_docs.filter(F.col("doc_id") % 3 == 0), 0)
+    before = sorted(map(_score_key, ing.topk(sf_queries, k=5).collect()))
+    n_postings = ing.postings(spark).count()
+    # at-least-once redelivery, possibly with a perturbed batch plan
+    ing.process_batch(sf_docs.filter(F.col("doc_id") % 3 == 0).limit(3), 0)
+    assert ing.postings(spark).count() == n_postings
+    assert sorted(map(_score_key, ing.topk(sf_queries, k=5).collect())) == before
+
+
+def test_streamed_index_empty_raises(spark, sf_queries, tmp_path):
+    from kafka_cdc_redshift_spark.streaming.retrieval_ingest import RetrievalIngest
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    ing = RetrievalIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    with pytest.raises(ValueError, match="no ingested batches"):
+        ing.topk(sf_queries)
+
+
+def test_e2e_cdc_stream_bm25_ingest(spark, sf_dir, tmp_path, sf_queries):
+    """Per-rule bm25_ingest flag on a real file-backed stream: the index
+    built by the CDC shell serves the same top-k as batch bm25_topk."""
+    from kafka_cdc_redshift_spark.config import SyncRule
+    from kafka_cdc_redshift_spark.sources import load_table
+    from kafka_cdc_redshift_spark.streaming import (
+        CdcBatchProcessor,
+        ParquetTargetStore,
+        run_file_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    env = docs.select(
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.struct("doc_id", "text", "lang", "source", "n_chars").alias("after"),
+                F.struct(
+                    F.lit("corpus").alias("db"),
+                    F.lit("documents").alias("table"),
+                    (F.col("doc_id") + 1000).alias("ts_ms"),
+                ).alias("source"),
+                F.lit("c").alias("op"),
+                (F.col("doc_id") + 1000).alias("ts_ms"),
+            )
+        ).alias("value"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    src = tmp_path / "topic"
+    src.mkdir()
+    for half in (0, 1):
+        with open(src / f"b{half}.json", "w") as f:
+            rows = env.filter(F.col("half") == half).select("value").collect()
+            f.write("\n".join(r.value for r in rows) + "\n")
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    rules = [
+        SyncRule(
+            db="corpus", table="documents", primary_key=("doc_id",),
+            bm25_ingest=True,
+        )
+    ]
+    proc = CdcBatchProcessor(
+        spark, rules, store, payload_schemas={"documents": docs.schema},
+    )
+    q = run_file_stream(
+        spark, str(src), proc, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    ing = proc._bm25_ingestor(rules[0])
+    got = sorted(map(_score_key, ing.topk(sf_queries, k=10).collect()))
+    want = sorted(
+        map(
+            _score_key,
+            retrieval.bm25_topk(
+                docs.select("doc_id", "text"), sf_queries, k=10
+            ).collect(),
+        )
+    )
+    assert got == want and want
+    # the index rides alongside the normal merge, it doesn't replace it
+    assert store.read(spark, "documents").count() == docs.count()
