@@ -59,6 +59,7 @@ _DRIVER_CHECK_FIRST = [
     # across the whole catalog.
     "text_bm25_topk",  # brand-new (BM25 lexical retrieval)
     "doc_dsir_weights",  # brand-new (bucketed DSIR importance weights)
+    "doc_importance_resample",  # brand-new (DSIR resampling half)
     "curation_pipeline_v3",  # brand-new this round (composed curation)
     "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
     "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)

@@ -571,3 +571,32 @@ def dsir_weights(
             (acc / F.col("n_grams").cast("double")).alias("weight"),
         )
     )
+
+
+def importance_resample(
+    weighted: DataFrame,
+    *,
+    rate: float,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The resampling half of DSIR: keep each document with probability
+    min(1, weight * rate) using the content-stable hash as the uniform
+    draw — `dsir_weights` scores, this selects. Deterministic (the same
+    doc is in/out on every run and engine — the stratified_sample
+    convention, NOT rand()), a pure map-side filter with no shuffle at
+    any corpus size, and composable: the survivors feed budget_mix /
+    pack_sequences unchanged.
+
+    `rate` calibrates expected yield: E[|kept|] ~= rate * sum(weights)
+    (callers wanting an exact target count should use sample_k-style
+    ranked selection instead — a global weight sum is order-dependent
+    float arithmetic, so this operator deliberately does not normalize
+    internally).
+    """
+    u = hash60(F.col(id_col).cast("string")).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return weighted.filter(
+        u < F.col(weight_col).cast("double") * F.lit(float(rate))
+    )

@@ -1945,3 +1945,24 @@ def q_doc_dsir_weights(spark, sf_dir):
     return curation.dsir_weights(
         docs, docs.filter(F.col("lang") == "en"), n_buckets=64
     )
+
+
+@_spec(
+    "doc_importance_resample",
+    "the resampling half of DSIR (functions/curation.importance_resample "
+    "over dsir_weights): keep each document with probability "
+    "min(1, weight * rate) using the content-stable hash60 as the "
+    "uniform draw — deterministic across runs and engines (the "
+    "stratified_sample convention, not rand()), a pure map-side filter "
+    "composable into budget_mix / pack_sequences. rate=0.5 yields "
+    "roughly half the corpus, tilted toward target-like documents",
+    f"""SELECT doc_id, n_grams, weight FROM ({_dsir_oracle()}) dsir
+    WHERE (CAST({_HASH60.format(x="CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           / {float(1 << 60)!r}) < (weight * 0.5)""",
+)
+def q_doc_importance_resample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = curation.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=64
+    )
+    return curation.importance_resample(w, rate=0.5)

@@ -532,3 +532,24 @@ def test_dsir_weights_plan_no_python_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_importance_resample_deterministic_and_proportional(spark):
+    """Selection is a deterministic function of (id, weight, rate):
+    reruns agree exactly; higher weights keep more docs; rate=0 keeps
+    nothing and a huge rate keeps everything (u < 1 always)."""
+    from kafka_cdc_redshift_spark.functions import curation
+
+    w = spark.createDataFrame(
+        [(i, 0.25 if i % 2 else 1.5) for i in range(200)],
+        "doc_id long, weight double",
+    )
+    kept1 = {r["doc_id"] for r in curation.importance_resample(w, rate=0.5).collect()}
+    kept2 = {r["doc_id"] for r in curation.importance_resample(w, rate=0.5).collect()}
+    assert kept1 == kept2
+    hi = sum(1 for d in kept1 if d % 2 == 0) / 100  # weight 1.5 -> p = .75
+    lo = sum(1 for d in kept1 if d % 2 == 1) / 100  # weight .25 -> p = .125
+    assert hi > lo
+    assert 0.5 < hi <= 1.0 and 0.0 < lo < 0.35
+    assert curation.importance_resample(w, rate=0.0).count() == 0
+    assert curation.importance_resample(w, rate=100.0).count() == 200
