@@ -60,6 +60,7 @@ _DRIVER_CHECK_FIRST = [
     "text_bm25_topk",  # brand-new (BM25 lexical retrieval)
     "doc_dsir_weights",  # brand-new (bucketed DSIR importance weights)
     "doc_importance_resample",  # brand-new (DSIR resampling half)
+    "text_vocab_growth",  # brand-new (Heaps'-law vocabulary curve)
     "curation_pipeline_v3",  # brand-new this round (composed curation)
     "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
     "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)

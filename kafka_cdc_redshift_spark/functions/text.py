@@ -690,3 +690,70 @@ def pretoken_stats(
         F.size(pre).alias("n_pretokens"),
         F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("est_bpe_tokens"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    *,
+    n_slices: int = 10,
+    gram_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: how many NEW distinct n-grams each
+    successive slice of the corpus contributes — the curve that tells a
+    crawl pipeline whether more data still buys vocabulary (sub-linear
+    flattening) or the corpus is still novelty-rich, and the denominator
+    for dedup-rate sanity checks. Emits one row per slice:
+    (slice, n_docs, n_grams, new_grams, cum_grams).
+
+    Slices are deterministic hash buckets of the doc id (hash60 % n),
+    consumed in slice order 0..n-1 — the standard random-order Heaps
+    measurement, reproducible across runs/engines, and assigned entirely
+    map-side (an ntile over a global doc order would funnel every doc id
+    through ONE window task at corpus scale; the hash slice never
+    shuffles anything to a single reducer). A gram's first-seen slice is
+    min(slice) — one groupBy shuffle keyed on the 60-bit gram hash (text
+    never shuffles, the repeated_ngram_spans convention); the cumulative
+    curve is a window over n_slices rows, trivially small.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    grams_arr = F.when(
+        F.size(toks) >= gram_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (gram_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sl = (hash60(F.col(id_col).cast("string")) % n_slices).cast("int")
+    g = (
+        spread(df)
+        .select(
+            sl.alias("slice"),
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(grams_arr).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select("slice", "doc_id", hash60("gram").alias("gh"))
+    )
+    per_slice = g.groupBy("slice").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    firsts = (
+        g.groupBy("gh")
+        .agg(F.min("slice").alias("first_slice"))
+        .groupBy("first_slice")
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    w = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_slice.join(
+            firsts.withColumnRenamed("first_slice", "slice"), "slice", "left"
+        )
+        .withColumn("new_grams", F.coalesce("new_grams", F.lit(0)))
+        .withColumn("cum_grams", F.sum("new_grams").over(w))
+        .select("slice", "n_docs", "n_grams", "new_grams", "cum_grams")
+    )

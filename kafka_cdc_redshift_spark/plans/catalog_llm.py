@@ -1966,3 +1966,38 @@ def q_doc_importance_resample(spark, sf_dir):
         docs, docs.filter(F.col("lang") == "en"), n_buckets=64
     )
     return curation.importance_resample(w, rate=0.5)
+
+
+@_spec(
+    "text_vocab_growth",
+    "Heaps'-law vocabulary growth curve (functions/text.vocab_growth): "
+    "new vs cumulative distinct bigrams per deterministic hash slice of "
+    "the corpus — the does-more-data-still-buy-novelty signal and the "
+    "dedup-rate denominator. Slices assign map-side (no global-order "
+    "window funneling the corpus through one task); first-seen slice is "
+    "min(slice) per 60-bit gram hash (text never shuffles); the "
+    "cumulative window runs over n_slices rows",
+    f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest([array_to_string(t[i:i+1], ' ')
+                          for i in generate_series(1, len(t)-1)]) AS gram
+           FROM base WHERE len(t) >= 2),
+    g AS (SELECT CAST({_HASH60.format(x="CAST(doc_id AS VARCHAR)")} % 10
+                      AS INTEGER) AS slice,
+                 doc_id, {_HASH60.format(x="gram")} AS gh
+          FROM g0),
+    ps AS (SELECT slice, count(DISTINCT doc_id) AS n_docs,
+                  count(*) AS n_grams FROM g GROUP BY 1),
+    fs AS (SELECT first_slice AS slice, count(*) AS new_grams
+           FROM (SELECT gh, min(slice) AS first_slice FROM g GROUP BY 1)
+           GROUP BY 1)
+    SELECT ps.slice, ps.n_docs, ps.n_grams,
+           COALESCE(fs.new_grams, 0) AS new_grams,
+           CAST(sum(COALESCE(fs.new_grams, 0))
+                OVER (ORDER BY ps.slice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_grams
+    FROM ps LEFT JOIN fs USING (slice)""",
+)
+def q_text_vocab_growth(spark, sf_dir):
+    return text.vocab_growth(load_table(spark, sf_dir, "documents"))

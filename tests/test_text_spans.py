@@ -86,3 +86,33 @@ def test_spans_plan_jvm_native(spark):
         T.repeated_ngram_spans(_docs(spark), n=10),
     )
     assert "BatchEvalPython" not in rm._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vocab_growth_invariants(spark, sf_dir):
+    """Cumulative curve is monotone; total new grams == corpus distinct
+    bigram count; per-slice gram totals partition the corpus multiset."""
+    from kafka_cdc_redshift_spark.functions import text as T
+    from kafka_cdc_redshift_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        T.vocab_growth(docs, n_slices=5).collect(), key=lambda r: r["slice"]
+    )
+    assert [r["slice"] for r in rows] == list(range(5))
+    cums = [r["cum_grams"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r["new_grams"] for r in rows)
+    # exact cross-checks against direct computation
+    import pyspark.sql.functions as F
+
+    toks = T.tokens_col("text")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(F.explode(grams).alias("gram"))
+    assert cums[-1] == g.distinct().count()
+    assert sum(r["n_grams"] for r in rows) == g.count()
