@@ -193,3 +193,50 @@ def bm25_topk_from_stats(
         .filter(F.col("rnk") <= k)
         .select("q_id", "doc_id", "n_terms", "score", "rnk")
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact phrase search via the classic positional-index reduction:
+    a phrase of n terms occurs at token position s iff ALL n (term,
+    offset) pairs match at s + offset — so join the corpus's positional
+    postings to the broadcast phrase terms, normalize each hit to its
+    implied start (pos - offset), and a start with n matched offsets is
+    an occurrence. Output: (phrase_id, doc_id, n_occurrences), docs with
+    at least one occurrence.
+
+    Shape at scale: postings explode map-side; the phrase-term relation
+    is tiny and broadcast, pruning the corpus to matching terms BEFORE
+    any shuffle (the bm25_topk discipline); the only corpus-wide shuffle
+    is the groupBy on (doc, phrase, start) over pruned hits. Per
+    (start, offset) at most one posting can match — a position holds one
+    token — so count(*) == n_terms is exact even for phrases with
+    repeated terms ("the the")."""
+    postings = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(tokens_col(text_col)).alias("pos", "term"),
+    ).filter(F.col("term").isNotNull())
+    pterms = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.size(tokens_col(phrase_col)).alias("n_terms"),
+        F.posexplode(tokens_col(phrase_col)).alias("offset", "term"),
+    )
+    hits = postings.join(F.broadcast(pterms), "term").select(
+        "doc_id", "phrase_id", "n_terms",
+        (F.col("pos") - F.col("offset")).alias("start"),
+    )
+    starts = (
+        hits.groupBy("doc_id", "phrase_id", "start")
+        .agg(F.count(F.lit(1)).alias("n_hit"), F.min("n_terms").alias("n_terms"))
+        .filter(F.col("n_hit") == F.col("n_terms"))
+    )
+    return starts.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

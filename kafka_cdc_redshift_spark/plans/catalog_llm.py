@@ -2001,3 +2001,47 @@ def q_doc_importance_resample(spark, sf_dir):
 )
 def q_text_vocab_growth(spark, sf_dir):
     return text.vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+_PHRASES = [(0, "hash join"), (1, "window agg"), (2, "slow scan filter")]
+
+
+def _phrase_oracle(phrases):
+    """SQL twin of the positional-index phrase reduction: 1-based token
+    positions via generate_series, phrase terms as literal (phrase_id,
+    offset, term, n_terms) rows, hits normalized to start = pos - offset,
+    HAVING count(*) == n_terms per start. Exact integers throughout."""
+    vals = ", ".join(
+        f"({pid}, {off}, '{t}', {len(ptext.split())})"
+        for pid, ptext in phrases
+        for off, t in enumerate(ptext.split())
+    )
+    return f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    p0 AS (SELECT doc_id, t,
+                  unnest(generate_series(1, len(t))) AS pos FROM base),
+    p AS (SELECT doc_id, pos, t[pos] AS term FROM p0),
+    q(phrase_id, off, term, n_terms) AS (VALUES {vals}),
+    hits AS (SELECT p.doc_id, q.phrase_id, q.n_terms,
+                    p.pos - q.off AS start
+             FROM p JOIN q ON q.term = p.term),
+    starts AS (SELECT doc_id, phrase_id, start
+               FROM hits GROUP BY doc_id, phrase_id, start, n_terms
+               HAVING count(*) = n_terms)
+    SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM starts GROUP BY 1, 2"""
+
+
+@_spec(
+    "text_phrase_match",
+    "exact phrase search via the positional-index reduction "
+    "(functions/retrieval.phrase_match): a phrase occurs at start s iff "
+    "every (term, offset) matches at s + offset, so broadcast phrase "
+    "terms prune the positional postings BEFORE any shuffle and a "
+    "groupBy on (doc, phrase, start) counts full matches — exact even "
+    "for phrases with repeated terms, integers throughout",
+    _phrase_oracle(_PHRASES),
+)
+def q_text_phrase_match(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(_PHRASES, "phrase_id int, phrase string")
+    return retrieval.phrase_match(docs, phrases)

@@ -236,3 +236,50 @@ def test_e2e_cdc_stream_bm25_ingest(spark, sf_dir, tmp_path, sf_queries):
     assert got == want and want
     # the index rides alongside the normal merge, it doesn't replace it
     assert store.read(spark, "documents").count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# phrase_match
+# ---------------------------------------------------------------------------
+
+def test_phrase_match_semantics(spark):
+    """Counts every start position, handles repeated-term phrases
+    exactly, misses non-adjacent and reordered term pairs."""
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join beats sort merge join"),
+            (1, "join hash is not hash join order"),
+            (2, "hash then a join far apart"),
+            (3, "the the the"),
+            (4, "hash join hash join"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "hash join"), (1, "the the"), (2, "join hash")],
+        "phrase_id int, phrase string",
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_occurrences"]
+        for r in retrieval.phrase_match(docs, phrases).collect()
+    }
+    assert got == {
+        (0, 0): 1,   # one adjacent occurrence
+        (0, 1): 1,   # "not hash join order" -> one; leading "join hash" no
+        (0, 4): 2,   # two occurrences
+        (1, 3): 2,   # "the the the" contains "the the" at starts 0 and 1
+        (2, 1): 1,   # reversed phrase matches doc 1's opening only
+        (2, 4): 1,   # "... join hash ..." interior occurrence
+    }
+    # doc 2 never matches: terms present but not adjacent
+
+
+def test_phrase_match_plan_broadcast_pruned(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(8)], "doc_id long, text string"
+    )
+    phrases = spark.createDataFrame([(0, "a b")], "phrase_id int, phrase string")
+    df = retrieval.phrase_match(docs, phrases)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
