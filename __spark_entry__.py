@@ -62,6 +62,7 @@ _DRIVER_CHECK_FIRST = [
     "doc_importance_resample",  # brand-new (DSIR resampling half)
     "text_vocab_growth",  # brand-new (Heaps'-law vocabulary curve)
     "text_phrase_match",  # brand-new (positional-index phrase search)
+    "text_collocations",  # brand-new (lift-ranked phrase mining)
     "curation_pipeline_v3",  # brand-new this round (composed curation)
     "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
     "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)

@@ -757,3 +757,84 @@ def vocab_growth(
         .withColumn("cum_grams", F.sum("new_grams").over(w))
         .select("slice", "n_docs", "n_grams", "new_grams", "cum_grams")
     )
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by LIFT — the phrase-
+    mining step that seeds a multi-word vocabulary before tokenizer
+    training:
+
+        lift = (c_xy / N_bi) / ((c_x / N_uni) * (c_y / N_uni))
+
+    i.e. observed bigram probability over the independence expectation —
+    PMI without the log (ln is libm-dependent, the tfidf convention;
+    lift is a monotone transform of PMI so the ranking is PMI's).
+    `min_count` floors the pair count: rare pairs have unstable lift
+    (one co-occurrence of two hapaxes maximizes it).
+
+    Shape at scale: one explode each for the unigram and bigram censuses
+    (both combinable groupBys); the pair census joins the |vocab|-sized
+    unigram census twice on the word key; totals reduce to one broadcast
+    row. Top-k is orderBy+limit (TakeOrdered — distributed partial
+    top-k, never a single-partition window over the censuses); the rank
+    column is assigned over the k survivors only. Ties break on the
+    pair text."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    uni = (
+        spread(df)
+        .select(F.explode_outer(toks).alias("w"))
+        .filter(F.col("w").isNotNull())
+    )
+    u_census = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    u_total = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        spread(df)
+        .select(F.explode_outer(pairs_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+    )
+    b_census = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    b_total = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    lift = (
+        F.col("n_pair").cast("double") / F.col("n_bi").cast("double")
+    ) / (
+        (F.col("c1").cast("double") / F.col("n_uni").cast("double"))
+        * (F.col("c2").cast("double") / F.col("n_uni").cast("double"))
+    )
+    scored = (
+        b_census.filter(F.col("n_pair") >= min_count)
+        .join(
+            u_census.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            u_census.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(u_total))
+        .crossJoin(F.broadcast(b_total))
+        .select("w1", "w2", "n_pair", "c1", "c2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -2045,3 +2045,39 @@ def q_text_phrase_match(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     phrases = spark.createDataFrame(_PHRASES, "phrase_id int, phrase string")
     return retrieval.phrase_match(docs, phrases)
+
+
+@_spec(
+    "text_collocations",
+    "top-k collocations by lift (functions/text.collocations): observed "
+    "adjacent-pair probability over the independence expectation — PMI "
+    "without the log (monotone, so PMI's ranking) from exact integer "
+    "censuses, min_count-floored against hapax instability. The phrase-"
+    "mining step that seeds a multi-word vocabulary. Unigram + bigram "
+    "censuses are combinable groupBys; top-k is distributed "
+    "orderBy+limit, never a census-wide single-partition window",
+    f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM base),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+    ut AS (SELECT count(*) AS n_uni FROM uni),
+    bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+                 FROM base WHERE len(t) >= 2)),
+    bc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2),
+    bt AS (SELECT count(*) AS n_bi FROM bi),
+    scored AS (SELECT bc.w1, bc.w2, bc.n_pair, u1.c AS c1, u2.c AS c2,
+        ((CAST(bc.n_pair AS DOUBLE) / CAST(bt.n_bi AS DOUBLE))
+         / ((CAST(u1.c AS DOUBLE) / CAST(ut.n_uni AS DOUBLE))
+            * (CAST(u2.c AS DOUBLE) / CAST(ut.n_uni AS DOUBLE)))) AS lift
+      FROM bc
+      JOIN uc u1 ON u1.w = bc.w1
+      JOIN uc u2 ON u2.w = bc.w2
+      CROSS JOIN ut CROSS JOIN bt
+      WHERE bc.n_pair >= 5)
+    SELECT w1, w2, n_pair, c1, c2, lift, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rnk
+          FROM scored) s
+    WHERE rnk <= 20""",
+)
+def q_text_collocations(spark, sf_dir):
+    return text.collocations(load_table(spark, sf_dir, "documents"))

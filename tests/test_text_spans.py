@@ -116,3 +116,24 @@ def test_vocab_growth_invariants(spark, sf_dir):
     g = docs.select(F.explode(grams).alias("gram"))
     assert cums[-1] == g.distinct().count()
     assert sum(r["n_grams"] for r in rows) == g.count()
+
+
+def test_collocations_ranks_planted_pair_first(spark):
+    """A planted always-adjacent pair must out-lift independent fillers;
+    min_count suppresses rare pairs; the lift value is the hand formula."""
+    from kafka_cdc_redshift_spark.functions import text as T
+
+    # 'new york' always adjacent (8x); filler words shuffled independence
+    rows = [(i, "new york alpha beta gamma delta") for i in range(4)]
+    rows += [(10 + i, "alpha gamma new york beta delta") for i in range(4)]
+    rows += [(20, "rare pair appears once only here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = T.collocations(docs, k=5, min_count=5).collect()
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("new", "york") and top["rnk"] == 1
+    n_uni = docs.selectExpr("sum(size(split(trim(lower(text)), '\\\\s+')))").first()[0]
+    n_bi = n_uni - docs.count()
+    want = (8 / n_bi) / ((8 / n_uni) * (8 / n_uni))
+    assert top["lift"] == want  # exact: same integer-derived doubles
+    assert all(r["n_pair"] >= 5 for r in got)
+    assert not any(r["w1"] == "rare" for r in got)
