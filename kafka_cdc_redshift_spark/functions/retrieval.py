@@ -240,3 +240,62 @@ def phrase_match(
     return starts.groupBy("phrase_id", "doc_id").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 10,
+    c: int = 60,
+    q_col: str = "q_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard way to combine lexical and dense retrieval without score
+    calibration: rrf(d) = sum_i 1/(c + rank_i(d)), summing only over
+    rankings that returned d. Output: (q_id, doc_id, r0..r{n-1}, rrf,
+    rnk) — per-source ranks kept for audit (null where a source missed
+    the doc), ties broken on doc_id.
+
+    Determinism: each term is one IEEE division of integer-derived
+    values; the sum is an explicit add chain in SOURCE order (float
+    addition is not associative) with absent sources contributing +0.0,
+    an exact identity — the pq_topk/bm25 oracle contract. Shape: one
+    union + one combinable groupBy on (q, doc) over rows that are
+    already top-k-bounded per source (|Q| * k * n_sources), so fusion
+    cost is independent of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(q_col).alias("q_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.lit(i).alias("src"),
+            F.col(rank_col).alias("r"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    piv = u.groupBy("q_id", "doc_id").agg(
+        *[
+            F.min(F.when(F.col("src") == i, F.col("r"))).alias(f"r{i}")
+            for i in range(len(rankings))
+        ]
+    )
+    acc = F.lit(0.0)
+    for i in range(len(rankings)):
+        acc = acc + F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"r{i}").cast("double")),
+            F.lit(0.0),
+        )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        piv.withColumn("rrf", acc)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

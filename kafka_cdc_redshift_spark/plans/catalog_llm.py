@@ -2081,3 +2081,68 @@ def q_text_phrase_match(spark, sf_dir):
 )
 def q_text_collocations(spark, sf_dir):
     return text.collocations(load_table(spark, sf_dir, "documents"))
+
+
+_HYBRID_QUERIES = [
+    (0, "hash"), (100, "join"), (200, "window"), (300, "scan"),
+    (400, "merge"),
+]
+
+
+@_spec(
+    "sim_hybrid_rrf",
+    "hybrid lexical+dense retrieval fused by reciprocal-rank fusion "
+    "(functions/retrieval.rrf_fuse; Cormack et al. 2009): BM25 top-20 "
+    "over documents and exact cosine top-20 over the id-aligned "
+    "embeddings combine as sum(1/(60+rank)) per source — the standard "
+    "calibration-free production fusion. Each term is one IEEE division "
+    "of integer ranks; the sum is a source-ordered add chain with "
+    "absent sources as +0.0, so the oracle replays both rankers AND the "
+    "fusion bit-for-bit. Fusion cost is |Q| x k x 2 rows — independent "
+    "of corpus size",
+    f"""WITH cemb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dq AS (SELECT vec_id AS q_id, e AS qe FROM cemb WHERE vec_id % 100 = 0),
+    dp AS (SELECT q_id, cemb.vec_id AS neighbor_id, {_COS} AS cos_sim
+           FROM cemb, dq WHERE cemb.vec_id != dq.q_id),
+    den AS (SELECT q_id, neighbor_id AS doc_id, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM dp) t WHERE rnk <= 20),
+    lex AS (SELECT q_id, doc_id, rnk
+            FROM ({_bm25_oracle(_HYBRID_QUERIES, k=20)}) bm),
+    u AS (SELECT q_id, doc_id, 0 AS src, rnk FROM lex
+          UNION ALL SELECT q_id, doc_id, 1 AS src, rnk FROM den),
+    piv AS (SELECT q_id, doc_id,
+                   min(CASE WHEN src = 0 THEN rnk END) AS r0,
+                   min(CASE WHEN src = 1 THEN rnk END) AS r1
+            FROM u GROUP BY 1, 2),
+    sc AS (SELECT q_id, doc_id, r0 AS lex_rnk, r1 AS dense_rnk,
+                  ((0.0 + COALESCE(1.0 / (60.0 + CAST(r0 AS DOUBLE)), 0.0))
+                   + COALESCE(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0)) AS rrf
+           FROM piv)
+    SELECT q_id, doc_id, lex_rnk, dense_rnk, rrf,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf DESC, doc_id) AS rnk FROM sc) t
+    WHERE rnk <= 5""",
+)
+def q_sim_hybrid_rrf(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tq = spark.createDataFrame(_HYBRID_QUERIES, "q_id long, q_text string")
+    lex = retrieval.bm25_topk(docs, tq, k=20)
+    dq = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    den = similarity.cosine_topk(emb, dq, k=20).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    fused = retrieval.rrf_fuse(
+        [lex.select("q_id", "doc_id", "rnk"), den.select("q_id", "doc_id", "rnk")],
+        k=5,
+    )
+    return fused.select(
+        "q_id", "doc_id",
+        F.col("r0").alias("lex_rnk"), F.col("r1").alias("dense_rnk"),
+        "rrf", "rnk",
+    )

@@ -283,3 +283,37 @@ def test_phrase_match_plan_broadcast_pruned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_values_and_union_semantics(spark):
+    """rrf = sum over contributing sources of 1/(c + rank); docs in one
+    source only still fuse; ties break on doc_id; k truncates."""
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "q_id int, doc_id int, rnk int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "q_id int, doc_id int, rnk int"
+    )
+    got = {
+        r["doc_id"]: r for r in retrieval.rrf_fuse([a, b], k=10, c=60).collect()
+    }
+    assert got[11]["rrf"] == (0.0 + 1.0 / 62.0) + 1.0 / 61.0  # both sources
+    assert got[10]["rrf"] == 1.0 / 61.0  # a only
+    assert got[13]["rrf"] == 1.0 / 62.0  # b only
+    assert got[11]["rnk"] == 1  # consensus doc wins
+    assert got[11]["r0"] == 2 and got[11]["r1"] == 1
+    assert got[13]["r0"] is None
+    # equal-rrf tie (10 from a, 13 from b at 1/61 vs 1/62): check order
+    order = sorted(got.values(), key=lambda r: r["rnk"])
+    assert [r["doc_id"] for r in order] == [11, 10, 12, 13] or [
+        r["doc_id"] for r in order
+    ] == [11, 10, 13, 12]
+    assert retrieval.rrf_fuse([a, b], k=2).count() == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        retrieval.rrf_fuse([])
