@@ -268,6 +268,17 @@ class AnnIngest:
             .select("cell", "cell_size", sim.alias("mean_sim"))
         )
 
+    def compact_state(
+        self, spark: SparkSession, *, min_segments: int = 8
+    ) -> None:
+        """Merge the per-batch cell (and PQ code) directories
+        (maintenance): the serving scans otherwise pay one list-read per
+        ingested batch forever. Committed batch ids survive compaction,
+        so replay skipping is unaffected; centroids/codebooks are
+        single-segment by construction and never qualify."""
+        self.log.compact(spark, self.cells_table, min_segments=min_segments)
+        self.log.compact(spark, self.codes_table, min_segments=min_segments)
+
 
 class VersionedAnnIndex:
     """Atomic-swap index lifecycle over `AnnIngest` — the piece that closes
@@ -453,6 +464,17 @@ class VersionedAnnIndex:
 
     def pq_rerank(self, queries: DataFrame, *, k: int = 3, shortlist: int = 100):
         return self.current().pq_rerank(queries, k=k, shortlist=shortlist)
+
+    def compact_state(
+        self, spark: SparkSession, *, min_segments: int = 8
+    ) -> None:
+        """Maintenance segment-merge for the CURRENT version's state (a
+        rebuild starts version N+1 from one snapshot segment anyway)."""
+        ptr = self._pointer()
+        if ptr is not None:
+            self._index(ptr["version"]).compact_state(
+                spark, min_segments=min_segments
+            )
 
     def maintain(self, spark: SparkSession) -> bool:
         """Drift-gated rebuild: when the current version's size-weighted

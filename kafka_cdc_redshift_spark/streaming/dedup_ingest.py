@@ -173,3 +173,14 @@ class DedupIngest:
         """All near-dup pairs reported so far (doc_a < doc_b, jaccard,
         found_by_batch)."""
         return self.log.read(spark, self.pairs_table)
+
+    def compact_state(
+        self, spark: SparkSession, *, min_segments: int = 8
+    ) -> None:
+        """Merge the per-batch state directories (maintenance): without
+        this the band index / sketches / pairs accrue one directory per
+        ingested batch forever and every candidate join pays N
+        list-reads. AppendLog.compact keeps the committed-batch ids, so
+        replays after maintenance are still skipped."""
+        for t in (self.bands_table, self.sketches_table, self.pairs_table):
+            self.log.compact(spark, t, min_segments=min_segments)

@@ -820,6 +820,23 @@ class CdcBatchProcessor:
                     self.compact_errors.append(
                         (f"{rule.target_name}_ann_index", repr(e))
                     )
+            # AppendLog-backed operator state accrues one directory per
+            # ingested batch; the same maintenance cycle segment-merges it
+            # (AppendLog.compact keeps the committed-batch ids, so replay
+            # skipping survives — the r5 compaction-vs-replay lesson)
+            for flag, getter, label in (
+                (rule.dedup_ingest, self._dedup_ingestor, "_dedup_state"),
+                (rule.bm25_ingest, self._bm25_ingestor, "_bm25_state"),
+                (rule.ann_ingest, self._ann_ingestor, "_ann_state"),
+            ):
+                if not flag:
+                    continue
+                try:
+                    getter(rule).compact_state(self.spark)
+                except Exception as e:  # noqa: BLE001
+                    self.compact_errors.append(
+                        (f"{rule.target_name}{label}", repr(e))
+                    )
 
 
 def run_file_stream(

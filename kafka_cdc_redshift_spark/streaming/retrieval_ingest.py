@@ -117,3 +117,11 @@ class RetrievalIngest:
         """The standing (doc_id, dl, term, tf) relation, or None before
         the first ingest."""
         return self.log.read(spark, self.tf_table)
+
+    def compact_state(
+        self, spark: SparkSession, *, min_segments: int = 8
+    ) -> None:
+        """Merge the per-batch postings directories (maintenance) —
+        the Lucene segment-merge analog. Committed batch ids survive, so
+        post-maintenance replays are still skipped."""
+        self.log.compact(spark, self.tf_table, min_segments=min_segments)

@@ -268,12 +268,32 @@ class AppendLog:
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.root, table, "_manifest.json")
 
-    def committed(self, table: str) -> list:
+    def _manifest(self, table: str) -> dict:
         try:
             with open(self._manifest_path(table)) as f:
-                return json.load(f)["batches"]
+                m = json.load(f)
+            m["batches"]  # noqa: B018 - schema check
+            return m
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
-            return []
+            return {"batches": []}
+
+    def _write_manifest(self, table: str, m: dict) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path(table))
+
+    def committed(self, table: str) -> list:
+        return self._manifest(table)["batches"]
+
+    def segments(self, table: str) -> list:
+        """Storage directory names backing the table. Distinct from
+        `committed`: compaction merges segments but NEVER forgets batch
+        ids — `has_batch` (the replay guard) must survive maintenance,
+        the lesson of the r5 compaction/replay bug. Legacy manifests
+        (pre-segments) derive one segment per batch."""
+        m = self._manifest(table)
+        return m.get("segments", [f"batch={b}" for b in m["batches"]])
 
     def has_batch(self, table: str, batch_id) -> bool:
         return batch_id in self.committed(table)
@@ -286,24 +306,55 @@ class AppendLog:
             return
         out = os.path.join(self.root, table, f"batch={batch_id}")
         df.write.mode("overwrite").parquet(out)
-        ids = self.committed(table)
-        ids.append(batch_id)
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batches": ids}, f)
-        os.replace(tmp, self._manifest_path(table))
+        m = self._manifest(table)
+        m["batches"] = m["batches"] + [batch_id]
+        m["segments"] = self.segments(table) + [f"batch={batch_id}"]
+        self._write_manifest(table, m)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        """Union of all committed deltas (None before the first commit).
-        Uncommitted/partial batch directories are invisible: the reader
-        lists the manifest, not the filesystem."""
-        ids = self.committed(table)
-        if not ids:
+        """Union of all committed data (None before the first commit).
+        Uncommitted/partial directories are invisible: the reader lists
+        the manifest's segments, not the filesystem."""
+        segs = self.segments(table)
+        if not segs:
             return None
-        paths = [
-            os.path.join(self.root, table, f"batch={b}") for b in ids
-        ]
+        paths = [os.path.join(self.root, table, s) for s in segs]
         return spark.read.parquet(*paths)
+
+    def compact(
+        self, spark: SparkSession, table: str, *, min_segments: int = 8
+    ) -> int | None:
+        """Merge all storage segments into one, WITHOUT forgetting batch
+        ids — `has_batch` answers identically before and after, so
+        replays delivered after maintenance are still skipped (the
+        append-state analog of publish() carrying batch_id forward
+        through compact_table). Returns the number of segments merged,
+        or None below the `min_segments` floor.
+
+        Atomicity: the merged directory is fully written under a name
+        the manifest doesn't yet reference, then the manifest swaps in
+        one os.replace; a crash in between leaves an orphan directory
+        that is invisible to readers and overwritten by the retry (the
+        seg counter only advances on commit). Old directories are
+        deleted best-effort after the swap."""
+        import shutil
+
+        m = self._manifest(table)
+        segs = self.segments(table)
+        if len(segs) < min_segments:
+            return None
+        n = m.get("next_seg", 0)
+        out = os.path.join(self.root, table, f"seg={n}")
+        df = self.read(spark, table)
+        df.write.mode("overwrite").parquet(out)
+        m["segments"] = [f"seg={n}"]
+        m["next_seg"] = n + 1
+        self._write_manifest(table, m)
+        for s in segs:
+            shutil.rmtree(
+                os.path.join(self.root, table, s), ignore_errors=True
+            )
+        return len(segs)
 
     def retire(self, table: str, batch_ids) -> None:
         """Drop `batch_ids` from the committed manifest (their data has
@@ -319,11 +370,20 @@ class AppendLog:
         spanning the fold."""
         import shutil
 
-        keep = [b for b in self.committed(table) if b not in set(batch_ids)]
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batches": keep}, f)
-        os.replace(tmp, self._manifest_path(table))
+        m = self._manifest(table)
+        segs = self.segments(table)
+        gone = [b for b in batch_ids if f"batch={b}" not in segs]
+        if gone:
+            # a compacted segment can't give individual batches back —
+            # fold-then-retire state (MoR deltas) must never also be
+            # compact()-maintained; surface the conflict loudly
+            raise ValueError(
+                f"cannot retire batches folded into a compacted segment: {gone}"
+            )
+        drop = {f"batch={b}" for b in batch_ids}
+        m["batches"] = [b for b in m["batches"] if b not in set(batch_ids)]
+        m["segments"] = [s for s in segs if s not in drop]
+        self._write_manifest(table, m)
         for b in batch_ids:
             shutil.rmtree(
                 os.path.join(self.root, table, f"batch={b}"),

@@ -221,3 +221,90 @@ def test_append_log_survives_manifest_tmp_leftover(spark, tmp_path):
     log.append(spark.createDataFrame([(2,)], "k long"), "t", 1)
     assert log.committed("t") == [0, 1]
     assert {r.k for r in log.read(spark, "t").collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# AppendLog segment compaction (maintenance without forgetting replays)
+# ---------------------------------------------------------------------------
+
+def test_append_log_compact_preserves_content_and_replay_guard(spark, tmp_path):
+    log = AppendLog(str(tmp_path / "log"))
+    for b in range(4):
+        log.append(spark.createDataFrame([(b, f"v{b}")], "k long, v string"), "t", b)
+    assert len(log.segments("t")) == 4
+    assert log.compact(spark, "t", min_segments=8) is None  # below floor
+    assert log.compact(spark, "t", min_segments=3) == 4
+    assert log.segments("t") == ["seg=0"]
+    # content identical, committed ids identical -> has_batch still guards
+    got = {(r.k, r.v) for r in log.read(spark, "t").collect()}
+    assert got == {(b, f"v{b}") for b in range(4)}
+    assert log.committed("t") == [0, 1, 2, 3]
+    # a replay delivered AFTER maintenance is still a no-op
+    log.append(spark.createDataFrame([(99, "dup")], "k long, v string"), "t", 2)
+    assert log.read(spark, "t").count() == 4
+    # appends continue after compaction; a second compact merges seg+batches
+    log.append(spark.createDataFrame([(4, "v4")], "k long, v string"), "t", 4)
+    assert set(log.segments("t")) == {"seg=0", "batch=4"}
+    assert log.read(spark, "t").count() == 5
+    assert log.compact(spark, "t", min_segments=2) == 2
+    assert log.segments("t") == ["seg=1"]
+    assert log.read(spark, "t").count() == 5
+
+
+def test_append_log_retire_refuses_compacted_ids(spark, tmp_path):
+    import pytest as _pt
+
+    log = AppendLog(str(tmp_path / "log"))
+    for b in range(3):
+        log.append(spark.createDataFrame([(b,)], "k long"), "t", b)
+    log.append(spark.createDataFrame([(9,)], "k long"), "t", 9)
+    log.compact(spark, "t", min_segments=2)
+    log.append(spark.createDataFrame([(10,)], "k long"), "t", 10)
+    # live batch dir: retire works (the MoR fold contract)
+    log.retire("t", [10])
+    assert 10 not in log.committed("t")
+    assert log.read(spark, "t").count() == 4
+    # folded-into-segment id: loud refusal, state unchanged
+    with _pt.raises(ValueError, match="compacted segment"):
+        log.retire("t", [1])
+    assert log.committed("t") == [0, 1, 2, 9]
+
+
+def test_append_log_legacy_manifest_without_segments(spark, tmp_path):
+    """Manifests written before the segments field must read and compact."""
+    import json as _json
+    import os as _os
+
+    log = AppendLog(str(tmp_path / "log"))
+    for b in range(3):
+        log.append(spark.createDataFrame([(b,)], "k long"), "t", b)
+    # strip the segments/next_seg fields, as an r5-era manifest would be
+    mp = log._manifest_path("t")
+    m = _json.load(open(mp))
+    _json.dump({"batches": m["batches"]}, open(mp, "w"))
+    assert log.segments("t") == ["batch=0", "batch=1", "batch=2"]
+    assert log.read(spark, "t").count() == 3
+    assert log.compact(spark, "t", min_segments=2) == 3
+    assert log.read(spark, "t").count() == 3
+    assert log.committed("t") == [0, 1, 2]
+    assert _os.path.isdir(str(tmp_path / "log" / "t" / "seg=0"))
+
+
+def test_dedup_ingest_equality_survives_mid_stream_compaction(
+    spark, docs, tmp_path
+):
+    """Ingest, compact the standing state, keep ingesting: the streamed
+    pair set still equals the one-shot rebuild, and a replay of a
+    pre-compaction batch is still a no-op."""
+    want = sorted(map(_pair_key, dedup_text.minhash_lsh_pairs(docs).collect()))
+    ing = DedupIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    ing.process_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    ing.process_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    ing.compact_state(spark, min_segments=2)
+    n_pairs_mid = ing.pairs(spark).count()
+    # replay across maintenance: no-op
+    ing.process_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    assert ing.pairs(spark).count() == n_pairs_mid
+    ing.process_batch(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    got = sorted(map(_pair_key, ing.pairs(spark).collect()))
+    assert got == want

@@ -317,3 +317,21 @@ def test_rrf_fuse_hand_values_and_union_semantics(spark):
 
     with _pt.raises(ValueError, match="at least one"):
         retrieval.rrf_fuse([])
+
+
+def test_streamed_index_compaction_preserves_serving(spark, sf_docs, sf_queries, tmp_path):
+    """Segment-merging the postings mid-stream changes nothing the
+    server can see: top-k identical, replays still skipped."""
+    from kafka_cdc_redshift_spark.streaming.retrieval_ingest import RetrievalIngest
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    ing = RetrievalIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    for b in range(3):
+        ing.process_batch(sf_docs.filter(F.col("doc_id") % 3 == b), b)
+    before = sorted(map(_score_key, ing.topk(sf_queries, k=10).collect()))
+    ing.compact_state(spark, min_segments=2)
+    assert len(ing.log.segments(ing.tf_table)) == 1
+    assert sorted(map(_score_key, ing.topk(sf_queries, k=10).collect())) == before
+    n = ing.postings(spark).count()
+    ing.process_batch(sf_docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay
+    assert ing.postings(spark).count() == n
