@@ -122,18 +122,18 @@ def bm25_topk(
     rows ever reach the scorer. See the module docstring for the plan
     shape and the idf_mode determinism contract.
     """
-    tf, dfreq, stats = corpus_term_stats(
+    tf = term_freqs(
         docs, id_col=id_col, text_col=text_col
-    )
+    ).localCheckpoint(eager=False)
+    _, stats = stats_from_tf(tf)
     return bm25_topk_from_stats(
-        tf, dfreq, stats, queries, k=k, k1=k1, b=b,
+        tf, stats, queries, k=k, k1=k1, b=b,
         q_id_col=q_id_col, q_text_col=q_text_col, idf_mode=idf_mode,
     )
 
 
 def bm25_topk_from_stats(
     tf: DataFrame,
-    dfreq: DataFrame,
     stats: DataFrame,
     queries: DataFrame,
     *,
@@ -144,20 +144,27 @@ def bm25_topk_from_stats(
     q_text_col: str = "q_text",
     idf_mode: str = "raw",
 ) -> DataFrame:
-    """Score a query batch against precomputed BM25 index relations —
-    the serving path: `bm25_topk` delegates here after building the
-    censuses, and the streamed index (streaming/retrieval_ingest)
-    serves its standing tf relation through the same code."""
+    """Score a query batch against a postings relation plus the 1-row
+    corpus stats — the serving path: `bm25_topk` delegates here, and the
+    streamed index (streaming/retrieval_ingest) serves its standing tf
+    through the same code. Document frequencies are aggregated from the
+    QUERY-TERM-PRUNED postings, never the full vocabulary: an inner join
+    on the grouping key does not push below an aggregation, so a
+    full-vocab census then a prune would scan-and-shuffle every term per
+    query batch; pruning first makes the df census a map-side-filtered
+    aggregation over matching postings only (identical values — df per
+    term is unchanged by dropping other terms)."""
     if idf_mode not in ("raw", "lucene"):
         raise ValueError(f"unknown idf_mode {idf_mode!r}")
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(tokens_col(q_text_col))).alias("term"),
     )
-    # prune the |vocab| census to query terms before it joins the corpus
-    qdf = dfreq.join(
+    tfq = tf.join(
         F.broadcast(qterms.select("term").distinct()), "term"
-    )
+    ).localCheckpoint(eager=False)
+    qdf = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tfq
     tf_d = F.col("tf").cast("double")
     dl_d = F.col("dl").cast("double")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")

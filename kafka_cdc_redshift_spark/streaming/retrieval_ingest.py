@@ -33,11 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.retrieval import (
-    bm25_topk_from_stats,
-    stats_from_tf,
-    term_freqs,
-)
+from pyspark.sql import functions as F
+
+from ..functions.retrieval import bm25_topk_from_stats, term_freqs
 from .store import AppendLog
 
 
@@ -78,19 +76,33 @@ class RetrievalIngest:
     def tf_table(self) -> str:
         return f"{self.name}_tf"
 
+    @property
+    def stats_table(self) -> str:
+        return f"{self.name}_stats"
+
     def process_batch(self, batch_df: DataFrame, batch_id) -> None:
-        """Tokenize one micro-batch and append its postings. Idempotent
-        per batch_id: a replayed batch is skipped on the committed-batch
-        manifest, and the append itself overwrites the same batch-keyed
-        directory."""
-        if self.log.has_batch(self.tf_table, batch_id):
+        """Tokenize one micro-batch, append its postings plus a 1-row
+        (n_docs, sum_dl) stats delta — the corpus constants BM25 needs,
+        maintained as mergeable integer sums so serving never scans the
+        full postings to derive them. Idempotent per batch_id; the STATS
+        commit is the batch's "fully landed" marker (checked first), so
+        a crash between the two appends heals on retry — the dedup_ingest
+        commit-order pattern."""
+        if self.log.has_batch(self.stats_table, batch_id):
             return
-        self.log.append(
-            term_freqs(
-                batch_df, id_col=self.id_col, text_col=self.text_col
-            ),
-            self.tf_table, batch_id,
+        tf = term_freqs(
+            batch_df, id_col=self.id_col, text_col=self.text_col
+        ).localCheckpoint()
+        self.log.append(tf, self.tf_table, batch_id)
+        stats = (
+            tf.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
         )
+        self.log.append(stats, self.stats_table, batch_id)
 
     def topk(
         self,
@@ -106,11 +118,16 @@ class RetrievalIngest:
         ever re-tokenizing it."""
         spark = queries.sparkSession
         tf = self.log.read(spark, self.tf_table)
-        if tf is None:
+        per_batch = self.log.read(spark, self.stats_table)
+        if tf is None or per_batch is None:
             raise ValueError(f"index {self.name!r} has no ingested batches")
-        dfreq, stats = stats_from_tf(tf)
+        # corpus constants fold from the per-batch integer sums —
+        # O(#batches) rows, never a scan of the postings themselves
+        stats = per_batch.agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        )
         return bm25_topk_from_stats(
-            tf, dfreq, stats, queries, k=k, k1=k1, b=b, idf_mode=idf_mode,
+            tf, stats, queries, k=k, k1=k1, b=b, idf_mode=idf_mode,
         )
 
     def postings(self, spark: SparkSession) -> DataFrame | None:
@@ -121,7 +138,8 @@ class RetrievalIngest:
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8
     ) -> None:
-        """Merge the per-batch postings directories (maintenance) —
-        the Lucene segment-merge analog. Committed batch ids survive, so
-        post-maintenance replays are still skipped."""
+        """Merge the per-batch postings/stats directories (maintenance)
+        — the Lucene segment-merge analog. Committed batch ids survive,
+        so post-maintenance replays are still skipped."""
         self.log.compact(spark, self.tf_table, min_segments=min_segments)
+        self.log.compact(spark, self.stats_table, min_segments=min_segments)
