@@ -61,35 +61,12 @@ def term_freqs(
     )
 
 
-def corpus_term_stats(
-    docs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(tf, dfreq, stats): the three relations BM25 scores from.
-
-    tf:    (doc_id, dl, term, tf)   — one corpus shuffle keyed (doc, term)
-    dfreq: (term, df)               — derived from tf, keyed term
-    stats: 1 row (n_docs, sum_dl)   — broadcastable corpus constants
-
-    tf is localCheckpoint'ed (lazy): it feeds dfreq, stats AND the
-    scoring join — three consumers would otherwise each replay the
-    explode (the tfidf_top_terms treatment).
-    """
-    tf = term_freqs(
-        docs, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=False)
-    dfreq, stats = stats_from_tf(tf)
-    return tf, dfreq, stats
-
-
-def stats_from_tf(tf: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(dfreq, stats) derived from a (doc_id, dl, term, tf) relation —
-    shared by the batch path and the streamed index (whose standing tf
-    is already materialized parquet, so no checkpoint is needed)."""
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = (
+def corpus_stats(tf: DataFrame) -> DataFrame:
+    """The 1-row (n_docs, sum_dl) corpus constants BM25 normalizes by,
+    derived from a (doc_id, dl, term, tf) relation. The streamed index
+    instead folds these from mergeable per-batch integer deltas
+    (streaming/retrieval_ingest) so serving never scans the postings."""
+    return (
         tf.groupBy("doc_id")
         .agg(F.first("dl").alias("dl"))
         .agg(
@@ -97,7 +74,6 @@ def stats_from_tf(tf: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.sum("dl").alias("sum_dl"),
         )
     )
-    return dfreq, stats
 
 
 def bm25_topk(
@@ -125,7 +101,7 @@ def bm25_topk(
     tf = term_freqs(
         docs, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=False)
-    _, stats = stats_from_tf(tf)
+    stats = corpus_stats(tf)
     return bm25_topk_from_stats(
         tf, stats, queries, k=k, k1=k1, b=b,
         q_id_col=q_id_col, q_text_col=q_text_col, idf_mode=idf_mode,
