@@ -229,3 +229,137 @@ def test_entrypoint_mor_mode_end_to_end(spark, tmp_path):
     t = {r.pid: r.a for r in store.read(spark, "t").collect()}
     assert t == {1: "y"}
     assert store.read(spark, "u").collect()[0].b == 1.5
+
+
+def test_kitchen_sink_job_composes_every_per_rule_feature(spark, tmp_path):
+    """One .properties rule driving the full per-rule surface at once —
+    quality gate + SCD2 history + delete log + streaming dedup/BM25/ANN
+    ingest + incremental stats — proves the features compose in a single
+    batch loop, not just in isolation."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def good_text(seed):
+        r = random.Random(seed)
+        words = [r.choice(vocab) for _ in range(22)] + ["the", "with"]
+        return " ".join(words)
+
+    near_a = good_text(101)
+    near_b = near_a.rsplit(" ", 1)[0] + " omega"  # near-dup of near_a
+
+    def doc(i, text, op="c", ts=None):
+        emb = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        return _dz(
+            "d", "docs",
+            {"doc_id": i, "text": text, "lang": "en" if i % 2 else "de",
+             "n_chars": len(text), "embedding": emb},
+            op=op, ts=ts if ts is not None else i + 10,
+        )
+
+    lines1 = [doc(i, good_text(i)) for i in range(8)]
+    lines1.append(doc(100, near_a))
+    lines2 = [doc(i, good_text(50 + i)) for i in range(8, 14)]
+    lines2.append(doc(101, near_b))
+    lines2.append(doc(102, "too short"))  # fails the gopher word count
+    lines2.append(doc(3, good_text(3), op="d", ts=99))  # delete doc 3
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(lines1) + "\n")
+    (src / "b2.json").write_text("\n".join(lines2) + "\n")
+
+    cfg_text = f"""
+cdc_format = FLINK-CDC
+checkpoint_interval = availableNow
+checkpoint_location = {tmp_path / "ckpt"}
+source_dir = {src}
+target_store_path = {tmp_path / "store"}
+max_files_per_trigger = 1
+sync_table_list = [\\
+{{"db": "d", "table": "docs", "primary_key": "doc_id",\\
+  "save_delete": "true", "scd2_history": "true",\\
+  "quality_gate": "true",\\
+  "dedup_ingest": "true",\\
+  "bm25_ingest": "true",\\
+  "ann_ingest": "true", "ann_n_centroids": "2",\\
+  "stats_group_columns": "lang", "stats_value_column": "n_chars",\\
+  "stats_distinct_column": "doc_id"}}]
+"""
+    props = load_properties(cfg_text)
+    processor = build_processor(spark, props)
+    q = start_query(spark, props, processor)
+    q.awaitTermination(300)
+
+    store = processor.store
+    import pyspark.sql.functions as F
+
+    from kafka_cdc_redshift_spark.functions import dedup_text, retrieval
+
+    target = store.read(spark, "docs")
+    ids = {r.doc_id for r in target.select("doc_id").collect()}
+    assert 3 not in ids            # deleted
+    assert 102 not in ids          # quarantined by the gate
+    assert {100, 101} <= ids       # near-dups still land in the target
+    assert len(ids) == 15          # 0..13 minus doc 3, plus 100, 101
+
+    # quarantine holds exactly the failing doc, with audit flags
+    rej = store.read(spark, "docs_rejected")
+    assert {r.doc_id for r in rej.select("doc_id").collect()} == {102}
+    # delete log holds the delete image for doc 3
+    dels = store.read(spark, "docs_delete")
+    assert {r.doc_id for r in dels.select("doc_id").collect()} == {3}
+    # SCD2 history: every surviving doc has an open version
+    hist = store.read(spark, "docs_history")
+    open_rows = hist.filter(F.col("is_current")).count() if "is_current" in hist.columns else hist.count()
+    assert open_rows >= len(ids)
+
+    # streamed dedup state == one-shot rebuild over the gate-passing,
+    # non-delete IMAGES the ingestors actually saw — the ingest state is
+    # append-only by contract, so doc 3's pre-delete create stays
+    # indexed even though the target dropped it
+    seen = spark.createDataFrame(
+        [(i, good_text(i)) for i in range(8)]
+        + [(i, good_text(50 + i)) for i in range(8, 14)]
+        + [(100, near_a), (101, near_b)],
+        "doc_id long, text string",
+    )
+    ing = processor._dedup_ingestor(processor.rules[0])
+    got_pairs = {
+        (r.doc_a, r.doc_b) for r in ing.pairs(spark).collect()
+    }
+    want_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_text.minhash_lsh_pairs(seen).collect()
+    }
+    assert (100, 101) in got_pairs
+    assert got_pairs == want_pairs
+
+    # streamed BM25 == batch BM25 over the same docs
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "omega")], "q_id int, q_text string"
+    )
+    bm = processor._bm25_ingestor(processor.rules[0])
+    got_topk = sorted(
+        (r.q_id, r.doc_id, r.n_terms, r.score, r.rnk)
+        for r in bm.topk(queries, k=5).collect()
+    )
+    want_topk = sorted(
+        (r.q_id, r.doc_id, r.n_terms, r.score, r.rnk)
+        for r in retrieval.bm25_topk(seen, queries, k=5).collect()
+    )
+    assert got_topk == want_topk and got_topk
+
+    # ANN index serves k neighbors per query from the streamed cells
+    ann = processor._ann_ingestors[processor.rules[0].target_name]
+    qv = spark.createDataFrame(
+        [(0, [0.1] * 8)], "q_id long, q_emb array<double>"
+    )
+    hits = ann.topk(qv, k=3, nprobe=2).collect()
+    assert len(hits) == 3 and all(h.neighbor_id in ids | {3} for h in hits)
+
+    # incremental census family landed
+    assert store.read(spark, "docs_stats") is not None
+    assert store.read(spark, "docs_ndv") is not None
