@@ -308,3 +308,55 @@ def test_dedup_ingest_equality_survives_mid_stream_compaction(
     ing.process_batch(docs.filter(F.col("doc_id") % 3 == 2), 2)
     got = sorted(map(_pair_key, ing.pairs(spark).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: compaction state machine vs a dict model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# op encoding: ("append", batch_id) | ("replay", slot) | ("compact", floor)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 9)),
+        st.tuples(st.just("replay"), st.integers(0, 9)),
+        st.tuples(st.just("compact"), st.integers(1, 4)),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ops=_OPS)
+def test_append_log_compaction_state_machine(spark, tmp_path_factory, ops):
+    """Any interleaving of appends, replayed appends, and compactions
+    keeps (1) the committed id set == a dict model, (2) the read content
+    == the model's rows, (3) every replay a no-op — the invariants the
+    r5 maintenance/replay bug violated."""
+    log = AppendLog(str(tmp_path_factory.mktemp("log")))
+    model: dict[int, int] = {}  # batch_id -> payload written FIRST
+    nxt = 0
+    for op, arg in ops:
+        if op == "append":
+            payload = nxt = nxt + 1
+            if arg not in model:
+                model[arg] = payload
+            log.append(
+                spark.createDataFrame([(arg, payload)], "b long, p long"),
+                "t", arg,
+            )
+        elif op == "replay" and arg in model:
+            # redelivery with DIFFERENT data must be ignored
+            log.append(
+                spark.createDataFrame([(arg, -1)], "b long, p long"), "t", arg
+            )
+        elif op == "compact":
+            log.compact(spark, "t", min_segments=arg)
+        assert sorted(log.committed("t")) == sorted(model)
+        if model:
+            got = {(r.b, r.p) for r in log.read(spark, "t").collect()}
+            assert got == set(model.items())
