@@ -838,3 +838,77 @@ def collocations(
     )
     w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    *,
+    discount: float = 0.75,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the count side of
+    training a KenLM-style n-gram LM on the corpus (perplexity filtering,
+    domain LM scoring a la CCNet):
+
+        P(w2|w1) = max(c(w1 w2) - d, 0)/c(w1 .)
+                   + (d * N1+(w1 .)/c(w1 .)) * (N1+(. w2)/N1+(. .))
+
+    with c(w1 .) = total bigrams starting w1 (not the raw unigram count —
+    a document's last token opens no bigram), N1+ the distinct-
+    continuation / distinct-context / distinct-type counts. Emits
+    (w1, w2, c, pkn) for pairs with c >= min_count.
+
+    Determinism: every census is an exact integer aggregate; the
+    probability is divisions/multiplications of those integers plus the
+    discount literal in one pinned parenthesization — no ln, no
+    accumulation-order hazard (the per-pair formula has a fixed number
+    of terms), so a SQL oracle replays it bit-for-bit.
+
+    Shape at scale: one explode into the bigram census (combinable
+    groupBy keyed (w1, w2)); the context/continuation censuses derive
+    from that census (groupBys keyed w1 / w2 — vocab-sized, never
+    corpus-sized); the type total reduces to one broadcast row. The
+    census feeds four consumers, so it is localCheckpoint'ed once."""
+    toks = tokens_col(text_col)
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bc = (
+        spread(df)
+        .select(F.explode_outer(pairs_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w1s = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    w2s = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1w2"))
+    tot = bc.agg(F.count(F.lit(1)).alias("n1all"))
+    d = float(discount)
+    c_d = F.col("c").cast("double")
+    c1_d = F.col("c1").cast("double")
+    pkn = (
+        F.greatest(c_d - F.lit(d), F.lit(0.0)) / c1_d
+    ) + (
+        (F.lit(d) * F.col("n1w1").cast("double")) / c1_d
+    ) * (
+        F.col("n1w2").cast("double") / F.col("n1all").cast("double")
+    )
+    return (
+        bc.filter(F.col("c") >= min_count)
+        .join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c", pkn.alias("pkn"))
+    )

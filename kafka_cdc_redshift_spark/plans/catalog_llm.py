@@ -2146,3 +2146,38 @@ def q_sim_hybrid_rrf(spark, sf_dir):
         F.col("r0").alias("lex_rnk"), F.col("r1").alias("dense_rnk"),
         "rrf", "rnk",
     )
+
+
+@_spec(
+    "text_kneser_ney",
+    "interpolated Kneser-Ney bigram LM estimation "
+    "(functions/text.kneser_ney_bigrams) — the count side of training a "
+    "KenLM-style n-gram model for perplexity filtering / CCNet-style "
+    "domain scoring. Continuation counts use c(w1 .) = total bigrams "
+    "opened by w1 (a doc's last token opens none); every census is an "
+    "exact integer aggregate and the probability is one pinned "
+    "parenthesization over them, so the oracle replays it bit-for-bit; "
+    "the bigram census feeds four derived censuses via one checkpoint",
+    f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+                 FROM base WHERE len(t) >= 2)),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    w1s AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                   count(*) AS n1w1 FROM bc GROUP BY 1),
+    w2s AS (SELECT w2, count(*) AS n1w2 FROM bc GROUP BY 1),
+    tot AS (SELECT count(*) AS n1all FROM bc)
+    SELECT bc.w1, bc.w2, bc.c,
+           ((greatest(CAST(bc.c AS DOUBLE) - 0.75, 0.0)
+             / CAST(w1s.c1 AS DOUBLE))
+            + (((0.75 * CAST(w1s.n1w1 AS DOUBLE)) / CAST(w1s.c1 AS DOUBLE))
+               * (CAST(w2s.n1w2 AS DOUBLE) / CAST(tot.n1all AS DOUBLE))))
+             AS pkn
+    FROM bc JOIN w1s ON w1s.w1 = bc.w1 JOIN w2s ON w2s.w2 = bc.w2
+    CROSS JOIN tot
+    WHERE bc.c >= 5""",
+)
+def q_text_kneser_ney(spark, sf_dir):
+    return text.kneser_ney_bigrams(
+        load_table(spark, sf_dir, "documents"), min_count=5
+    )

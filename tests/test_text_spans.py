@@ -137,3 +137,22 @@ def test_collocations_ranks_planted_pair_first(spark):
     assert top["lift"] == want  # exact: same integer-derived doubles
     assert all(r["n_pair"] >= 5 for r in got)
     assert not any(r["w1"] == "rare" for r in got)
+
+
+def test_kneser_ney_hand_values(spark):
+    """Exact KN probabilities on a hand-computable corpus, plus the
+    probability-mass invariant: summing P over OBSERVED continuations
+    of a context stays < 1 (the held-out mass is the smoothing)."""
+    from kafka_cdc_redshift_spark.functions import text as T
+
+    docs = spark.createDataFrame([(0, "a b a b a c")], "doc_id long, text string")
+    got = {(r.w1, r.w2): r for r in T.kneser_ney_bigrams(docs).collect()}
+    # bigrams: (a,b)x2, (b,a)x2, (a,c)x1
+    # c(a .)=3, c(b .)=2; N1+(a .)=2, N1+(b .)=1
+    # N1+(. b)=1, N1+(. a)=1, N1+(. c)=1; N1+(. .)=3
+    assert got[("a", "b")].pkn == (2 - 0.75) / 3 + ((0.75 * 2) / 3) * (1 / 3)
+    assert got[("a", "c")].pkn == (1 - 0.75) / 3 + ((0.75 * 2) / 3) * (1 / 3)
+    assert got[("b", "a")].pkn == (2 - 0.75) / 2 + ((0.75 * 1) / 2) * (1 / 3)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
+    mass_a = got[("a", "b")].pkn + got[("a", "c")].pkn
+    assert 0 < mass_a < 1
