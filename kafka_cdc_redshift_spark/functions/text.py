@@ -912,3 +912,66 @@ def kneser_ney_bigrams(
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c", pkn.alias("pkn"))
     )
+
+
+def lm_surprisal_flags(
+    df: DataFrame,
+    *,
+    threshold: float = 0.01,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-style quality filtering in a cross-engine-exact form:
+    score every document by how many of its bigrams are IMPROBABLE under
+    the corpus's own Kneser-Ney bigram LM. Emits (doc_id, n_bigrams,
+    n_surprising, surprise_ratio) — a doc full of low-probability
+    transitions (OCR noise, shuffled text, wrong language) scores high.
+
+    A mean log-prob (true perplexity) would sum doubles in arbitrary
+    order and need ln(); counting bigrams with P < threshold keeps every
+    aggregate an exact integer and the ratio one IEEE division — the
+    same decision boundary a perplexity filter thresholds, minus the
+    monotone transform.
+
+    Shape at scale: the doc-bigram relation joins the LM table keyed
+    (w1, w2) — the LM is vocab^2-bounded (far smaller than the corpus,
+    broadcastable for real vocabularies) — then one combinable groupBy
+    on doc_id. The LM itself reuses kneser_ney_bigrams (min_count=1 so
+    every observed bigram has a probability)."""
+    lm = kneser_ney_bigrams(
+        df, discount=discount, min_count=1, id_col=id_col, text_col=text_col
+    ).select("w1", "w2", "pkn")
+    toks = tokens_col(text_col)
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    db = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"), F.explode_outer(pairs_arr).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    return (
+        db.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("pkn") < threshold).cast("long")).alias(
+                "n_surprising"
+            ),
+            (
+                F.sum((F.col("pkn") < threshold).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("surprise_ratio"),
+        )
+    )

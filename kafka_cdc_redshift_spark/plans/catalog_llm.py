@@ -2181,3 +2181,42 @@ def q_text_kneser_ney(spark, sf_dir):
     return text.kneser_ney_bigrams(
         load_table(spark, sf_dir, "documents"), min_count=5
     )
+
+
+@_spec(
+    "text_lm_surprisal",
+    "perplexity-style filtering made cross-engine-exact "
+    "(functions/text.lm_surprisal_flags): per doc, the count and ratio "
+    "of bigrams improbable (P < 0.01) under the corpus's own Kneser-Ney "
+    "bigram LM — the same decision boundary a perplexity filter "
+    "thresholds, with every aggregate an exact integer. The LM table is "
+    "vocab^2-bounded and joins keyed (w1, w2); one combinable doc "
+    "groupBy closes it",
+    f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+                 FROM base WHERE len(t) >= 2)),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    w1s AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                   count(*) AS n1w1 FROM bc GROUP BY 1),
+    w2s AS (SELECT w2, count(*) AS n1w2 FROM bc GROUP BY 1),
+    tot AS (SELECT count(*) AS n1all FROM bc),
+    lm AS (SELECT bc.w1, bc.w2,
+                  ((greatest(CAST(bc.c AS DOUBLE) - 0.75, 0.0)
+                    / CAST(w1s.c1 AS DOUBLE))
+                   + (((0.75 * CAST(w1s.n1w1 AS DOUBLE))
+                       / CAST(w1s.c1 AS DOUBLE))
+                      * (CAST(w2s.n1w2 AS DOUBLE)
+                         / CAST(tot.n1all AS DOUBLE)))) AS pkn
+           FROM bc JOIN w1s ON w1s.w1 = bc.w1 JOIN w2s ON w2s.w2 = bc.w2
+           CROSS JOIN tot)
+    SELECT bi.doc_id, count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN lm.pkn < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_surprising,
+           CAST(sum(CASE WHEN lm.pkn < 0.01 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS surprise_ratio
+    FROM bi JOIN lm ON lm.w1 = bi.w1 AND lm.w2 = bi.w2
+    GROUP BY 1""",
+)
+def q_text_lm_surprisal(spark, sf_dir):
+    return text.lm_surprisal_flags(load_table(spark, sf_dir, "documents"))

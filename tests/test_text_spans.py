@@ -156,3 +156,18 @@ def test_kneser_ney_hand_values(spark):
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
     mass_a = got[("a", "b")].pkn + got[("a", "c")].pkn
     assert 0 < mass_a < 1
+
+
+def test_lm_surprisal_flags_shuffled_text_scores_higher(spark):
+    """A doc of rare transitions must out-score docs made of the
+    corpus's dominant bigram, and counts partition the doc's bigrams."""
+    from kafka_cdc_redshift_spark.functions import text as T
+
+    rows = [(i, "x y x y x y x y") for i in range(6)]
+    rows.append((100, "y x q z y q x z"))  # transitions the LM rarely saw
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.lm_surprisal_flags(docs, threshold=0.2).collect()}
+    assert got[100].surprise_ratio > max(got[i].surprise_ratio for i in range(6))
+    for r in got.values():
+        assert 0 <= r.n_surprising <= r.n_bigrams
+        assert r.surprise_ratio == r.n_surprising / r.n_bigrams
