@@ -341,7 +341,9 @@ class AppendLog:
 
         m = self._manifest(table)
         segs = self.segments(table)
-        if len(segs) < min_segments:
+        # floor of 2: a single segment is already compact — re-merging it
+        # every maintenance cycle would be pure rewrite churn
+        if len(segs) < max(2, min_segments):
             return None
         n = m.get("next_seg", 0)
         out = os.path.join(self.root, table, f"seg={n}")
