@@ -4,14 +4,15 @@ over an append-only document stream.
 The retrieval twin of `DedupIngest`/`AnnIngest`: each arriving batch's
 (doc_id, dl, term, tf) postings — BM25's ENTIRE index state, see
 functions/retrieval.term_freqs — append to a standing table through
-`AppendLog`'s atomic per-batch commit. Per-ingest cost is O(|batch|
-postings): the corpus is never re-tokenized, and the standing state is
-never rewritten. Document frequencies and corpus length stats are NOT
-materialized: they derive from the postings at query time in one
-aggregation each (both prunable to the query's terms / reducible to one
-row), which keeps the streamed state a single table and the df/avgdl
-values exactly consistent with the corpus at serve time — a df snapshot
-maintained incrementally would go stale between folds.
+`AppendLog`'s atomic per-batch commit, alongside a 1-row mergeable
+(n_docs, sum_dl) stats delta. Per-ingest cost is O(|batch| postings):
+the corpus is never re-tokenized, and the standing state is never
+rewritten. Document frequencies are NOT materialized: they aggregate
+from the QUERY-TERM-PRUNED postings at serve time (bm25_topk_from_stats
+prunes before the census), so df is always exactly corpus-consistent —
+a full df snapshot maintained incrementally would go stale between
+folds; corpus length constants fold from the O(#batches) stats rows,
+never a postings scan.
 
 Serving goes through `bm25_topk_from_stats`, the SAME code path the
 batch operator uses, so streamed top-k == one-shot `bm25_topk` over the
@@ -42,8 +43,10 @@ from .store import AppendLog
 class RetrievalIngest:
     """Stateful streaming BM25 indexer over an `AppendLog`.
 
-    State table (under `log.root`): `{name}_tf` — the postings relation,
-    one committed directory per ingested batch.
+    State tables (under `log.root`): `{name}_tf` — the postings
+    relation — and `{name}_stats` — 1-row-per-batch (n_docs, sum_dl)
+    deltas; one committed directory per ingested batch each, segment-
+    merged by `compact_state` on the maintenance cycle.
 
     Use from any micro-batch loop::
 
