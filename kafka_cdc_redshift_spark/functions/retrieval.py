@@ -6,16 +6,21 @@ exact n-gram containment, hard-negative mining against an embedding
 index). No reference-counterpart module — this extends the engine's
 similarity-search family (functions/similarity) to the lexical side.
 
-Shape at scale (the standard two-census + pruned-join BM25):
+Shape at scale (census + pruned-join BM25):
   * one explode -> groupBy (doc, term) shuffle for term frequencies
     (map-side partial aggs), carrying the map-side-computed doc length;
-  * document frequencies are derived from the tf relation (groupBy term,
-    map-side combinable) and immediately semi-pruned to the query terms —
-    the |vocab|-sized census never joins the corpus;
   * the query-term relation is tiny (|Q| * terms-per-query) and
-    broadcast: the corpus-sized tf relation is pruned to matching terms
-    by a broadcast hash join, so the only corpus-wide shuffles are the
-    two censuses;
+    broadcast: the postings prune to matching terms by a broadcast hash
+    join BEFORE anything aggregates or shuffles downstream;
+  * document frequencies aggregate from the PRUNED postings (identical
+    values — df per term is unchanged by dropping other terms); an
+    inner join on the grouping key does not push below an aggregation,
+    so a full-vocab census then a prune would scan-and-shuffle every
+    term per query batch;
+  * corpus constants (n_docs, sum_dl) reduce to one broadcast row —
+    precomputed incrementally by the streamed index
+    (streaming/retrieval_ingest) so serving never scans postings for
+    them;
   * per-(query, doc) scores fold in TERM order: float addition is not
     associative, and the lexicographic chain is what a SQL oracle can
     replay term-by-term (pivot columns + an explicit add chain — the
