@@ -66,6 +66,7 @@ _DRIVER_CHECK_FIRST = [
     "sim_hybrid_rrf",  # brand-new (lexical+dense reciprocal-rank fusion)
     "text_kneser_ney",  # brand-new (KN-smoothed bigram LM estimation)
     "text_lm_surprisal",  # brand-new (LM-based perplexity-filter decision)
+    "events_grouping_sets",  # brand-new (explicit GROUPING SETS)
     "curation_pipeline_v3",  # brand-new this round (composed curation)
     "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
     "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)

@@ -1281,3 +1281,36 @@ def q_events_kmv_sample_audit(spark, sf_dir):
              < F.lit(0.5)).alias("est_ok"),
         )
     )
+
+
+@_spec(
+    "events_grouping_sets",
+    "explicit non-hierarchical GROUPING SETS ((event_type), (hour), ()) "
+    "— two independent dimension rollups plus the grand total in ONE "
+    "shuffle, a shape neither CUBE nor ROLLUP expresses without "
+    "computing unwanted combinations; grouping id disambiguates the "
+    "all-NULL rows (DataFrame.groupingSets, Spark 4)",
+    """SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+              CAST(2 * grouping(event_type)
+                   + grouping(hour(ts)) AS INT) AS gid,
+              count(*) AS n,
+              CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())""",
+)
+def q_events_grouping_sets(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("int")
+    )
+    et, hr = F.col("event_type"), F.col("hr")
+    return (
+        ev.groupingSets([[et], [hr], []], et, hr)
+        .agg(
+            (F.lit(2) * F.grouping(et) + F.grouping(hr))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"), 18, 2)).cast("double").alias("sum_value"),
+        )
+        .select("event_type", "hr", "gid", "n", "sum_value")
+    )
