@@ -497,24 +497,43 @@ class VersionedAnnIndex:
         vectors), snapshot it into version N+1 under fresh centroids, and
         atomically flip the pointer. The watermark advances to the highest
         stream batch id the snapshot absorbed, so pre-swap replays are
-        skipped. Returns the new version."""
+        skipped. Returns the new version.
+
+        Crash-RETRY safe: the snapshot batch id encodes the watermark of
+        the absorbed corpus, so a retry after "snapshot committed, pointer
+        not flipped, more batches ingested into the old version" gets a
+        NEW id — has_batch cannot skip the re-snapshot and silently drop
+        the interim vectors — and the stale snapshot (a strict subset of
+        the fresh corpus) is retired first so the new version never holds
+        both. The absorbed ids are captured BEFORE the corpus read, so
+        the watermark can never cover a batch the snapshot missed."""
         ptr = self._pointer()
         if ptr is None:
             raise ValueError(f"index {self.name!r} has no published version")
         cur = self._index(ptr["version"])
+        old_ids = [
+            b for b in self.log.committed(cur.cells_table)
+            if isinstance(b, int)
+        ]
         corpus = self.log.read(spark, cur.cells_table)
         if corpus is None:
             raise ValueError(f"index {self.name!r} is empty")
         corpus = corpus.select(self.id_col, self.vec_col)
         new_version = ptr["version"] + 1
-        idx = self._bootstrap_or_recover(new_version, corpus)
-        idx.process_batch(corpus, self._SNAPSHOT)
-        old_ids = [
-            b for b in self.log.committed(cur.cells_table)
-            if isinstance(b, int)
-        ]
-        wm_parts = [b for b in old_ids]
+        wm_parts = list(old_ids)
         if ptr.get("watermark") is not None:
             wm_parts.append(ptr["watermark"])
-        self._flip(new_version, max(wm_parts) if wm_parts else None)
+        new_wm = max(wm_parts) if wm_parts else None
+        snap_id = f"{self._SNAPSHOT}:{new_wm}"
+        idx = self._bootstrap_or_recover(new_version, corpus)
+        for table in (idx.cells_table, idx.codes_table):
+            stale = [
+                b for b in self.log.committed(table)
+                if isinstance(b, str) and b.startswith(self._SNAPSHOT)
+                and b != snap_id
+            ]
+            if stale:
+                self.log.retire(table, stale)
+        idx.process_batch(corpus, snap_id)
+        self._flip(new_version, new_wm)
         return new_version

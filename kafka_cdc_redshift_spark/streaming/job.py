@@ -50,19 +50,43 @@ _ROUTE_PARSERS = {
     "CANAL-CDC": route_parse_canal,
 }
 
-#: per-format JSON paths of the routing keys (db, table, and for DMS the
-#: record-type whose 'control' rows routing drops) — used to take ONE
+#: per-format JSON paths + predicates of the ROUTING DECISION — not just
+#: the (db, table) keys: the census must apply every filter the fused
+#: parser applies (op-code isin, DMS control-record drop, Canal's
+#: non-empty data[] requirement), or a batch holding only e.g. a Canal
+#: DDL event for the table counts >0 while the parse comes back empty —
+#: and the rule would publish empty target versions / flip batch-id
+#: pointers for a batch that contributed nothing. Used to take ONE
 #: per-batch routing census instead of one isEmpty probe job per rule
 #: (the A1/A2 probe, redshift_sink.py:585). At a reference-shaped ~100-
 #: rule fan-out that is ~100 driver-side jobs per micro-batch replaced
 #: by one combinable count over the cached batch.
-_ROUTE_KEY_PATHS = {
-    "FLINK-CDC": ("$.source.db", "$.source.table", None),
-    "MSK-DEBEZIUM-CDC": ("$.source.db", "$.source.table", None),
-    "DMS-CDC": ("$.metadata.schema-name", "$.metadata.table-name",
-                "$.metadata.record-type"),
-    "CANAL-CDC": ("$.database", "$.table", None),
-    "MONGO-CDC": ("$.ns.db", "$.ns.coll", None),
+_ROUTE_CENSUS = {
+    "FLINK-CDC": {
+        "db": "$.source.db", "tb": "$.source.table",
+        "op": "$.op", "ops": ("c", "u", "d", "r"),
+    },
+    "MSK-DEBEZIUM-CDC": {
+        "db": "$.source.db", "tb": "$.source.table",
+        "op": "$.op", "ops": ("c", "u", "d", "r"),
+    },
+    "DMS-CDC": {
+        "db": "$.metadata.schema-name", "tb": "$.metadata.table-name",
+        "op": "$.metadata.operation",
+        "ops": ("load", "insert", "update", "delete"),
+        "ctl": "$.metadata.record-type",
+    },
+    "CANAL-CDC": {
+        "db": "$.database", "tb": "$.table",
+        "op": "$.type", "ops": ("INSERT", "UPDATE", "DELETE"),
+        # posexplode of data[] yields zero rows for empty/null/non-array
+        "array": "$.data",
+    },
+    "MONGO-CDC": {
+        "db": "$.ns.db", "tb": "$.ns.coll",
+        "op": "$.operationType",
+        "ops": ("insert", "update", "replace", "delete"),
+    },
 }
 
 
@@ -230,11 +254,22 @@ class CdcBatchProcessor:
         flagged = docs.select(
             "*", *[c.alias(n) for n, c in flags.items()]
         )
-        rejected = flagged.filter(~F.col("keep")).drop("keep")
+        # NULL-text policy: a non-delete image with NULL text evaluates
+        # every flag (and keep) to NULL, which both filters below would
+        # drop — the row would vanish from the pipeline with no audit
+        # trail. Coalesce keep to an explicit QUARANTINE decision, with
+        # `null_text` as the audit flag (the other flags are NULL, which
+        # is itself the "never measured" signal).
+        keep = F.coalesce(F.col("keep"), F.lit(False))
+        rejected = (
+            flagged.filter(~keep)
+            .withColumn("null_text", F.col("keep").isNull())
+            .drop("keep")
+        )
         self.store.publish_append(
             rejected, f"{rule.target_name}_rejected", batch_id
         )
-        passing = flagged.filter(F.col("keep")).drop(*flags.keys())
+        passing = flagged.filter(keep).drop(*flags.keys())
         if has_op:
             passing = passing.unionByName(parsed.filter(F.col("op") == "d"))
         return passing
@@ -242,25 +277,35 @@ class CdcBatchProcessor:
     # -- per-table task ----------------------------------------------------
     def _batch_route_counts(self, batch_df: DataFrame) -> dict | None:
         """One routing census for the whole batch: rows per (db, table)
-        under the format's routing keys, with DMS 'control' records
-        excluded exactly as the route predicate excludes them. Replaces
+        under the format's FULL routing decision — keys plus the fused
+        parser's op-code / control-record / non-empty-array predicates,
+        so a positive count genuinely implies a non-empty parse (a count
+        over keys alone would let an op-filtered-out event — a Canal DDL,
+        an unknown Debezium op — publish empty target versions). Replaces
         the per-rule isEmpty probe job for exact-match rules — at an
         N-rule fan-out, 1 job instead of N. Returns None for formats
-        without declared key paths (those rules keep the per-rule probe)."""
-        paths = _ROUTE_KEY_PATHS.get(self.cdc_format)
-        if paths is None:
+        without a declared census (those rules keep the per-rule probe)."""
+        spec = _ROUTE_CENSUS.get(self.cdc_format)
+        if spec is None:
             return None
-        db_p, tb_p, ctl_p = paths
         v = F.col("value")
-        cols = [
-            F.get_json_object(v, db_p).alias("__db"),
-            F.get_json_object(v, tb_p).alias("__tb"),
-        ]
-        df = batch_df.select(*cols) if ctl_p is None else (
-            batch_df.select(
-                *cols, F.get_json_object(v, ctl_p).alias("__ctl")
-            ).filter(F.col("__ctl") != "control")
-        )
+        df = batch_df.select(
+            F.get_json_object(v, spec["db"]).alias("__db"),
+            F.get_json_object(v, spec["tb"]).alias("__tb"),
+            F.get_json_object(v, spec["op"]).alias("__op"),
+            *(
+                [F.get_json_object(v, spec["ctl"]).alias("__ctl")]
+                if "ctl" in spec else []
+            ),
+            *(
+                [F.get_json_object(v, spec["array"]).alias("__arr")]
+                if "array" in spec else []
+            ),
+        ).filter(F.col("__op").isin(*spec["ops"]))
+        if "ctl" in spec:
+            df = df.filter(F.col("__ctl") != "control")
+        if "array" in spec:
+            df = df.filter(F.json_array_length("__arr") > 0)
         return {
             (r["__db"], r["__tb"]): r["cnt"]
             for r in df.groupBy("__db", "__tb")
@@ -308,8 +353,8 @@ class CdcBatchProcessor:
                 )
             if not precounted and parsed.isEmpty():
                 # the A1/A2 empty probe — only rules the census can't
-                # cover pay a probe job (route-matched rows are valid
-                # JSON for the routing keys, so a positive census count
+                # cover pay a probe job (the census applies the parser's
+                # op/control/array predicates too, so a positive count
                 # implies a non-empty parse)
                 return TaskStatus(rule.target_name, "no-data")
             parsed = apply_rule_conversions(parsed, rule)

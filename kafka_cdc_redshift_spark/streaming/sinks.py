@@ -156,6 +156,7 @@ def build_merge_sql(
     skip_delete: bool = False,
     bootstrap: bool = True,
     dialect: str = "redshift",
+    portable: bool = False,
 ) -> list[str]:
     """Transactional post-actions for one staged batch.
 
@@ -182,6 +183,13 @@ def build_merge_sql(
     unrefined WHEN NOT MATCHED clause — with delete images applied ahead
     of the merge (see _build_redshift_merge_sql); the restricted shape is
     also valid SQL:2008, so it is execution-tested live on Derby.
+
+    `portable` (redshift_merge only): False (default) emits the spellings
+    real Redshift runs — `WHERE 1 = 3` CTAS (Redshift CTAS has no WITH NO
+    DATA) and a transactional `DELETE FROM stage` cleanup (TRUNCATE
+    implicitly COMMITS on Redshift, breaking the BEGIN/END atomicity);
+    True keeps the SQL-standard spellings (WITH NO DATA CTAS, TRUNCATE)
+    the live Derby tests execute.
     """
     if dialect == "ansi_merge":
         return _build_ansi_merge_sql(
@@ -199,7 +207,7 @@ def build_merge_sql(
         return _build_redshift_merge_sql(
             target=target, stage=stage, columns=columns, keys=keys,
             op_col=op_col, delete_op=delete_op, skip_delete=skip_delete,
-            bootstrap=bootstrap,
+            bootstrap=bootstrap, portable=portable,
         )
     cols_no_op = [c for c in columns if c != op_col]  # op never lands (P5)
     collist = ", ".join(_q(c) for c in cols_no_op)
@@ -343,6 +351,7 @@ def _build_redshift_merge_sql(
     delete_op: str,
     skip_delete: bool,
     bootstrap: bool,
+    portable: bool,
 ) -> list[str]:
     """Redshift's RESTRICTED MERGE: the engine accepts exactly one
     WHEN MATCHED clause and one WHEN NOT MATCHED clause, neither with a
@@ -362,11 +371,17 @@ def _build_redshift_merge_sql(
     Under skip_delete, step 1 is skipped and delete images upsert like
     any row — identical semantics to the other dialects. The stage must
     be key-deduped (the pipeline lww_dedups before staging); a duplicate
-    key trips the engine's MERGE cardinality error. Bootstrap uses the
-    portable WITH-NO-DATA CTAS for the live Derby tests; on Redshift
-    itself the `redshift` dialect's `WHERE 1 = 3` CTAS is the native
-    spelling. The restricted MERGE is also valid SQL:2008, so the whole
-    statement list is execution-tested live on embedded Derby."""
+    key trips the engine's MERGE cardinality error.
+
+    `portable=False` (default — the spellings real Redshift runs):
+    `WHERE 1 = 3` / IF-NOT-EXISTS CTAS (Redshift CTAS rejects WITH NO
+    DATA) and a transactional `DELETE FROM stage` cleanup — on Redshift
+    TRUNCATE inside BEGIN/END implicitly COMMITS, which would silently
+    break the delete+merge atomicity this dialect exists to provide.
+    `portable=True` keeps the SQL-standard WITH-NO-DATA CTAS and
+    TRUNCATE: the restricted MERGE is valid SQL:2008, so that whole
+    statement list is execution-tested live on embedded Derby (which has
+    no WHERE-1=3 CTAS)."""
     cols_no_op = [c for c in columns if c != op_col]  # op never lands (P5)
     collist = ", ".join(_q(c) for c in cols_no_op)
     on = merge_condition(stage, target, keys)
@@ -379,6 +394,9 @@ def _build_redshift_merge_sql(
         stmts.append(
             f"CREATE TABLE {target} AS "
             f"SELECT {collist} FROM {stage} WITH NO DATA"
+            if portable else
+            f"CREATE TABLE IF NOT EXISTS {target} AS "
+            f"SELECT {collist} FROM {stage} WHERE 1 = 3"
         )
     stmts.append("BEGIN")
     if not skip_delete:
@@ -403,7 +421,12 @@ def _build_redshift_merge_sql(
         + ", ".join(f"{stage}.{_q(c)}" for c in cols_no_op)
         + ")"
     )
-    stmts.append(f"TRUNCATE TABLE {stage}")
+    # stage cleanup: DELETE is transactional on every engine; TRUNCATE
+    # implicitly commits on Redshift (kept only for the portable path,
+    # matching the other Derby-tested dialects)
+    stmts.append(
+        f"TRUNCATE TABLE {stage}" if portable else f"DELETE FROM {stage}"
+    )
     stmts.append("END")
     return stmts
 
@@ -414,7 +437,8 @@ class JdbcMergeSink:
                  batchsize: int = 10_000,
                  bulk: BulkLoadOptions | None = None,
                  dialect: str = "redshift",
-                 extra_jdbc_props: dict[str, str] | None = None):
+                 extra_jdbc_props: dict[str, str] | None = None,
+                 portable_sql: bool | None = None):
         self.url = url
         self.user = user
         self.password = password
@@ -435,6 +459,12 @@ class JdbcMergeSink:
         # forwarded to the Spark JDBC writer (e.g. createTableColumnTypes
         # to keep strings VARCHAR on engines whose default mapping is CLOB)
         self.extra_jdbc_props = dict(extra_jdbc_props or {})
+        # redshift_merge spelling choice (see build_merge_sql `portable`):
+        # None auto-detects — SQL-standard spellings for embedded Derby
+        # (the live test engine), Redshift-native spellings otherwise
+        self.portable_sql = (
+            "derby" in url.lower() if portable_sql is None else portable_sql
+        )
 
     def _props(self) -> dict[str, str]:
         return {
@@ -529,6 +559,7 @@ class JdbcMergeSink:
         stmts = build_merge_sql(
             target=table, stage=stage, columns=df.columns, keys=keys,
             skip_delete=skip_delete, dialect=self.dialect,
+            portable=self.portable_sql,
         )
         props = self._props()
         tolerant = self.dialect in (

@@ -21,6 +21,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _adhoc_batch_id() -> str:
+    """Unique id for an append with no stream batch identity (batch_id=
+    None callers): such appends have no replay to guard against, so they
+    must never collide — with each other or with a retired-then-reused
+    counter value (a folded id in `folded_batch_ids` would eat the
+    append)."""
+    import uuid
+
+    return f"adhoc-{uuid.uuid4().hex}"
+
+
 class ParquetTargetStore:
     def __init__(self, root: str):
         self.root = root
@@ -119,14 +130,19 @@ class ParquetTargetStore:
     def publish_append(self, rows: DataFrame, table: str, batch_id) -> None:
         """Append one batch's rows to `table` (delete-log shape: no keys,
         no resolution). Replay-guarded by the append manifest AND — so the
-        guard spans folds — by the base pointer's batch_id / folded_ids."""
+        guard spans folds — by the base pointer's batch_id / folded_ids.
+
+        batch_id=None (direct/process-style calls with no stream identity)
+        appends under a generated unique id: there is nothing to guard a
+        replay against, and committing the literal None would make every
+        LATER None-id append look like a replay and silently drop it."""
         log = self._append_log()
+        if batch_id is None:
+            log.append(rows, table, _adhoc_batch_id())
+            return
         if log.has_batch(table, batch_id) or (
-            batch_id is not None
-            and (
-                self.last_batch_id(table) == batch_id
-                or batch_id in self.folded_batch_ids(table)
-            )
+            self.last_batch_id(table) == batch_id
+            or batch_id in self.folded_batch_ids(table)
         ):
             return
         log.append(rows, table, batch_id)
@@ -543,7 +559,9 @@ class MergeOnReadTargetStore(ParquetTargetStore):
         re-reading an append delta whose rows were already folded into
         base is NOT a no-op (base ∪ delta duplicates every row), so the
         manifest guard alone — which the fold's retire erases — is not
-        enough."""
+        enough. batch_id=None appends under a generated unique id (no
+        stream identity -> no replay to guard; see the copy-on-write
+        store's publish_append)."""
         cfg = {"keys": None}
         prev = self._load_config(table)
         if prev is None:
@@ -556,6 +574,9 @@ class MergeOnReadTargetStore(ParquetTargetStore):
             raise ValueError(
                 f"table {table!r} is a keyed merge table, not an append table"
             )
+        if batch_id is None:
+            self._delta.append(rows, table, _adhoc_batch_id())
+            return
         if self.has_applied(table, batch_id):
             return
         self._delta.append(rows, table, batch_id)

@@ -369,3 +369,62 @@ def test_versioned_index_pq_codes_follow_rebuild(spark, emb, queries, tmp_path):
         for r in idx.pq_rerank(queries, k=3, shortlist=50).collect()
     )
     assert got_v1 == want_v1
+
+
+def test_versioned_index_rebuild_retry_after_crash_keeps_interim_batches(
+    spark, emb, queries, tmp_path
+):
+    """The r6 ADVICE medium: a rebuild that crashed AFTER committing its
+    v(N+1) corpus snapshot but BEFORE the pointer flip, followed by more
+    batches ingested into the still-current old version, then a RETRIED
+    rebuild. The retry must re-snapshot the now-larger corpus (the
+    snapshot id encodes the absorbed watermark, so has_batch cannot skip
+    it), retire the stale pre-crash snapshot (no duplicates), and set the
+    watermark to the ids actually absorbed."""
+    from kafka_cdc_redshift_spark.streaming.ann_ingest import VersionedAnnIndex
+
+    idx = VersionedAnnIndex(
+        AppendLog(str(tmp_path / "state")), name="vc",
+        n_centroids=4, drift_floor=1.1,
+    )
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    idx.process_batch(b0, 0)  # bootstraps v0
+    idx.process_batch(b1, 1)
+
+    # rebuild attempt #1: crash between the snapshot commit and the flip
+    orig_flip = idx._flip
+
+    def crash(version, watermark):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    idx._flip = crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.rebuild(spark)
+    idx._flip = orig_flip
+    assert idx.current_version() == 0  # pointer never flipped
+    # the crashed attempt left a committed v1 snapshot
+    v1 = idx._index(1)
+    stale = idx.log.read(spark, v1.cells_table)
+    assert stale is not None and stale.count() == b0.count() + b1.count()
+
+    # interim batch lands in the OLD version (pointer still points there)
+    idx.process_batch(b2, 2)
+
+    # the retried rebuild absorbs the interim batch
+    assert idx.rebuild(spark) == 1
+    assert idx.current_version() == 1
+    cells = idx.log.read(spark, idx.current().cells_table)
+    got_ids = sorted(r.vec_id for r in cells.select("vec_id").collect())
+    want_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert got_ids == want_ids  # nothing lost AND nothing duplicated
+
+    # the watermark covers the interim batch: its replay is skipped...
+    n = cells.count()
+    idx.process_batch(b2, 2)
+    assert idx.log.read(spark, idx.current().cells_table).count() == n
+    # ...but a genuinely new batch still ingests
+    idx.process_batch(b0.limit(0), 3)  # empty new batch commits fine
+    idx.process_batch(emb.filter(F.col("vec_id") % 50 == 7), 4)
+    assert idx.log.read(spark, idx.current().cells_table).count() > n

@@ -97,13 +97,14 @@ def test_merge_sql_redshift_merge_restricted_shape():
     i_merge = stmts.index(merge)
     assert i_del_t < i_del_s < i_merge
     assert "EXISTS" in stmts[i_del_t] and "= 'd'" in stmts[i_del_t]
-    assert stmts[-1] == "END" and "TRUNCATE TABLE st" in joined
-    # skip_delete: delete images upsert — no delete statements at all
+    assert stmts[-1] == "END"
+    # skip_delete: delete images upsert — no delete-image statements
+    # (the stage-cleanup DELETE remains; it carries no op predicate)
     skip = build_merge_sql(
         target="t", stage="s", columns=["pid", "op"], keys=["pid"],
         skip_delete=True, dialect="redshift_merge",
     )
-    assert not any(s.startswith("DELETE") for s in skip)
+    assert not any(s.startswith("DELETE") and "'d'" in s for s in skip)
     # all-key table still emits both (required) clauses via a no-op SET
     allkey = build_merge_sql(
         target="t", stage="s", columns=["pid", "op"], keys=["pid"],
@@ -111,6 +112,41 @@ def test_merge_sql_redshift_merge_restricted_shape():
     )
     m = next(s for s in allkey if s.startswith("MERGE"))
     assert 'UPDATE SET "pid" = s."pid"' in m
+
+
+def test_merge_sql_redshift_merge_spellings():
+    """The redshift_merge dialect's two spellings: the DEFAULT is what
+    real Redshift runs — `WHERE 1 = 3` CTAS (Redshift CTAS has no WITH
+    NO DATA) and a transactional `DELETE FROM stage` cleanup (TRUNCATE
+    inside BEGIN/END implicitly COMMITS on Redshift, silently breaking
+    the delete+merge atomicity); `portable=True` keeps the SQL-standard
+    spellings the live Derby tests execute."""
+    native = build_merge_sql(
+        target="product", stage="st",
+        columns=["pid", "pname", "op"], keys=["pid"],
+        dialect="redshift_merge",
+    )
+    nj = ";".join(native)
+    assert "WITH NO DATA" not in nj and "TRUNCATE" not in nj
+    assert native[0].startswith("CREATE TABLE IF NOT EXISTS product AS ")
+    assert native[0].endswith("WHERE 1 = 3")
+    # cleanup DELETE FROM st sits INSIDE the transaction, after the merge
+    i_merge = next(i for i, s in enumerate(native) if s.startswith("MERGE"))
+    assert native[i_merge + 1] == "DELETE FROM st"
+    assert native[i_merge + 2] == "END"
+
+    portable = build_merge_sql(
+        target="product", stage="st",
+        columns=["pid", "pname", "op"], keys=["pid"],
+        dialect="redshift_merge", portable=True,
+    )
+    pj = ";".join(portable)
+    assert "WITH NO DATA" in pj and "TRUNCATE TABLE st" in pj
+    assert "1 = 3" not in pj
+    # both spellings share the identical restricted MERGE statement
+    assert next(s for s in native if s.startswith("MERGE")) == next(
+        s for s in portable if s.startswith("MERGE")
+    )
 
 
 def test_merge_condition_multi_key():

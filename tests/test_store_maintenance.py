@@ -239,3 +239,122 @@ def test_quality_gate_quarantine_is_append_cost_under_cow(spark, tmp_path):
     assert store.current_version("documents_rejected") is None
     assert store.delta_count("documents_rejected") == 3
     assert store.read(spark, "documents_rejected").count() == 3
+
+
+def test_publish_append_none_batch_id_never_drops_rows(spark, tmp_path):
+    """The r6 ADVICE low: publish_append(batch_id=None) — direct/
+    process-style calls with no stream identity — must land EVERY call,
+    not commit the literal None and treat all later None-id appends as
+    replays (silently dropping them)."""
+    for mode, store in (
+        ("cow", ParquetTargetStore(str(tmp_path / "cow"))),
+        ("mor", MergeOnReadTargetStore(str(tmp_path / "mor"))),
+    ):
+        store.publish_append(_rows(spark, [(1, "a")]), "log", None)
+        store.publish_append(_rows(spark, [(2, "b")]), "log", None)
+        store.publish_append(_rows(spark, [(3, "c")]), "log", None)
+        assert store.read(spark, "log").count() == 3, mode
+        # folding the adhoc deltas keeps them all and later appends land
+        store.fold_deltas(spark, "log")
+        assert store.read(spark, "log").count() == 3, mode
+        store.publish_append(_rows(spark, [(4, "d")]), "log", None)
+        assert store.read(spark, "log").count() == 4, mode
+        # numbered stream batches still replay-guard as before
+        store.publish_append(_rows(spark, [(5, "e")]), "log", 9)
+        store.publish_append(_rows(spark, [(5, "e")]), "log", 9)
+        assert store.read(spark, "log").count() == 5, mode
+
+
+def test_quality_gate_null_text_quarantined_not_vanished(spark, tmp_path):
+    """The r6 ADVICE low: a non-delete image with NULL text evaluates
+    every gate flag to NULL — it must land in the quarantine with the
+    null_text audit flag, never silently vanish from BOTH channels."""
+    import json
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away with many other curious animals wandering nearby today")
+
+    def env(doc_id, text, op, ts):
+        return json.dumps({
+            "before": None,
+            "after": {"doc_id": doc_id, "text": text},
+            "source": {"db": "corpus", "table": "documents", "ts_ms": ts},
+            "op": op, "ts_ms": ts,
+        })
+
+    batch = spark.createDataFrame(
+        [(env(1, good, "c", 100),), (env(2, None, "c", 100),)],
+        "value string",
+    )
+    for mode, store in (
+        ("cow", ParquetTargetStore(str(tmp_path / "cow"))),
+        ("mor", MergeOnReadTargetStore(str(tmp_path / "mor"))),
+    ):
+        proc = CdcBatchProcessor(
+            spark,
+            [SyncRule(db="corpus", table="documents", primary_key=("doc_id",),
+                      quality_gate=True)],
+            store,
+        )
+        proc.process_batch(batch, 0)
+        tgt = {r.doc_id for r in store.read(spark, "documents").collect()}
+        assert tgt == {1}, mode  # the NULL-text image never lands
+        rej = store.read(spark, "documents_rejected").collect()
+        assert [(r.doc_id, r.null_text) for r in rej] == [(2, True)], mode
+
+
+def test_routing_census_applies_parser_predicates(spark, tmp_path):
+    """The r6 ADVICE low: the routing census must apply the fused
+    parser's op/record-type/array predicates, or a batch holding ONLY an
+    op-filtered event for a table (census>0, parse empty) publishes
+    empty target versions and flips pointers for a batch that
+    contributed nothing."""
+    import json
+
+    def dbz(table, op, pid):
+        return json.dumps({
+            "before": None, "after": {"pid": pid, "val": "x"},
+            "source": {"db": "d", "table": table, "ts_ms": 1},
+            "op": op, "ts_ms": 1,
+        })
+
+    rules = [
+        SyncRule(db="d", table="ta", primary_key=("pid",)),
+        SyncRule(db="d", table="tb", primary_key=("pid",)),
+    ]
+    store = ParquetTargetStore(str(tmp_path / "s"))
+    proc = CdcBatchProcessor(spark, rules, store)
+    # ta gets ONLY an unknown-op event (op-filtered by the parser);
+    # tb gets a real insert — two rules so the census path is active
+    batch = spark.createDataFrame(
+        [(dbz("ta", "x", 1),), (dbz("tb", "c", 2),)], "value string"
+    )
+    statuses = {s.table: s.status for s in proc.process_batch(batch, 0)}
+    assert statuses == {"ta": "no-data", "tb": "finished"}
+    assert not store.exists("ta")  # no empty version / pointer flip
+    assert store.read(spark, "tb").count() == 1
+
+    # CANAL: a type-filtered DDL-ish event and an empty-data[] event must
+    # both census to zero (posexplode of data[] yields no rows)
+    def canal(table, typ, data):
+        return json.dumps({
+            "database": "d", "table": table, "type": typ, "ts": 1,
+            "data": data, "pkNames": ["pid"],
+        })
+
+    cproc = CdcBatchProcessor(
+        spark,
+        [SyncRule(db="d", table="ca", primary_key=("pid",)),
+         SyncRule(db="d", table="cb", primary_key=("pid",))],
+        ParquetTargetStore(str(tmp_path / "c")),
+        cdc_format="CANAL-CDC",
+    )
+    cbatch = spark.createDataFrame(
+        [(canal("ca", "CREATE", None),),          # DDL: type-filtered
+         (canal("ca", "INSERT", []),),            # empty data[]
+         (canal("cb", "INSERT", [{"pid": 1, "val": "y"}]),)],
+        "value string",
+    )
+    cstat = {s.table: s.status for s in cproc.process_batch(cbatch, 0)}
+    assert cstat == {"ca": "no-data", "cb": "finished"}
+    assert not cproc.store.exists("ca")
