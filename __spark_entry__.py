@@ -48,45 +48,40 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 6 priority: the one brand-new query (the composed
-    # span-removal -> dedup -> decontaminate -> budget-mix pipeline),
-    # one query whose operator internals changed (text_gopher_filters:
-    # gopher_flags now delegates to the per-row gopher_flag_cols), then
-    # the 13 queries whose newest green driver row is r3-era — the
-    # VERDICT staleness limit — pinned explicitly so the ~50-row cap
-    # cannot squeeze them out. Everything after this list is ordered
-    # stalest-driver-row-first (see _stale_first) so rows keep rotating
-    # across the whole catalog.
-    "text_bm25_topk",  # brand-new (BM25 lexical retrieval)
-    "doc_dsir_weights",  # brand-new (bucketed DSIR importance weights)
-    "doc_importance_resample",  # brand-new (DSIR resampling half)
-    "text_vocab_growth",  # brand-new (Heaps'-law vocabulary curve)
-    "text_phrase_match",  # brand-new (positional-index phrase search)
-    "text_collocations",  # brand-new (lift-ranked phrase mining)
-    "sim_hybrid_rrf",  # brand-new (lexical+dense reciprocal-rank fusion)
-    "text_kneser_ney",  # brand-new (KN-smoothed bigram LM estimation)
-    "text_lm_surprisal",  # brand-new (LM-based perplexity-filter decision)
-    "events_grouping_sets",  # brand-new (explicit GROUPING SETS)
-    "curation_pipeline_v3",  # brand-new this round (composed curation)
-    "events_quantile_sketch_audit",  # brand-new (mergeable quantile sketch)
-    "events_topk_cms_audit",  # brand-new (mergeable Count-Min heavy hitters)
-    "events_kmv_sample_audit",  # brand-new (mergeable KMV uniform sample)
-    "doc_contamination_bloom",  # brand-new (bloom decontamination prescreen)
-    "sim_pq_rerank",  # brand-new (PQ shortlist + exact re-rank ANN)
-    "sim_ivf_recall",  # brand-new (ANN recall audit)
-    "text_gopher_filters",  # r3-stale AND refactored flag expressions
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q20_excess_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "sim_pair_hist",
-    "text_commonness",
-    "text_ngram_counts",
-    "text_pii_redact",
-    "text_repetition",
+    # round 7 priority: brand-new r7 queries first, then the 26 queries
+    # whose newest green driver row is r4-era — they hit the VERDICT's
+    # 2-round staleness limit this round, so the ~50-row cap must not
+    # squeeze them out. Everything after this list is ordered
+    # stalest-driver-row-first (see _stale_first), which rotates a
+    # maximal slice of the r5-era rows into the remaining slots.
+    # -- brand-new r7 queries (prepended as they land) --
+    # -- the 26 r4-era rows (2-round staleness limit at r7) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "events_anomaly_zscore",
+    "events_approx_distinct",
+    "events_asof_enrich",
+    "events_funnel",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_last_state",
+    "events_range_join",
+    "events_retention_cohort",
+    "events_rollup_totals",
+    "events_salted_agg",
+    "events_salted_join",
+    "events_sessionize",
+    "doc_pack_sequences",
+    "doc_sample_stratified",
+    "doc_source_mix",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "text_tfidf_topk",
 ]
 
 
