@@ -52,6 +52,7 @@ from ..functions.similarity import (
     pq_shortlist_rerank,
 )
 from .store import AppendLog
+from .tombstones import SEQ_COL, TombstoneSet, resolve_compact, stamp_seq
 
 _CENTROID_BATCH = "__centroids__"  # singleton "batch" id for the centroid table
 _CODEBOOK_BATCH = "__codebooks__"  # singleton "batch" id for the PQ codebooks
@@ -98,6 +99,7 @@ class AnnIngest:
         self.id_col = id_col
         self.vec_col = vec_col
         self.n_sub = n_sub
+        self._dead = TombstoneSet(log, name, id_col)
         if centroids is not None:
             if self.log.has_batch(self.centroids_table, _CENTROID_BATCH):
                 raise ValueError(
@@ -140,6 +142,10 @@ class AnnIngest:
     def codebooks_table(self) -> str:
         return f"{self.name}_codebooks"
 
+    @property
+    def dead_table(self) -> str:
+        return self._dead.table
+
     def centroids(self, spark: SparkSession) -> DataFrame:
         c = self.log.read(spark, self.centroids_table)
         if c is None:
@@ -149,19 +155,30 @@ class AnnIngest:
             )
         return c
 
-    def process_batch(self, batch_df: DataFrame, batch_id) -> None:
-        """Assign one micro-batch against the (broadcast) centroids and
-        append it to the index. O(|batch| x n_centroids) compute, zero
-        standing-state reads; a replayed batch is skipped via the log's
-        committed manifest."""
+    def process_batch(
+        self, batch_df: DataFrame, batch_id, *,
+        tombstones: DataFrame | None = None, seq=None,
+    ) -> None:
+        """Assign one micro-batch (its LWW-latest non-delete vectors)
+        against the (broadcast) centroids and append it to the index;
+        `tombstones` is the batch's updated/deleted id set (an update is
+        delete+insert: its old cell row and PQ code die, the new vector
+        re-assigns in this same batch). O(|batch| x n_centroids)
+        compute, zero standing-state reads; a replayed batch is skipped
+        via the log's committed manifest. `seq` overrides the row stamp
+        for non-integer batch ids (the rebuild snapshot)."""
         spark = batch_df.sparkSession
+        seq = batch_id if seq is None else seq
+        self._dead.append(tombstones, batch_id)
         if not self.log.has_batch(self.cells_table, batch_id):
             assigned = ivf_assign(
                 batch_df.select(self.id_col, self.vec_col),
                 self.centroids(spark),
                 n_cells=1, id_col=self.id_col, vec_col=self.vec_col,
             )
-            self.log.append(assigned, self.cells_table, batch_id)
+            self.log.append(
+                stamp_seq(assigned, seq), self.cells_table, batch_id
+            )
         # PQ codes ride the same batch, guarded SEPARATELY: a crash
         # between the two appends replays into "cells committed, codes
         # not", and an early-return on the cells guard would lose the
@@ -174,17 +191,26 @@ class AnnIngest:
                 batch_df.select(self.id_col, self.vec_col), cbs,
                 n_sub=self.n_sub, id_col=self.id_col, vec_col=self.vec_col,
             )
-            self.log.append(codes, self.codes_table, batch_id)
+            self.log.append(
+                stamp_seq(codes, seq), self.codes_table, batch_id
+            )
+
+    def live_cells(self, spark: SparkSession) -> DataFrame | None:
+        """The LIVE (id, vec, cell) index relation — tombstone-resolved,
+        or None before the first ingest."""
+        c = self._dead.resolve(spark, self.log.read(spark, self.cells_table))
+        return None if c is None else c.drop(SEQ_COL)
 
     def topk(
         self, queries: DataFrame, *, k: int = 3, nprobe: int = 2
     ) -> DataFrame:
         """ANN top-k for a query batch against the standing index —
-        identical results to batch `ivf_topk` over the same corpus and
-        centroids (tested), without ever re-assigning the corpus."""
+        identical results to batch `ivf_topk` over the same live corpus
+        and centroids (tested through updates and deletes), without ever
+        re-assigning the corpus."""
         spark = queries.sparkSession
         return ivf_topk_from_cells(
-            self.log.read(spark, self.cells_table),
+            self.live_cells(spark),
             queries, self.centroids(spark),
             k=k, nprobe=nprobe, id_col=self.id_col, vec_col=self.vec_col,
         )
@@ -199,18 +225,18 @@ class AnnIngest:
         (tested). Requires the index to have been built with
         `codebooks=`."""
         spark = queries.sparkSession
-        codes = self.log.read(spark, self.codes_table)
+        codes = self._dead.resolve(
+            spark, self.log.read(spark, self.codes_table)
+        )
         cbs = self.log.read(spark, self.codebooks_table)
         if codes is None or cbs is None:
             raise ValueError(
                 f"index {self.name!r} has no PQ codes — construct "
                 "AnnIngest with codebooks= first"
             )
-        emb = self.log.read(spark, self.cells_table).select(
-            self.id_col, self.vec_col
-        )
+        emb = self.live_cells(spark).select(self.id_col, self.vec_col)
         return pq_shortlist_rerank(
-            codes, emb, queries, cbs, k=k, shortlist=shortlist,
+            codes.drop(SEQ_COL), emb, queries, cbs, k=k, shortlist=shortlist,
             id_col=self.id_col, vec_col=self.vec_col, n_sub=self.n_sub,
         )
 
@@ -232,8 +258,9 @@ class AnnIngest:
         mean -> collect back to k x d rows via a cell-local sort — all
         broadcast-sized after the agg). Low `mean_sim` cells are where
         recall is silently dying; schedule a rebuild when the sized-
-        weighted similarity drops below the operator's floor."""
-        cells = self.log.read(spark, self.cells_table)
+        weighted similarity drops below the operator's floor. Measured
+        over the LIVE rows — dead vectors must not pull the means."""
+        cells = self.live_cells(spark)
         if cells is None:
             raise ValueError(f"index {self.name!r} is empty")
         dims = (
@@ -271,13 +298,22 @@ class AnnIngest:
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8
     ) -> None:
-        """Merge the per-batch cell (and PQ code) directories
-        (maintenance): the serving scans otherwise pay one list-read per
-        ingested batch forever. Committed batch ids survive compaction,
-        so replay skipping is unaffected; centroids/codebooks are
+        """Merge the per-batch cell (and PQ code) directories AND fold
+        the tombstones (maintenance): the serving scans otherwise pay
+        one list-read per ingested batch forever, and with churn the
+        dead vectors/codes physically drop before the fully-applied
+        tombstones truncate. Committed batch ids survive compaction, so
+        replay skipping is unaffected; centroids/codebooks are
         single-segment by construction and never qualify."""
-        self.log.compact(spark, self.cells_table, min_segments=min_segments)
-        self.log.compact(spark, self.codes_table, min_segments=min_segments)
+        resolve_compact(
+            self.log, spark, self.cells_table, self._dead,
+            min_segments=min_segments,
+        )
+        resolve_compact(
+            self.log, spark, self.codes_table, self._dead,
+            min_segments=min_segments,
+        )
+        self._dead.truncate(spark)
 
 
 class VersionedAnnIndex:
@@ -446,17 +482,24 @@ class VersionedAnnIndex:
             )
         return reduce(lambda a, b: a.unionByName(b), parts)
 
-    def process_batch(self, batch_df: DataFrame, batch_id) -> None:
+    def process_batch(
+        self, batch_df: DataFrame, batch_id, *,
+        tombstones: DataFrame | None = None,
+    ) -> None:
         ptr = self._pointer()
         if ptr is None:
             idx = self._bootstrap_or_recover(0, batch_df)
-            idx.process_batch(batch_df, batch_id)
+            idx.process_batch(batch_df, batch_id, tombstones=tombstones)
             self._flip(0, watermark=None)
             return
         wm = ptr.get("watermark")
         if wm is not None and isinstance(batch_id, int) and batch_id <= wm:
             return  # replay of a batch a rebuild snapshot already absorbed
-        self._index(ptr["version"]).process_batch(batch_df, batch_id)
+            # (its tombstones too: the snapshot was cut from the RESOLVED
+            # corpus, so their effect is already materialized)
+        self._index(ptr["version"]).process_batch(
+            batch_df, batch_id, tombstones=tombstones
+        )
 
     # -- serving / maintenance ----------------------------------------------
     def topk(self, queries: DataFrame, *, k: int = 3, nprobe: int = 2):
@@ -515,7 +558,9 @@ class VersionedAnnIndex:
             b for b in self.log.committed(cur.cells_table)
             if isinstance(b, int)
         ]
-        corpus = self.log.read(spark, cur.cells_table)
+        # snapshot the LIVE corpus: tombstoned (updated/deleted) vectors
+        # must not be resurrected into the new version
+        corpus = cur.live_cells(spark)
         if corpus is None:
             raise ValueError(f"index {self.name!r} is empty")
         corpus = corpus.select(self.id_col, self.vec_col)
@@ -534,6 +579,6 @@ class VersionedAnnIndex:
             ]
             if stale:
                 self.log.retire(table, stale)
-        idx.process_batch(corpus, snap_id)
+        idx.process_batch(corpus, snap_id, seq=new_wm if new_wm else 0)
         self._flip(new_version, new_wm)
         return new_version

@@ -1,5 +1,6 @@
 """Streaming near-duplicate ingest: incremental MinHash-LSH dedup of a
-document stream against the standing corpus, doc-free.
+CDC document stream — inserts, UPDATES, and DELETES — against the
+standing corpus, doc-free.
 
 This is the crawl-ingest shape the batch operators in
 `functions/dedup_text.py` were built for, wired into a micro-batch loop:
@@ -8,18 +9,26 @@ each arriving batch is
   1. deduped AGAINST THE CORPUS via `minhash_lsh_incremental` in doc-free
      mode — the corpus is represented only by its persisted band index
      ((doc_id, band, bkey)) and shingle sketches ((doc_id, sh_set)); the
-     original corpus text is never re-read, let alone re-signed,
+     original corpus text is never re-read, let alone re-signed. The
+     corpus view is TOMBSTONE-RESOLVED (streaming/tombstones.py): a
+     batch never pairs against the superseded bands of a document it —
+     or an earlier batch — updated or deleted,
   2. deduped WITHIN ITSELF via `minhash_lsh_pairs` (the incremental
      operator's contract is strictly batch-vs-corpus; skipping this would
      silently admit intra-batch near-dups),
   3. folded into the corpus state: its band rows and sketches APPEND to
      the standing tables through `AppendLog`'s atomic per-batch commit —
-     O(|batch|) written per ingest, the standing state never rewritten.
+     O(|batch|) written per ingest, the standing state never rewritten
+     on the hot path — and its updated/deleted keys land as O(|batch|)
+     tombstones, applied lazily at read and physically at
+     `compact_state` (the merge-on-read fold).
 
 Replaying the stream batch-by-batch reports EXACTLY the pair set of a
-one-shot `minhash_lsh_pairs` rebuild over the full corpus (every cross-
+one-shot `minhash_lsh_pairs` rebuild over the FINAL corpus (every cross-
 batch pair is found by the later doc's ingest step, every within-batch
-pair by step 2 — tested e2e), and re-processing a batch after a
+pair by step 2, and a pair dies with the update/delete of either side —
+its current images re-pair on ingest if still similar; tested e2e with
+mid-stream updates and deletes), and re-processing a batch after a
 checkpoint retry is a no-op via the log's committed-batch manifest
 (at-least-once foreachBatch -> exactly-once state, the same pattern as
 the SCD2 history's transactional batch_id).
@@ -28,8 +37,9 @@ Scale shape: per-ingest cost is proportional to the batch plus its
 matches. The candidate join hits the index on (band, bkey) — store the
 index bucketed on those keys (BucketedTargetStore regime, plan-tested in
 tests/test_curation.py) and only the batch's bands move; sketches are
-fetched semi-joined to candidate ids only. Hot buckets are capped at
-index-build time (`max_bucket`), bounding the worst reducer.
+fetched semi-joined to candidate ids only; the tombstone max-join is
+churn-sized between folds. Hot buckets are capped at index-build time
+(`max_bucket`), bounding the worst reducer.
 
 There is no reference analog: the reference pipeline
 (cdc_util/redshift_sink.py) moves rows; corpus curation is engine-native
@@ -48,6 +58,15 @@ from ..functions.dedup_text import (
     shingle_sketches,
 )
 from .store import AppendLog
+from .tombstones import (
+    SEQ_COL,
+    TombstoneSet,
+    frozen_before,
+    resolve,
+    resolve_compact,
+    stamp_seq,
+    tombstone_rows,
+)
 
 
 class DedupIngest:
@@ -55,7 +74,8 @@ class DedupIngest:
 
     State tables (under `log.root`): `{name}_bands` (the corpus band
     index), `{name}_sketches` (verification sketches), `{name}_pairs`
-    (every near-dup pair ever reported, with the batch that found it).
+    (near-dup pairs with the batch that found them), `{name}_dead`
+    (tombstones for updated/deleted docs).
 
     Use from any micro-batch loop::
 
@@ -65,8 +85,9 @@ class DedupIngest:
         )
 
     or through the CDC shell's per-rule `dedup_ingest` flag
-    (streaming/job.py), which feeds it each batch's parsed non-delete
-    images.
+    (streaming/job.py), which feeds it each batch's LWW-latest non-delete
+    images plus the updated/deleted keys as `tombstones=`. Without a
+    tombstone feed the behavior is the original append-only contract.
     """
 
     def __init__(
@@ -93,6 +114,7 @@ class DedupIngest:
         self.threshold = threshold
         self.max_bucket = max_bucket
         self.within_batch = within_batch
+        self._dead = TombstoneSet(log, name, "doc_id")
 
     @property
     def bands_table(self) -> str:
@@ -106,6 +128,10 @@ class DedupIngest:
     def pairs_table(self) -> str:
         return f"{self.name}_pairs"
 
+    @property
+    def dead_table(self) -> str:
+        return self._dead.table
+
     def _lsh_kwargs(self) -> dict:
         return dict(
             id_col=self.id_col, text_col=self.text_col, n=self.n,
@@ -113,16 +139,38 @@ class DedupIngest:
             threshold=self.threshold, max_bucket=self.max_bucket,
         )
 
-    def process_batch(self, batch_df: DataFrame, batch_id) -> None:
-        """Dedup one micro-batch against the corpus and fold it in.
+    def _corpus_view(self, spark: SparkSession, table: str, batch_id,
+                     own_tombs: DataFrame | None):
+        """The LIVE corpus state this batch dedups against, frozen to
+        earlier batches (retry-deterministic even after a partial
+        commit) and with this batch's OWN tombstones applied — a batch
+        that updates a document must not pair the new image against the
+        document's superseded bands."""
+        state = frozen_before(self.log.read(spark, table), batch_id)
+        tombs = frozen_before(self._dead.read(spark), batch_id)
+        if own_tombs is not None:
+            own = tombstone_rows(own_tombs, "doc_id", batch_id)
+            tombs = own if tombs is None else tombs.unionByName(own)
+        live = resolve(state, tombs, "doc_id")
+        return None if live is None else live.drop(SEQ_COL)
 
-        Commit order matters for at-least-once safety: pairs, then bands,
-        then sketches — the SKETCH commit is the batch's "fully landed"
-        marker (checked first), and every step is idempotent per
-        batch_id, so a crash anywhere mid-sequence is healed by the
-        retry re-running the remaining steps against unchanged corpus
-        state (the batch's own bands only become corpus AFTER its pairs
-        are computed, so a retry never pairs the batch with itself).
+    def process_batch(
+        self, batch_df: DataFrame, batch_id, *,
+        tombstones: DataFrame | None = None,
+    ) -> None:
+        """Dedup one micro-batch (its LWW-latest non-delete images)
+        against the live corpus and fold it in; `tombstones` is the
+        batch's updated/deleted id set (an update is delete+insert: its
+        old bands/sketches die, its new image re-signs and re-pairs in
+        this same batch).
+
+        Commit order matters for at-least-once safety: tombstones, then
+        pairs, then bands, then sketches — the SKETCH commit is the
+        batch's "fully landed" marker (checked first), and every step is
+        idempotent per batch_id. A crash anywhere mid-sequence heals on
+        retry because each recomputation runs against corpus state
+        FROZEN to earlier batches (the batch's own partial commits are
+        excluded by seq), so the retry derives identical pairs.
         """
         if self.log.has_batch(self.sketches_table, batch_id):
             return  # replayed batch: state already fully committed
@@ -130,10 +178,19 @@ class DedupIngest:
         # several consumers (cross pairs, within pairs, bands, sketches)
         # — materialize the rate-limited batch once
         batch = batch_df.select(self.id_col, self.text_col).localCheckpoint()
+        if tombstones is not None:
+            tombstones = tombstones.select(
+                F.col(self.id_col).alias("doc_id")
+            ).distinct().localCheckpoint()
+        self._dead.append(tombstones, batch_id)
 
         kw = self._lsh_kwargs()
-        index = self.log.read(spark, self.bands_table)
-        sketches = self.log.read(spark, self.sketches_table)
+        index = self._corpus_view(
+            spark, self.bands_table, batch_id, tombstones
+        )
+        sketches = self._corpus_view(
+            spark, self.sketches_table, batch_id, tombstones
+        )
         pairs = None
         if index is not None and sketches is not None:
             cross = minhash_lsh_incremental(
@@ -151,36 +208,86 @@ class DedupIngest:
             pairs = intra if pairs is None else pairs.unionByName(intra)
         if pairs is not None:
             self.log.append(
-                pairs.withColumn("found_by_batch", F.lit(batch_id)),
+                stamp_seq(
+                    pairs.withColumn("found_by_batch", F.lit(batch_id)),
+                    batch_id,
+                ),
                 self.pairs_table, batch_id,
             )
         self.log.append(
-            lsh_band_index(
-                batch, id_col=self.id_col, text_col=self.text_col, n=self.n,
-                num_hashes=self.num_hashes, band_size=self.band_size,
-                max_bucket=self.max_bucket,
+            stamp_seq(
+                lsh_band_index(
+                    batch, id_col=self.id_col, text_col=self.text_col,
+                    n=self.n, num_hashes=self.num_hashes,
+                    band_size=self.band_size, max_bucket=self.max_bucket,
+                ),
+                batch_id,
             ),
             self.bands_table, batch_id,
         )
         self.log.append(
-            shingle_sketches(
-                batch, id_col=self.id_col, text_col=self.text_col, n=self.n
+            stamp_seq(
+                shingle_sketches(
+                    batch, id_col=self.id_col, text_col=self.text_col,
+                    n=self.n,
+                ),
+                batch_id,
             ),
             self.sketches_table, batch_id,
         )
 
+    def _resolve_pairs(
+        self, pairs: DataFrame | None, tombs: DataFrame | None
+    ) -> DataFrame | None:
+        """A pair is live iff NEITHER side was updated/deleted after the
+        batch that found it (a pair found at seq s used both docs'
+        current images — a later tombstone on either side supersedes it;
+        if the new images still match, the updating batch re-found the
+        pair at its own seq)."""
+        if pairs is None or tombs is None:
+            return pairs
+        tmax = tombs.groupBy("doc_id").agg(F.max(SEQ_COL).alias("__ds"))
+        for side in ("doc_a", "doc_b"):
+            t = tmax.select(
+                F.col("doc_id").alias(side), F.col("__ds").alias(f"__ds_{side}")
+            )
+            pairs = pairs.join(t, side, "left").filter(
+                F.col(f"__ds_{side}").isNull()
+                | (F.col(SEQ_COL) >= F.col(f"__ds_{side}"))
+            ).drop(f"__ds_{side}")
+        return pairs
+
     def pairs(self, spark: SparkSession) -> DataFrame | None:
-        """All near-dup pairs reported so far (doc_a < doc_b, jaccard,
-        found_by_batch)."""
-        return self.log.read(spark, self.pairs_table)
+        """The near-dup pairs of the LIVE corpus (doc_a < doc_b, jaccard,
+        found_by_batch) — matches a one-shot rebuild over the final
+        corpus: pairs involving superseded or deleted images are
+        resolved away."""
+        p = self._resolve_pairs(
+            self.log.read(spark, self.pairs_table), self._dead.read(spark)
+        )
+        return None if p is None else p.drop(SEQ_COL)
 
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8
     ) -> None:
-        """Merge the per-batch state directories (maintenance): without
-        this the band index / sketches / pairs accrue one directory per
-        ingested batch forever and every candidate join pays N
-        list-reads. AppendLog.compact keeps the committed-batch ids, so
+        """Merge the per-batch state directories AND fold the tombstones
+        (maintenance): without this the band index / sketches / pairs
+        accrue one directory per ingested batch forever and every
+        candidate join pays N list-reads; with churn, dead bands/
+        sketches/pairs physically drop and the fully-applied tombstones
+        truncate. AppendLog.compact keeps the committed-batch ids, so
         replays after maintenance are still skipped."""
-        for t in (self.bands_table, self.sketches_table, self.pairs_table):
-            self.log.compact(spark, t, min_segments=min_segments)
+        for t in (self.bands_table, self.sketches_table):
+            resolve_compact(
+                self.log, spark, t, self._dead, min_segments=min_segments
+            )
+        dead = self._dead.read(spark)
+        if dead is None or dead.isEmpty():
+            self.log.compact(spark, self.pairs_table,
+                             min_segments=min_segments)
+        else:
+            self.log.compact(
+                spark, self.pairs_table, min_segments=1,
+                transform=lambda df: self._resolve_pairs(df, dead),
+            )
+        self._dead.truncate(spark)

@@ -682,44 +682,55 @@ class CdcBatchProcessor:
                         bb if prev_b is None else merge_blooms(prev_b, bb),
                         btable, batch_id=batch_id,
                     )
-            if rule.dedup_ingest:
-                # streaming near-dup ingest (streaming/dedup_ingest.py):
-                # the batch's non-delete images are deduped against the
-                # standing corpus (doc-free: persisted band index +
-                # sketches) and within themselves, then appended to the
-                # corpus state. Replay-idempotent via the AppendLog's
-                # committed-batch manifest.
+            if rule.dedup_ingest or rule.bm25_ingest or rule.ann_ingest:
+                # CDC-correct ingest feed for the derived-state family:
+                # the batch's LWW-LATEST image per key (a micro-batch
+                # routinely carries several images of one pk — only the
+                # final state may index), plus the batch's updated/
+                # deleted keys as TOMBSTONES (an update is delete+insert
+                # for per-doc derived state: the old postings/bands/
+                # vectors die, the new image re-indexes in this same
+                # batch). All three ingests apply the merge-on-read
+                # tombstone pattern (streaming/tombstones.py); replay-
+                # idempotent via each log's committed-batch manifest.
+                images = lww_dedup(parsed, list(rule.primary_key), order)
+                has_op = "op" in images.columns
                 docs = (
-                    parsed.filter(F.col("op") != "d")
-                    if "op" in parsed.columns else parsed
+                    images.filter(F.col("op") != "d") if has_op else images
                 )
-                self._dedup_ingestor(rule).process_batch(docs, batch_id)
-            if rule.bm25_ingest:
-                # streaming BM25 index ingest (streaming/retrieval_ingest):
-                # append the batch's postings to the standing inverted
-                # index — O(|batch|) written, the corpus never
-                # re-tokenized. Replay-idempotent via the AppendLog's
-                # committed-batch manifest.
-                docs = (
-                    parsed.filter(F.col("op") != "d")
-                    if "op" in parsed.columns else parsed
+                tombs = (
+                    images.filter(F.col("op").isin("u", "d"))
+                    .select(rule.primary_key[0])
+                    if has_op else None
                 )
-                self._bm25_ingestor(rule).process_batch(docs, batch_id)
-            if rule.ann_ingest:
-                # streaming ANN ingest (streaming/ann_ingest.py): assign
-                # the batch's non-delete vectors against the persisted
-                # centroids and append to the standing IVF index —
-                # O(|batch| x k), the corpus never re-assigned. The first
-                # batch bootstraps (trains + persists) the centroids;
-                # drift-triggered rebuilds ride the maintenance cycle.
-                vecs = (
-                    parsed.filter(F.col("op") != "d")
-                    if "op" in parsed.columns else parsed
-                )
-                self._ann_ingestor(rule).process_batch(
-                    vecs.select(rule.primary_key[0], rule.ann_vec_column),
-                    batch_id,
-                )
+                if rule.dedup_ingest:
+                    # streaming near-dup ingest (streaming/dedup_ingest):
+                    # deduped against the LIVE standing corpus (doc-free:
+                    # persisted band index + sketches) and within itself,
+                    # then folded into the corpus state
+                    self._dedup_ingestor(rule).process_batch(
+                        docs, batch_id, tombstones=tombs
+                    )
+                if rule.bm25_ingest:
+                    # streaming BM25 ingest (streaming/retrieval_ingest):
+                    # postings append O(|batch|), the corpus never
+                    # re-tokenized; churn rides the tombstone fold
+                    self._bm25_ingestor(rule).process_batch(
+                        docs, batch_id, tombstones=tombs
+                    )
+                if rule.ann_ingest:
+                    # streaming ANN ingest (streaming/ann_ingest.py):
+                    # assign the batch's vectors against the persisted
+                    # centroids and append to the standing IVF index —
+                    # O(|batch| x k), the corpus never re-assigned. The
+                    # first batch bootstraps the centroids; drift
+                    # rebuilds ride the maintenance cycle.
+                    self._ann_ingestor(rule).process_batch(
+                        docs.select(
+                            rule.primary_key[0], rule.ann_vec_column
+                        ),
+                        batch_id, tombstones=tombs,
+                    )
             if rule.save_delete or rule.only_save_delete:
                 dels = latest_deletes(parsed, list(rule.primary_key), order)
                 dtable = f"{rule.target_name}_delete"  # redshift_sink.py:242-253

@@ -1,30 +1,42 @@
 """Streaming BM25 inverted-index ingest: incremental lexical retrieval
-over an append-only document stream.
+over a CDC document stream — inserts, UPDATES, and DELETES.
 
 The retrieval twin of `DedupIngest`/`AnnIngest`: each arriving batch's
 (doc_id, dl, term, tf) postings — BM25's ENTIRE index state, see
 functions/retrieval.term_freqs — append to a standing table through
-`AppendLog`'s atomic per-batch commit, alongside a 1-row mergeable
-(n_docs, sum_dl) stats delta. Per-ingest cost is O(|batch| postings):
-the corpus is never re-tokenized, and the standing state is never
-rewritten. Document frequencies are NOT materialized: they aggregate
-from the QUERY-TERM-PRUNED postings at serve time (bm25_topk_from_stats
-prunes before the census), so df is always exactly corpus-consistent —
-a full df snapshot maintained incrementally would go stale between
-folds; corpus length constants fold from the O(#batches) stats rows,
-never a postings scan.
+`AppendLog`'s atomic per-batch commit, alongside a per-doc (doc_id, dl)
+relation and a 1-row mergeable (n_docs, sum_dl) stats delta. Per-ingest
+cost is O(|batch| postings): the corpus is never re-tokenized, and the
+standing state is never rewritten on the hot path. Document frequencies
+are NOT materialized: they aggregate from the QUERY-TERM-PRUNED postings
+at serve time (bm25_topk_from_stats prunes before the census), so df is
+always exactly corpus-consistent; corpus length constants fold from the
+O(#batches) stats rows, never a postings scan.
+
+Updates and deletes ride the merge-on-read tombstone pattern
+(streaming/tombstones.py): a batch's updated/deleted doc ids land as
+O(|batch|) `(doc_id, __seq)` tombstones; every state row carries the
+`__seq` of its writing batch; serving resolves lazily (a posting is live
+iff no newer tombstone covers its doc) and `compact_state` physically
+drops dead rows, then truncates the fully-applied tombstones. The
+(n_docs, sum_dl) stats deltas stay exactly corpus-consistent through
+churn: a tombstone batch subtracts the PRIOR live dl of its keys —
+looked up against the state frozen to earlier batches, so a checkpoint
+retry recomputes the identical delta even after a partial commit.
 
 Serving goes through `bm25_topk_from_stats`, the SAME code path the
 batch operator uses, so streamed top-k == one-shot `bm25_topk` over the
-concatenated corpus exactly (tested), and replays are no-ops via the
-log's committed-batch manifest (at-least-once foreachBatch ->
-exactly-once index state).
+FINAL corpus exactly (tested with updates and deletes mid-stream), and
+replays are no-ops via the log's committed-batch manifest
+(at-least-once foreachBatch -> exactly-once index state).
 
 Scale shape: at 100 TB the postings table is the classic sharded
 inverted index — store it partitioned/bucketed by term and a query's
 broadcast term set prunes to the matching shards; per-batch appends are
 new postings files within each term bucket, exactly how Lucene-style
-segment ingest maps onto a lakehouse table.
+segment ingest maps onto a lakehouse table, and the tombstone resolve
+is the standard doc-id-join "deleted docs bitset" those engines apply
+at collection time.
 
 No reference analog: the reference pipeline moves rows; retrieval is
 engine-native surface on the same streaming shell (streaming/job.py).
@@ -38,15 +50,18 @@ from pyspark.sql import functions as F
 
 from ..functions.retrieval import bm25_topk_from_stats, term_freqs
 from .store import AppendLog
+from .tombstones import SEQ_COL, TombstoneSet, resolve_compact, stamp_seq
 
 
 class RetrievalIngest:
     """Stateful streaming BM25 indexer over an `AppendLog`.
 
     State tables (under `log.root`): `{name}_tf` — the postings
-    relation — and `{name}_stats` — 1-row-per-batch (n_docs, sum_dl)
-    deltas; one committed directory per ingested batch each, segment-
-    merged by `compact_state` on the maintenance cycle.
+    relation — `{name}_dl` — the per-doc (doc_id, dl) relation the
+    churn accounting reads — `{name}_dead` — tombstones — and
+    `{name}_stats` — 1-row-per-batch (n_docs, sum_dl) deltas; one
+    committed directory per ingested batch each, segment-merged (and
+    tombstone-folded) by `compact_state` on the maintenance cycle.
 
     Use from any micro-batch loop::
 
@@ -56,11 +71,10 @@ class RetrievalIngest:
         )
 
     or through the CDC shell's per-rule `bm25_ingest` flag
-    (streaming/job.py), which feeds it each batch's parsed non-delete
-    images. Assumes an append-only document stream (the crawl-ingest
-    contract shared with DedupIngest); updated documents would need a
-    delete-log-style tombstone pass at fold time.
-    """
+    (streaming/job.py), which feeds it each batch's LWW-latest non-delete
+    images plus the batch's updated/deleted keys as `tombstones=`.
+    Without a tombstone feed the behavior is the original append-only
+    contract."""
 
     def __init__(
         self,
@@ -74,38 +88,83 @@ class RetrievalIngest:
         self.name = name
         self.id_col = id_col
         self.text_col = text_col
+        self._dead = TombstoneSet(log, name, "doc_id")
 
     @property
     def tf_table(self) -> str:
         return f"{self.name}_tf"
 
     @property
+    def dl_table(self) -> str:
+        return f"{self.name}_dl"
+
+    @property
     def stats_table(self) -> str:
         return f"{self.name}_stats"
 
-    def process_batch(self, batch_df: DataFrame, batch_id) -> None:
-        """Tokenize one micro-batch, append its postings plus a 1-row
-        (n_docs, sum_dl) stats delta — the corpus constants BM25 needs,
-        maintained as mergeable integer sums so serving never scans the
-        full postings to derive them. Idempotent per batch_id; the STATS
-        commit is the batch's "fully landed" marker (checked first), so
-        a crash between the two appends heals on retry — the dedup_ingest
-        commit-order pattern."""
+    @property
+    def dead_table(self) -> str:
+        return self._dead.table
+
+    def process_batch(
+        self, batch_df: DataFrame, batch_id, *,
+        tombstones: DataFrame | None = None,
+    ) -> None:
+        """Tokenize one micro-batch (its LWW-latest non-delete images),
+        append its postings + per-doc lengths + tombstones + a 1-row
+        (n_docs, sum_dl) stats delta. `tombstones` is the batch's
+        updated/deleted id set (an update is delete+insert: its old
+        state dies, its new image re-indexes in this same batch).
+
+        Idempotent per batch_id; the STATS commit is the batch's "fully
+        landed" marker (checked first), so a crash between the appends
+        heals on retry — every recomputation is against state FROZEN to
+        earlier batches (streaming/tombstones.frozen_before), so a retry
+        that finds its own partial commits still derives the identical
+        stats delta."""
         if self.log.has_batch(self.stats_table, batch_id):
             return
-        tf = term_freqs(
-            batch_df, id_col=self.id_col, text_col=self.text_col
+        spark = batch_df.sparkSession
+        tf = stamp_seq(
+            term_freqs(batch_df, id_col=self.id_col, text_col=self.text_col),
+            batch_id,
         ).localCheckpoint()
         self.log.append(tf, self.tf_table, batch_id)
-        stats = (
-            tf.groupBy("doc_id")
-            .agg(F.first("dl").alias("dl"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
+        if tombstones is not None:
+            tombstones = tombstones.select(
+                F.col(self.id_col).alias("doc_id")
             )
+        self._dead.append(tombstones, batch_id)
+        dl = stamp_seq(
+            tf.groupBy("doc_id").agg(F.first("dl").alias("dl")), batch_id
+        )
+        self.log.append(dl, self.dl_table, batch_id)
+        # stats delta: + the batch's new docs, − the PRIOR live lengths
+        # of its tombstoned docs (frozen lookup — retry-deterministic)
+        parts = dl.select(F.lit(1).alias("w"), "dl")
+        if tombstones is not None:
+            prior = self._dead.resolve_frozen(
+                spark, self.log.read(spark, self.dl_table), batch_id
+            )
+            if prior is not None:
+                old_live = prior.join(
+                    F.broadcast(tombstones.distinct()), "doc_id"
+                )
+                parts = parts.unionByName(
+                    old_live.select(F.lit(-1).alias("w"), "dl")
+                )
+        stats = parts.agg(
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.col("w") * F.col("dl")), F.lit(0))
+            .cast("long").alias("sum_dl"),
         )
         self.log.append(stats, self.stats_table, batch_id)
+
+    def postings(self, spark: SparkSession) -> DataFrame | None:
+        """The standing LIVE (doc_id, dl, term, tf) relation, or None
+        before the first ingest."""
+        tf = self._dead.resolve(spark, self.log.read(spark, self.tf_table))
+        return None if tf is None else tf.drop(SEQ_COL)
 
     def topk(
         self,
@@ -117,10 +176,10 @@ class RetrievalIngest:
         idf_mode: str = "raw",
     ) -> DataFrame:
         """BM25 top-k against the standing index — identical results to
-        batch `bm25_topk` over the concatenated corpus (tested), without
-        ever re-tokenizing it."""
+        batch `bm25_topk` over the final corpus (tested through updates
+        and deletes), without ever re-tokenizing it."""
         spark = queries.sparkSession
-        tf = self.log.read(spark, self.tf_table)
+        tf = self.postings(spark)
         per_batch = self.log.read(spark, self.stats_table)
         if tf is None or per_batch is None:
             raise ValueError(f"index {self.name!r} has no ingested batches")
@@ -133,16 +192,22 @@ class RetrievalIngest:
             tf, stats, queries, k=k, k1=k1, b=b, idf_mode=idf_mode,
         )
 
-    def postings(self, spark: SparkSession) -> DataFrame | None:
-        """The standing (doc_id, dl, term, tf) relation, or None before
-        the first ingest."""
-        return self.log.read(spark, self.tf_table)
-
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8
     ) -> None:
-        """Merge the per-batch postings/stats directories (maintenance)
-        — the Lucene segment-merge analog. Committed batch ids survive,
-        so post-maintenance replays are still skipped."""
-        self.log.compact(spark, self.tf_table, min_segments=min_segments)
+        """Merge the per-batch postings/dl/stats directories AND fold the
+        tombstones — dead postings physically drop, then the fully-
+        applied tombstones truncate (streaming/tombstones). Committed
+        batch ids survive, so post-maintenance replays are still
+        skipped; a crash between the two state folds just leaves the
+        tombstones standing for the next cycle (resolution stays lazy)."""
+        resolve_compact(
+            self.log, spark, self.tf_table, self._dead,
+            min_segments=min_segments,
+        )
+        resolve_compact(
+            self.log, spark, self.dl_table, self._dead,
+            min_segments=min_segments,
+        )
         self.log.compact(spark, self.stats_table, min_segments=min_segments)
+        self._dead.truncate(spark)

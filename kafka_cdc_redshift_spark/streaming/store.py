@@ -338,7 +338,8 @@ class AppendLog:
         return spark.read.parquet(*paths)
 
     def compact(
-        self, spark: SparkSession, table: str, *, min_segments: int = 8
+        self, spark: SparkSession, table: str, *, min_segments: int = 8,
+        transform=None,
     ) -> int | None:
         """Merge all storage segments into one, WITHOUT forgetting batch
         ids — `has_batch` answers identically before and after, so
@@ -346,6 +347,12 @@ class AppendLog:
         append-state analog of publish() carrying batch_id forward
         through compact_table). Returns the number of segments merged,
         or None below the `min_segments` floor.
+
+        `transform` (df -> df), applied to the union before the merged
+        segment is written, lets maintenance REWRITE state while it
+        merges — the tombstone fold (streaming/tombstones.resolve_compact)
+        drops dead rows here. With a transform the floor drops to 1: a
+        single-segment table still needs its rewrite applied.
 
         Atomicity: the merged directory is fully written under a name
         the manifest doesn't yet reference, then the manifest swaps in
@@ -359,11 +366,14 @@ class AppendLog:
         segs = self.segments(table)
         # floor of 2: a single segment is already compact — re-merging it
         # every maintenance cycle would be pure rewrite churn
-        if len(segs) < max(2, min_segments):
+        floor = 1 if transform is not None else 2
+        if len(segs) < max(floor, min_segments):
             return None
         n = m.get("next_seg", 0)
         out = os.path.join(self.root, table, f"seg={n}")
         df = self.read(spark, table)
+        if transform is not None:
+            df = transform(df)
         df.write.mode("overwrite").parquet(out)
         m["segments"] = [f"seg={n}"]
         m["next_seg"] = n + 1

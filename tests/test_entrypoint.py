@@ -316,12 +316,12 @@ sync_table_list = [\\
     open_rows = hist.filter(F.col("is_current")).count() if "is_current" in hist.columns else hist.count()
     assert open_rows >= len(ids)
 
-    # streamed dedup state == one-shot rebuild over the gate-passing,
-    # non-delete IMAGES the ingestors actually saw — the ingest state is
-    # append-only by contract, so doc 3's pre-delete create stays
-    # indexed even though the target dropped it
+    # streamed dedup state == one-shot rebuild over the FINAL live
+    # corpus: the gate-passing images minus deletes — doc 3's delete
+    # tombstones its pre-delete create out of the standing index
+    # (streaming/tombstones.py), matching the target's own state
     seen = spark.createDataFrame(
-        [(i, good_text(i)) for i in range(8)]
+        [(i, good_text(i)) for i in range(8) if i != 3]
         + [(i, good_text(50 + i)) for i in range(8, 14)]
         + [(100, near_a), (101, near_b)],
         "doc_id long, text string",
@@ -358,7 +358,9 @@ sync_table_list = [\\
         [(0, [0.1] * 8)], "q_id long, q_emb array<double>"
     )
     hits = ann.topk(qv, k=3, nprobe=2).collect()
-    assert len(hits) == 3 and all(h.neighbor_id in ids | {3} for h in hits)
+    # doc 3's vector is tombstoned out with its delete — neighbors come
+    # from the live corpus only
+    assert len(hits) == 3 and all(h.neighbor_id in ids for h in hits)
 
     # incremental census family landed
     assert store.read(spark, "docs_stats") is not None

@@ -1,0 +1,249 @@
+"""Update/delete (tombstone) support for the streaming ingest family
+(streaming/tombstones.py) — the r6 VERDICT top item: the CDC shell these
+ingests ride exists to process updates and deletes, so the standing
+index state must track the LIVE corpus, not the append history.
+
+Contract under test, for each of RetrievalIngest / DedupIngest /
+AnnIngest: stream batches carrying inserts, UPDATES (tombstone + new
+image in one batch) and DELETES, then
+
+  * serving == the one-shot batch operator over the FINAL corpus,
+  * `compact_state` physically drops the dead rows and truncates the
+    fully-applied tombstones WITHOUT changing serving,
+  * a replay of any batch after the fold is still a no-op.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.functions import dedup_text, retrieval, similarity
+from kafka_cdc_redshift_spark.sources import load_table
+from kafka_cdc_redshift_spark.streaming.ann_ingest import AnnIngest
+from kafka_cdc_redshift_spark.streaming.dedup_ingest import DedupIngest
+from kafka_cdc_redshift_spark.streaming.retrieval_ingest import RetrievalIngest
+from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+        .localCheckpoint()
+    )
+
+
+def _texts(docs):
+    return {r.doc_id: r.text for r in docs.collect()}
+
+
+def _mk(spark, items):
+    return spark.createDataFrame(list(items), "doc_id long, text string")
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _topk_key(r):
+    return (r.q_id, r.doc_id, r.n_terms, round(r.score, 9), r.rnk)
+
+
+def _pair_key(r):
+    return (r.doc_a, r.doc_b, round(r.jaccard, 9))
+
+
+def test_retrieval_ingest_tracks_updates_and_deletes(spark, docs, tmp_path):
+    t = _texts(docs)
+    queries = spark.createDataFrame(
+        [(0, t[1].split()[0] + " " + t[2].split()[-1]),
+         (1, " ".join(t[11].split()[:3]))],
+        "q_id int, q_text string",
+    )
+    ing = RetrievalIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    # b0/b1: initial corpus split in two
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    # b2: update doc 2 (doc 11's text), delete doc 5, insert doc 100
+    ing.process_batch(
+        _mk(spark, [(2, t[11]), (100, t[7] + " zyzzyx")]),
+        2, tombstones=_keys(spark, [2, 5]),
+    )
+    # b3: update doc 2 again, delete doc 100, delete doc 11
+    ing.process_batch(
+        _mk(spark, [(2, "one lonely sentence of new text here")]),
+        3, tombstones=_keys(spark, [2, 100, 11]),
+    )
+    final = {k: v for k, v in t.items() if k not in (2, 5, 11)}
+    final[2] = "one lonely sentence of new text here"
+    final_df = _mk(spark, final.items())
+    want = sorted(map(_topk_key,
+                      retrieval.bm25_topk(final_df, queries, k=5).collect()))
+    assert want
+    got = sorted(map(_topk_key, ing.topk(queries, k=5).collect()))
+    assert got == want
+
+    # the per-doc stats fold to the final corpus exactly
+    st = ing.log.read(spark, ing.stats_table).agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+    ).collect()[0]
+    assert st.n == len(final)
+
+    # maintenance: dead postings physically drop, tombstones truncate,
+    # serving unchanged
+    n_before = ing.log.read(spark, ing.tf_table).count()
+    ing.compact_state(spark, min_segments=2)
+    n_after = ing.log.read(spark, ing.tf_table).count()
+    assert n_after < n_before  # doc 5/11/100 + doc 2's old postings gone
+    dead = ing.log.read(spark, ing.dead_table)
+    assert dead is not None and dead.count() == 0
+    assert sorted(map(_topk_key, ing.topk(queries, k=5).collect())) == want
+
+    # replay across the fold: every batch id is still skipped
+    for bid, frame in ((2, _mk(spark, [(2, t[11])])), (0, docs.limit(3))):
+        ing.process_batch(frame, bid, tombstones=_keys(spark, [2, 5]))
+    assert ing.log.read(spark, ing.tf_table).count() == n_after
+    assert sorted(map(_topk_key, ing.topk(queries, k=5).collect())) == want
+
+
+def test_dedup_ingest_tracks_updates_and_deletes(spark, docs, tmp_path):
+    t = _texts(docs)
+    ing = DedupIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    # b2: update doc 2 := doc 11's text (forges a {2,11} near-dup pair),
+    # and delete doc 3
+    ing.process_batch(
+        _mk(spark, [(2, t[11])]), 2, tombstones=_keys(spark, [2, 3])
+    )
+    mid = {k: v for k, v in t.items() if k != 3}
+    mid[2] = t[11]
+    got2 = {(r.doc_a, r.doc_b) for r in ing.pairs(spark).collect()}
+    assert (2, 11) in got2
+    want2 = sorted(map(_pair_key,
+                       dedup_text.minhash_lsh_pairs(_mk(spark, mid.items()))
+                       .collect()))
+    assert sorted(map(_pair_key, ing.pairs(spark).collect())) == want2
+
+    # b3: delete doc 11 (kills the {2,11} pair), update doc 2 to a text
+    # with no neighbors
+    ing.process_batch(
+        _mk(spark, [(2, "qqq www eee rrr ttt unique island")]),
+        3, tombstones=_keys(spark, [2, 11]),
+    )
+    final = {k: v for k, v in mid.items() if k != 11}
+    final[2] = "qqq www eee rrr ttt unique island"
+    want = sorted(map(_pair_key,
+                      dedup_text.minhash_lsh_pairs(_mk(spark, final.items()))
+                      .collect()))
+    got = sorted(map(_pair_key, ing.pairs(spark).collect()))
+    assert got == want
+    assert not any(11 in (a, b) for a, b, _ in got)
+
+    # maintenance folds the tombstones; serving unchanged, dead truncated
+    ing.compact_state(spark, min_segments=2)
+    assert sorted(map(_pair_key, ing.pairs(spark).collect())) == want
+    live_bands = {r.doc_id for r in
+                  ing.log.read(spark, ing.bands_table).select("doc_id")
+                  .distinct().collect()}
+    assert 3 not in live_bands and 11 not in live_bands
+    assert ing.log.read(spark, ing.dead_table).count() == 0
+
+    # replay across the fold: no-op
+    ing.process_batch(_mk(spark, [(2, t[11])]), 2,
+                      tombstones=_keys(spark, [2, 3]))
+    assert sorted(map(_pair_key, ing.pairs(spark).collect())) == want
+
+
+def test_ann_ingest_tracks_updates_and_deletes(spark, sf_dir, tmp_path):
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 60)
+        .localCheckpoint()
+    )
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    centroids = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def mk(items):
+        # same element type as embeddings.parquet (array<float>) so the
+        # per-batch state dirs stay schema-homogeneous
+        return spark.createDataFrame(
+            list(items), "vec_id long, embedding array<float>"
+        )
+
+    def keys(ids):
+        return spark.createDataFrame([(i,) for i in ids], "vec_id long")
+
+    ann = AnnIngest(AppendLog(str(tmp_path / "state")), centroids=centroids)
+    ann.process_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    ann.process_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    # b2: update vec 7 := vec 40's embedding, delete vecs 9 and 40
+    ann.process_batch(
+        mk([(7, vecs[40])]), 2, tombstones=keys([7, 9, 40])
+    )
+    final = {k: v for k, v in vecs.items() if k not in (9, 40)}
+    final[7] = vecs[40]
+    final_df = mk(final.items())
+
+    def key(r):
+        return (r.q_id, r.rnk, r.neighbor_id, round(r.cos_sim, 9))
+
+    want = sorted(map(key, similarity.ivf_topk(
+        final_df, queries, centroids, k=3, nprobe=2).collect()))
+    got = sorted(map(key, ann.topk(queries, k=3, nprobe=2).collect()))
+    assert got == want and got
+
+    # maintenance: dead vectors physically drop, serving unchanged
+    ann.compact_state(spark, min_segments=2)
+    live = {r.vec_id for r in
+            ann.log.read(spark, ann.cells_table).select("vec_id")
+            .distinct().collect()}
+    assert 9 not in live and live == set(final)
+    assert ann.log.read(spark, ann.dead_table).count() == 0
+    assert sorted(map(key, ann.topk(queries, k=3, nprobe=2).collect())) == want
+
+    # replay across the fold: no-op
+    n = ann.log.read(spark, ann.cells_table).count()
+    ann.process_batch(mk([(7, vecs[40])]), 2, tombstones=keys([7, 9, 40]))
+    assert ann.log.read(spark, ann.cells_table).count() == n
+
+    # drift is measured over live rows only (doc 9/40's dead vectors
+    # cannot pull the means): just assert it computes post-churn
+    assert -1.0 <= ann.weighted_drift(spark) <= 1.0 + 1e-9
+
+
+def test_versioned_ann_rebuild_excludes_tombstoned_vectors(
+    spark, sf_dir, tmp_path
+):
+    """A drift rebuild snapshots the LIVE corpus: deleted/superseded
+    vectors must not be resurrected into the new version."""
+    from kafka_cdc_redshift_spark.streaming.ann_ingest import VersionedAnnIndex
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 30)
+        .localCheckpoint()
+    )
+    idx = VersionedAnnIndex(
+        AppendLog(str(tmp_path / "state")), name="vt",
+        n_centroids=3, drift_floor=1.1,  # floor > max sim -> always rebuild
+    )
+    idx.process_batch(emb, 0)
+    idx.process_batch(
+        emb.limit(0), 1,
+        tombstones=spark.createDataFrame([(4,), (8,)], "vec_id long"),
+    )
+    assert idx.maintain(spark) is True
+    assert idx.current_version() == 1
+    cells = idx.log.read(spark, idx.current().cells_table)
+    ids = {r.vec_id for r in cells.select("vec_id").collect()}
+    want = {r.vec_id for r in emb.select("vec_id").collect()} - {4, 8}
+    assert ids == want
