@@ -55,6 +55,11 @@ _DRIVER_CHECK_FIRST = [
     # stalest-driver-row-first (see _stale_first), which rotates a
     # maximal slice of the r5-era rows into the remaining slots.
     # -- brand-new r7 queries (prepended as they land) --
+    "sim_hybrid_rrf_ann",  # brand-new (BM25 + PQ-ANN hybrid fusion)
+    "text_rrf_three_way",  # brand-new (3-source RRF fusion)
+    "text_kneser_ney3",  # brand-new (trigram KN with continuation backoff)
+    "source_lm_crossscore",  # brand-new (cross-source LM domain matrix)
+    "text_lm_surprisal",  # r6 row, plan changed (pinned LM broadcast gate)
     # -- the 26 r4-era rows (2-round staleness limit at r7) --
     "q1_pricing_summary",
     "q3_shipping_priority",

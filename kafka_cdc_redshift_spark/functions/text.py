@@ -914,6 +914,205 @@ def kneser_ney_bigrams(
     )
 
 
+def kneser_ney_trigrams(
+    df: DataFrame,
+    *,
+    discount: float = 0.75,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM probabilities with the bigram
+    continuation-count backoff tier — KenLM's production order-3 shape
+    (Chen & Goodman 1998 interpolated KN):
+
+        P3(w3|w1 w2) = max(c(w1w2w3) - d, 0)/c(w1w2 .)
+                       + (d * N1+(w1w2 .)/c(w1w2 .)) * P2(w3|w2)
+        P2(w3|w2)    = max(N1+(. w2w3) - d, 0)/N1+(. w2 .)
+                       + (d * N1+(w2 .)/N1+(. w2 .)) * (N1+(. w3)/N1+(. .))
+
+    where every lower-order quantity is a CONTINUATION (distinct-type)
+    count derived from the trigram census — the defining KN move: the
+    backoff distribution asks "how many contexts has this continuation
+    opened", not "how often did it occur". Emits (w1, w2, w3, c, pkn)
+    for trigrams with c >= min_count.
+
+    Determinism: one corpus explode into the exact integer trigram
+    census; every derived census is a combinable groupBy OVER the census
+    (type counts, never corpus re-scans); the probability is one pinned
+    parenthesization of those integers plus the discount literal — no
+    ln, no accumulation-order hazard — so a SQL oracle replays it
+    bit-for-bit.
+
+    Shape at scale: the census feeds five derived censuses via one
+    checkpoint; joins are keyed (w1,w2), (w2,w3), (w2), (w3) — all
+    vocab-bounded relations, far below corpus size — plus one broadcast
+    1-row type total."""
+    toks = tokens_col(text_col)
+    tri_arr = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+                F.element_at(toks, i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    tc = (
+        spread(df)
+        .select(F.explode_outer(tri_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.w1", "p.w2", "p.w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # highest order: c(w1w2 .) and N1+(w1w2 .)
+    c12 = tc.groupBy("w1", "w2").agg(
+        F.sum("c").alias("c12"), F.count(F.lit(1)).alias("n12")
+    )
+    # continuation census: N1+(. w2w3) = distinct w1 opening (w2, w3) —
+    # the row set of this census IS the bigram-type relation the whole
+    # backoff tier derives from
+    m23 = (
+        tc.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("m23"))
+        .localCheckpoint(eager=False)
+    )
+    mid2 = m23.groupBy("w2").agg(
+        F.sum("m23").alias("s2"),          # N1+(. w2 .)
+        F.count(F.lit(1)).alias("n2dot"),  # N1+(w2 .)
+    )
+    uni = m23.groupBy("w3").agg(F.count(F.lit(1)).alias("u3"))  # N1+(. w3)
+    tot = m23.agg(F.count(F.lit(1)).alias("nall"))              # N1+(. .)
+    d = float(discount)
+    p2 = (
+        F.greatest(F.col("m23").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("s2").cast("double")
+    ) + (
+        (F.lit(d) * F.col("n2dot").cast("double"))
+        / F.col("s2").cast("double")
+    ) * (
+        F.col("u3").cast("double") / F.col("nall").cast("double")
+    )
+    pkn = (
+        F.greatest(F.col("c").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c12").cast("double")
+    ) + (
+        (F.lit(d) * F.col("n12").cast("double"))
+        / F.col("c12").cast("double")
+    ) * p2
+    return (
+        tc.filter(F.col("c") >= min_count)
+        .join(c12, ["w1", "w2"])
+        .join(m23, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(uni, "w3")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", "c", pkn.alias("pkn"))
+    )
+
+
+def source_lm_crossscore(
+    df: DataFrame,
+    *,
+    threshold: float = 0.01,
+    discount: float = 0.75,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-similarity matrix by cross-source LM scoring (the CCNet /
+    domain-mixing shape): train an interpolated Kneser-Ney bigram LM per
+    source, then score EVERY source's bigrams under EVERY source's LM.
+    Emits one row per (doc_source, lm_source): total bigrams, how many
+    are improbable under that LM (P < threshold, with out-of-vocabulary
+    bigrams counted surprising — an unseen transition is the strongest
+    possible surprisal), and the ratio. Low ratio on the diagonal,
+    rising off-diagonal with domain distance — the matrix a data-mixing
+    pass reads to weight sources by similarity to a target domain.
+
+    Exact-count convention (lm_surprisal_flags): threshold counts keep
+    every aggregate an exact integer — no ln, no order-dependent float
+    sums — so the oracle replays the whole matrix bit-for-bit.
+
+    Shape at scale: ONE corpus explode builds the per-(source, w1, w2)
+    bigram census, which then serves BOTH sides — the per-source LM
+    censuses derive from it (vocab-bounded combinable groupBys) and the
+    scoring side reuses it as the (doc_source, bigram, multiplicity)
+    relation, so the |sources|^2 matrix costs census x |sources| join
+    rows, never |sources|^2 corpus scans."""
+    toks = tokens_col(text_col)
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bc = (
+        spread(df)
+        .select(
+            F.col(source_col).alias("src"), F.explode_outer(pairs_arr).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .groupBy("src", "p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w1s = bc.groupBy("src", "w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    w2s = bc.groupBy("src", "w2").agg(F.count(F.lit(1)).alias("n1w2"))
+    tot = bc.groupBy("src").agg(F.count(F.lit(1)).alias("n1all"))
+    d = float(discount)
+    pkn = (
+        F.greatest(F.col("c").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c1").cast("double")
+    ) + (
+        (F.lit(d) * F.col("n1w1").cast("double"))
+        / F.col("c1").cast("double")
+    ) * (
+        F.col("n1w2").cast("double") / F.col("n1all").cast("double")
+    )
+    lm = (
+        bc.join(w1s, ["src", "w1"])
+        .join(w2s, ["src", "w2"])
+        .join(tot, "src")
+        .select(
+            F.col("src").alias("lm_source"), "w1", "w2", pkn.alias("pkn")
+        )
+    )
+    docs_side = bc.select(
+        F.col("src").alias("doc_source"), "w1", "w2", F.col("c").alias("m")
+    )
+    # every (doc bigram, lm_source) cell must exist — OOV cells carry no
+    # LM row, so the null-fill has to come from an explicit cross with
+    # the (broadcast, |sources|-row) source list, THEN the left join
+    sources = tot.select(F.col("src").alias("lm_source"))
+    surprising = (
+        F.col("pkn").isNull() | (F.col("pkn") < F.lit(float(threshold)))
+    ).cast("long") * F.col("m")
+    return (
+        docs_side.crossJoin(F.broadcast(sources))
+        .join(lm, ["lm_source", "w1", "w2"], "left")
+        .groupBy("doc_source", "lm_source")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(surprising).alias("n_surprising"),
+            (
+                F.sum(surprising).cast("double")
+                / F.sum("m").cast("double")
+            ).alias("surprise_ratio"),
+        )
+    )
+
+
 def lm_surprisal_flags(
     df: DataFrame,
     *,
@@ -921,6 +1120,7 @@ def lm_surprisal_flags(
     discount: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """Perplexity-style quality filtering in a cross-engine-exact form:
     score every document by how many of its bigrams are IMPROBABLE under
@@ -935,13 +1135,18 @@ def lm_surprisal_flags(
     monotone transform.
 
     Shape at scale: the doc-bigram relation joins the LM table keyed
-    (w1, w2) — the LM is vocab^2-bounded (far smaller than the corpus,
-    broadcastable for real vocabularies) — then one combinable groupBy
-    on doc_id. The LM itself reuses kneser_ney_bigrams (min_count=1 so
-    every observed bigram has a probability)."""
+    (w1, w2) — the LM is vocab^2-bounded (far smaller than the corpus)
+    and `broadcast_lm=True` (default) PINS the broadcast-hash plan
+    rather than leaving it to AQE's runtime estimate (the
+    contamination_score pattern); pass False only when the LM side is
+    genuinely too wide to ship. Then one combinable groupBy on doc_id.
+    The LM itself reuses kneser_ney_bigrams (min_count=1 so every
+    observed bigram has a probability)."""
     lm = kneser_ney_bigrams(
         df, discount=discount, min_count=1, id_col=id_col, text_col=text_col
     ).select("w1", "w2", "pkn")
+    if broadcast_lm:
+        lm = F.broadcast(lm)
     toks = tokens_col(text_col)
     pairs_arr = F.when(
         F.size(toks) >= 2,

@@ -1730,7 +1730,8 @@ def q_doc_contamination_bloom(spark, sf_dir):
     )
 
 
-def _pq_rerank_oracle(n_sub=8, subdim=8, n_codes=32, shortlist=100, k=3):
+def _pq_rerank_oracle(n_sub=8, subdim=8, n_codes=32, shortlist=100, k=3,
+                      q_mod=50):
     """SQL twin of the full PQ pipeline: slice codebooks -> argmin encode
     -> ADC distance tables -> sub-ordered estimate fold (the explicit
     (((0.0+d0)+d1)+...) chain replays Spark's sequential aggregate
@@ -1762,7 +1763,7 @@ def _pq_rerank_oracle(n_sub=8, subdim=8, n_codes=32, shortlist=100, k=3):
               SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                                            ORDER BY dist, code) AS rn
               FROM enc0) t WHERE rn = 1),
-    q AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id % {q_mod} = 0),
     qd AS (SELECT q.q_id, cb.sub, cb.code, {l2(q_sl, "cb.cvec")} AS dist
            FROM q CROSS JOIN cb),
     adc0 AS (SELECT qd.q_id, enc.vec_id AS neighbor_id, qd.sub, qd.dist
@@ -2220,3 +2221,237 @@ def q_text_kneser_ney(spark, sf_dir):
 )
 def q_text_lm_surprisal(spark, sf_dir):
     return text.lm_surprisal_flags(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "sim_hybrid_rrf_ann",
+    "the hybrid retrieval plan a 100 TB deployment actually runs: BM25 "
+    "top-20 fused with the PQ ANN serving path (ADC shortlist + exact "
+    "re-rank over 32x-compressed codes, functions/similarity."
+    "pq_shortlist_rerank) instead of sim_hybrid_rrf's exact cross-"
+    "product dense scorer — corpus-side cost drops from O(|corpus| x "
+    "|Q|) float dot products to table lookups over codes. Codewords are "
+    "fixed corpus rows so the oracle replays BOTH rankers and the "
+    "source-ordered RRF add chain bit-for-bit; production trains "
+    "codebooks per-subspace (kmeans_centroids), recall-floor-tested "
+    "against the exact fusion in tests/test_retrieval.py",
+    f"""WITH lex AS (SELECT q_id, doc_id, rnk
+            FROM ({_bm25_oracle(_HYBRID_QUERIES, k=20)}) bm),
+    ann AS (SELECT q_id, neighbor_id AS doc_id, rnk
+            FROM ({_pq_rerank_oracle(shortlist=100, k=20, q_mod=100)}) pq),
+    u AS (SELECT q_id, doc_id, 0 AS src, rnk FROM lex
+          UNION ALL SELECT q_id, doc_id, 1 AS src, rnk FROM ann),
+    piv AS (SELECT q_id, doc_id,
+                   min(CASE WHEN src = 0 THEN rnk END) AS r0,
+                   min(CASE WHEN src = 1 THEN rnk END) AS r1
+            FROM u GROUP BY 1, 2),
+    sc AS (SELECT q_id, doc_id, r0 AS lex_rnk, r1 AS ann_rnk,
+                  ((0.0 + COALESCE(1.0 / (60.0 + CAST(r0 AS DOUBLE)), 0.0))
+                   + COALESCE(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0)) AS rrf
+           FROM piv)
+    SELECT q_id, doc_id, lex_rnk, ann_rnk, rrf,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf DESC, doc_id) AS rnk FROM sc) t
+    WHERE rnk <= 5""",
+)
+def q_sim_hybrid_rrf_ann(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tq = spark.createDataFrame(_HYBRID_QUERIES, "q_id long, q_text string")
+    lex = retrieval.bm25_topk(docs, tq, k=20)
+    cb = similarity.subvector_codebooks(
+        emb.filter(F.col("vec_id") < 32), n_sub=8
+    )
+    codes = similarity.pq_encode(emb, cb, n_sub=8)
+    dq = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ann = similarity.pq_shortlist_rerank(
+        codes, emb, dq, cb, k=20, shortlist=100, n_sub=8
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    fused = retrieval.rrf_fuse(
+        [lex.select("q_id", "doc_id", "rnk"),
+         ann.select("q_id", "doc_id", "rnk")],
+        k=5,
+    )
+    return fused.select(
+        "q_id", "doc_id",
+        F.col("r0").alias("lex_rnk"), F.col("r1").alias("ann_rnk"),
+        "rrf", "rnk",
+    )
+
+
+@_spec(
+    "text_rrf_three_way",
+    "reciprocal-rank fusion over THREE rankers in one rrf_fuse call — "
+    "BM25, exact-phrase occurrence ranking (the positional-index "
+    "reduction, ties on doc_id), and exact dense cosine — exercising "
+    "the n-source add chain beyond n=2: each absent source contributes "
+    "+0.0 in SOURCE order, so the oracle replays all three rankers and "
+    "the ((0+c0)+c1)+c2 fold bit-for-bit. Fusion cost stays "
+    "|Q| x k x 3 rows, independent of corpus size",
+    f"""WITH lex AS (SELECT q_id, doc_id, rnk
+            FROM ({_bm25_oracle(_HYBRID_QUERIES, k=20)}) bm),
+    ph0 AS (SELECT phrase_id AS q_id, doc_id, n_occurrences
+            FROM ({_phrase_oracle(_HYBRID_QUERIES)}) p),
+    phr AS (SELECT q_id, doc_id, rnk FROM (
+              SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                     ORDER BY n_occurrences DESC, doc_id) AS rnk
+              FROM ph0) t WHERE rnk <= 20),
+    cemb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dq AS (SELECT vec_id AS q_id, e AS qe FROM cemb WHERE vec_id % 100 = 0),
+    dp AS (SELECT q_id, cemb.vec_id AS neighbor_id, {_COS} AS cos_sim
+           FROM cemb, dq WHERE cemb.vec_id != dq.q_id),
+    den AS (SELECT q_id, neighbor_id AS doc_id, rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM dp) t WHERE rnk <= 20),
+    u AS (SELECT q_id, doc_id, 0 AS src, rnk FROM lex
+          UNION ALL SELECT q_id, doc_id, 1 AS src, rnk FROM phr
+          UNION ALL SELECT q_id, doc_id, 2 AS src, rnk FROM den),
+    piv AS (SELECT q_id, doc_id,
+                   min(CASE WHEN src = 0 THEN rnk END) AS r0,
+                   min(CASE WHEN src = 1 THEN rnk END) AS r1,
+                   min(CASE WHEN src = 2 THEN rnk END) AS r2
+            FROM u GROUP BY 1, 2),
+    sc AS (SELECT q_id, doc_id, r0 AS lex_rnk, r1 AS phrase_rnk,
+                  r2 AS dense_rnk,
+                  (((0.0 + COALESCE(1.0 / (60.0 + CAST(r0 AS DOUBLE)), 0.0))
+                    + COALESCE(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0))
+                   + COALESCE(1.0 / (60.0 + CAST(r2 AS DOUBLE)), 0.0)) AS rrf
+           FROM piv)
+    SELECT q_id, doc_id, lex_rnk, phrase_rnk, dense_rnk, rrf,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf DESC, doc_id) AS rnk FROM sc) t
+    WHERE rnk <= 5""",
+)
+def q_text_rrf_three_way(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tq = spark.createDataFrame(_HYBRID_QUERIES, "q_id long, q_text string")
+    lex = retrieval.bm25_topk(docs, tq, k=20)
+    ph = retrieval.phrase_match(
+        docs, tq, phrase_id_col="q_id", phrase_col="q_text"
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    phr = (
+        ph.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("phrase_id").alias("q_id"), "doc_id", "rnk")
+    )
+    dq = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    den = similarity.cosine_topk(emb, dq, k=20).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    fused = retrieval.rrf_fuse(
+        [lex.select("q_id", "doc_id", "rnk"), phr,
+         den.select("q_id", "doc_id", "rnk")],
+        k=5,
+    )
+    return fused.select(
+        "q_id", "doc_id",
+        F.col("r0").alias("lex_rnk"), F.col("r1").alias("phrase_rnk"),
+        F.col("r2").alias("dense_rnk"), "rrf", "rnk",
+    )
+
+
+@_spec(
+    "text_kneser_ney3",
+    "interpolated Kneser-Ney TRIGRAM LM with the bigram continuation-"
+    "count backoff tier (functions/text.kneser_ney_trigrams) — KenLM's "
+    "production order-3: P3 discounts the trigram census and "
+    "interpolates with P2 built from DISTINCT-CONTEXT counts derived "
+    "from the same census (the defining KN move). One corpus explode; "
+    "five derived censuses off one checkpoint, all vocab-bounded; the "
+    "probability is one pinned parenthesization of exact integers, so "
+    "the oracle replays it bit-for-bit",
+    f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+            FROM (SELECT t, unnest(generate_series(1, len(t)-2)) AS i
+                  FROM base WHERE len(t) >= 3)),
+    tc AS (SELECT w1, w2, w3, count(*) AS c FROM tri GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c12,
+                   count(*) AS n12 FROM tc GROUP BY 1, 2),
+    m23 AS (SELECT w2, w3, count(*) AS m23 FROM tc GROUP BY 1, 2),
+    mid2 AS (SELECT w2, CAST(sum(m23) AS BIGINT) AS s2,
+                    count(*) AS n2dot FROM m23 GROUP BY 1),
+    uni AS (SELECT w3, count(*) AS u3 FROM m23 GROUP BY 1),
+    tot AS (SELECT count(*) AS nall FROM m23)
+    SELECT tc.w1, tc.w2, tc.w3, tc.c,
+           ((greatest(CAST(tc.c AS DOUBLE) - 0.75, 0.0)
+             / CAST(c12.c12 AS DOUBLE))
+            + (((0.75 * CAST(c12.n12 AS DOUBLE)) / CAST(c12.c12 AS DOUBLE))
+               * ((greatest(CAST(m23.m23 AS DOUBLE) - 0.75, 0.0)
+                   / CAST(mid2.s2 AS DOUBLE))
+                  + (((0.75 * CAST(mid2.n2dot AS DOUBLE))
+                      / CAST(mid2.s2 AS DOUBLE))
+                     * (CAST(uni.u3 AS DOUBLE)
+                        / CAST(tot.nall AS DOUBLE)))))) AS pkn
+    FROM tc JOIN c12 ON c12.w1 = tc.w1 AND c12.w2 = tc.w2
+    JOIN m23 ON m23.w2 = tc.w2 AND m23.w3 = tc.w3
+    JOIN mid2 ON mid2.w2 = tc.w2
+    JOIN uni ON uni.w3 = tc.w3
+    CROSS JOIN tot
+    WHERE tc.c >= 3""",
+)
+def q_text_kneser_ney3(spark, sf_dir):
+    return text.kneser_ney_trigrams(
+        load_table(spark, sf_dir, "documents"), min_count=3
+    )
+
+
+@_spec(
+    "source_lm_crossscore",
+    "domain-similarity matrix by cross-source LM scoring (functions/"
+    "text.source_lm_crossscore; the CCNet domain-mixing shape): an "
+    "interpolated KN bigram LM per source, every source's bigrams "
+    "scored under every source's LM as exact threshold counts (OOV "
+    "bigrams count surprising). ONE corpus explode serves both sides — "
+    "the per-source censuses and the scoring relation both derive from "
+    "the same (source, w1, w2) census, so the |sources|^2 matrix costs "
+    "census x |sources| join rows, never |sources|^2 corpus scans",
+    f"""WITH base AS (SELECT source, {_TOKS} AS t FROM documents),
+    bi AS (SELECT source AS src, t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT source, t,
+                        unnest(generate_series(1, len(t)-1)) AS i
+                 FROM base WHERE len(t) >= 2)),
+    bc AS (SELECT src, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+    w1s AS (SELECT src, w1, CAST(sum(c) AS BIGINT) AS c1,
+                   count(*) AS n1w1 FROM bc GROUP BY 1, 2),
+    w2s AS (SELECT src, w2, count(*) AS n1w2 FROM bc GROUP BY 1, 2),
+    tot AS (SELECT src, count(*) AS n1all FROM bc GROUP BY 1),
+    lm AS (SELECT bc.src AS lm_source, bc.w1, bc.w2,
+                  ((greatest(CAST(bc.c AS DOUBLE) - 0.75, 0.0)
+                    / CAST(w1s.c1 AS DOUBLE))
+                   + (((0.75 * CAST(w1s.n1w1 AS DOUBLE))
+                       / CAST(w1s.c1 AS DOUBLE))
+                      * (CAST(w2s.n1w2 AS DOUBLE)
+                         / CAST(tot.n1all AS DOUBLE)))) AS pkn
+           FROM bc
+           JOIN w1s ON w1s.src = bc.src AND w1s.w1 = bc.w1
+           JOIN w2s ON w2s.src = bc.src AND w2s.w2 = bc.w2
+           JOIN tot ON tot.src = bc.src),
+    ds AS (SELECT src AS doc_source, w1, w2, c AS m FROM bc),
+    srcs AS (SELECT src AS lm_source FROM tot),
+    cell AS (SELECT ds.doc_source, s.lm_source, ds.m, lm.pkn
+             FROM ds CROSS JOIN srcs s
+             LEFT JOIN lm ON lm.lm_source = s.lm_source
+                         AND lm.w1 = ds.w1 AND lm.w2 = ds.w2)
+    SELECT doc_source, lm_source,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN pkn IS NULL OR pkn < 0.01 THEN m ELSE 0 END)
+                AS BIGINT) AS n_surprising,
+           CAST(sum(CASE WHEN pkn IS NULL OR pkn < 0.01 THEN m ELSE 0 END)
+                AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS surprise_ratio
+    FROM cell GROUP BY 1, 2""",
+)
+def q_source_lm_crossscore(spark, sf_dir):
+    return text.source_lm_crossscore(load_table(spark, sf_dir, "documents"))

@@ -257,3 +257,44 @@ def test_source_mix_two_window_prune_shape(spark, sf_dir):
     assert plan.count("Window") == 2
     assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_surprisal_lm_join_is_broadcast(spark, sf_dir):
+    """The doc-bigram x LM join must be a pinned BroadcastHashJoin under
+    the default gate (the LM is vocab^2-bounded), not left to AQE's
+    runtime estimate — and the gate must actually be a gate."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.functions import text
+    from kafka_cdc_redshift_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = text.lm_surprisal_flags(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # gated off: the hint disappears (AQE may still choose broadcast at
+    # runtime, so assert on the optimized logical plan's hints instead)
+    logical = str(
+        text.lm_surprisal_flags(docs, broadcast_lm=False)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    assert "ResolvedHint" not in logical
+
+
+def test_source_lm_crossscore_single_corpus_explode(spark, sf_dir):
+    """The |sources|^2 matrix must derive from ONE corpus explode: the
+    per-source census serves both the LM side and the scoring side, so
+    the plan holds exactly one generator over documents."""
+    plan = plan_of(spark, sf_dir, "source_lm_crossscore")
+    scans = plan.count("documents.parquet")
+    assert plan.count("Generate") <= 2  # explode may appear once per scan
+    assert scans <= 2
+
+
+def test_kneser_ney3_single_corpus_explode(spark, sf_dir):
+    """Trigram KN: one corpus explode into the census; every backoff
+    quantity derives from the census (checkpoint barrier), never a
+    corpus re-scan."""
+    plan = plan_of(spark, sf_dir, "text_kneser_ney3")
+    assert plan.count("Generate") <= 1
+    assert plan.count("documents.parquet") <= 1

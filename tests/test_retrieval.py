@@ -335,3 +335,24 @@ def test_streamed_index_compaction_preserves_serving(spark, sf_docs, sf_queries,
     n = ing.postings(spark).count()
     ing.process_batch(sf_docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay
     assert ing.postings(spark).count() == n
+
+
+def test_hybrid_ann_fusion_recall_floor(spark, sf_dir):
+    """The ANN-shortlist hybrid (sim_hybrid_rrf_ann: BM25 + PQ
+    shortlist/re-rank fused by RRF) must recall most of what the exact
+    dense hybrid (sim_hybrid_rrf) returns — the recall audit pattern
+    (sim_ivf_recall), since PQ ranks are approximate by design while the
+    fusion operator itself is rank-agnostic."""
+    from kafka_cdc_redshift_spark.plans import SPECS
+
+    exact = {
+        (r.q_id, r.doc_id)
+        for r in SPECS["sim_hybrid_rrf"].spark(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.q_id, r.doc_id)
+        for r in SPECS["sim_hybrid_rrf_ann"].spark(spark, sf_dir).collect()
+    }
+    assert exact and ann
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, f"hybrid ANN recall {recall:.2f} below floor"

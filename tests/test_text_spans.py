@@ -171,3 +171,48 @@ def test_lm_surprisal_flags_shuffled_text_scores_higher(spark):
     for r in got.values():
         assert 0 <= r.n_surprising <= r.n_bigrams
         assert r.surprise_ratio == r.n_surprising / r.n_bigrams
+
+
+def test_kneser_ney_trigrams_hand_values(spark):
+    """Exact trigram KN with the bigram continuation-count backoff on a
+    hand-computable corpus; mass over observed continuations < 1."""
+    from kafka_cdc_redshift_spark.functions import text as T
+
+    docs = spark.createDataFrame([(0, "a b a b a c")], "doc_id long, text string")
+    got = {(r.w1, r.w2, r.w3): r for r in T.kneser_ney_trigrams(docs).collect()}
+    # trigrams: (a,b,a)x2, (b,a,b)x1, (b,a,c)x1
+    # c12: (a,b)->(2,1), (b,a)->(2,2); m23: (b,a)=1, (a,b)=1, (a,c)=1
+    # mid2: w2=b -> (s2=1, n2dot=1); w2=a -> (s2=2, n2dot=2)
+    # uni: u(a)=u(b)=u(c)=1; nall=3
+    p2_ab_a = max(1 - 0.75, 0.0) / 1.0 + ((0.75 * 1) / 1.0) * (1 / 3)
+    assert got[("a", "b", "a")].pkn == (
+        max(2 - 0.75, 0.0) / 2.0 + ((0.75 * 1) / 2.0) * p2_ab_a
+    )
+    p2_ba_b = max(1 - 0.75, 0.0) / 2.0 + ((0.75 * 2) / 2.0) * (1 / 3)
+    assert got[("b", "a", "b")].pkn == (
+        max(1 - 0.75, 0.0) / 2.0 + ((0.75 * 2) / 2.0) * p2_ba_b
+    )
+    assert set(got) == {("a", "b", "a"), ("b", "a", "b"), ("b", "a", "c")}
+    mass_ba = got[("b", "a", "b")].pkn + got[("b", "a", "c")].pkn
+    assert 0 < mass_ba < 1
+    assert all(r.c >= 1 for r in got.values())
+
+
+def test_source_lm_crossscore_matrix(spark):
+    """Two sources with disjoint vocabularies: the diagonal scores low
+    (each corpus is probable under its own LM), the off-diagonal is
+    fully OOV and scores surprise_ratio = 1.0."""
+    from kafka_cdc_redshift_spark.functions import text as T
+
+    rows = [(i, "x y x y x y", "A") for i in range(3)]
+    rows += [(100 + i, "p q p q p q", "B") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.doc_source, r.lm_source): r
+           for r in T.source_lm_crossscore(docs, threshold=0.2).collect()}
+    assert set(got) == {("A", "A"), ("A", "B"), ("B", "A"), ("B", "B")}
+    assert got[("A", "B")].surprise_ratio == 1.0
+    assert got[("B", "A")].surprise_ratio == 1.0
+    assert got[("A", "A")].surprise_ratio < 1.0
+    assert got[("B", "B")].surprise_ratio < 1.0
+    # n_bigrams per doc_source is the same across every lm_source column
+    assert got[("A", "A")].n_bigrams == got[("A", "B")].n_bigrams == 15
