@@ -530,45 +530,52 @@ def dsir_weights(
             )
         )
 
+    # the n_buckets-wide pivots and the bucket-ordered add chain are built
+    # as SQL-parsed expression strings, not per-column F.* composition:
+    # the parsed trees are identical (so the oracle stays bit-exact) but
+    # construction is O(n_buckets) parser calls instead of ~5x that many
+    # Py4J round-trips — at n_buckets=64 that chatter was the dominant,
+    # data-independent cost of the whole query (measured r7)
     t_stats = bucketed(target).agg(
         F.count(F.lit(1)).alias("t_total"),
         *[
-            F.sum((F.col("b") == i).cast("long")).alias(f"t{i}")
+            F.expr(f"sum(cast((b = {i}) as bigint)) as t{i}")
             for i in range(n_buckets)
         ],
     )
     per_doc = bucketed(docs).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         *[
-            F.sum((F.col("b") == i).cast("long")).alias(f"c{i}")
+            F.expr(f"sum(cast((b = {i}) as bigint)) as c{i}")
             for i in range(n_buckets)
         ],
     )
     # the raw census is the column-sum of the per-doc pivot: the corpus
-    # explodes ONCE, and this second agg reduces |docs| pre-pivoted rows
+    # explodes ONCE and the doc-count-sized pivot materializes for its
+    # two consumers (per-branch column pruning defeats exchange reuse,
+    # so without the checkpoint the corpus would explode per consumer)
     per_doc = per_doc.localCheckpoint(eager=False)
     r_stats = per_doc.agg(
         F.sum("n_grams").alias("r_total"),
-        *[F.sum(f"c{i}").alias(f"r{i}") for i in range(n_buckets)],
+        *[F.expr(f"sum(c{i}) as r{i}") for i in range(n_buckets)],
     )
-    bf = float(n_buckets)
-    acc = F.lit(0.0)
+    bf = repr(float(n_buckets))
+    acc = "cast(0.0 as double)"
     for i in range(n_buckets):
         rho = (
-            (F.col(f"t{i}").cast("double") + F.lit(1.0))
-            / (F.col("t_total").cast("double") + F.lit(bf))
-        ) / (
-            (F.col(f"r{i}").cast("double") + F.lit(1.0))
-            / (F.col("r_total").cast("double") + F.lit(bf))
+            f"((cast(t{i} as double) + 1.0D)"
+            f" / (cast(t_total as double) + {bf}D))"
+            f" / ((cast(r{i} as double) + 1.0D)"
+            f" / (cast(r_total as double) + {bf}D))"
         )
-        acc = acc + F.col(f"c{i}").cast("double") * rho
+        acc = f"({acc} + (cast(c{i} as double) * ({rho})))"
     return (
         per_doc.crossJoin(F.broadcast(t_stats))
         .crossJoin(F.broadcast(r_stats))
         .select(
             "doc_id",
             "n_grams",
-            (acc / F.col("n_grams").cast("double")).alias("weight"),
+            F.expr(f"({acc}) / cast(n_grams as double)").alias("weight"),
         )
     )
 

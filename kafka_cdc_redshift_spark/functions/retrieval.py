@@ -103,9 +103,7 @@ def bm25_topk(
     rows ever reach the scorer. See the module docstring for the plan
     shape and the idf_mode determinism contract.
     """
-    tf = term_freqs(
-        docs, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=False)
+    tf = term_freqs(docs, id_col=id_col, text_col=text_col)
     stats = corpus_stats(tf)
     return bm25_topk_from_stats(
         tf, stats, queries, k=k, k1=k1, b=b,
@@ -143,7 +141,7 @@ def bm25_topk_from_stats(
     )
     tfq = tf.join(
         F.broadcast(qterms.select("term").distinct()), "term"
-    ).localCheckpoint(eager=False)
+    )
     qdf = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tf = tfq
     tf_d = F.col("tf").cast("double")

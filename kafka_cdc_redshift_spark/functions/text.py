@@ -460,11 +460,7 @@ def tfidf_top_terms(
     # tf feeds TWO consumers (the df-count agg and the scoring join):
     # materialize it once instead of replaying the explode+groupBy
     # lineage per consumer (the dedup_semantic/q11 treatment)
-    tf = (
-        terms.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").select(
         "doc_id", "term", "tf", "df",
