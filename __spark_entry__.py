@@ -55,6 +55,9 @@ _DRIVER_CHECK_FIRST = [
     # stalest-driver-row-first (see _stale_first), which rotates a
     # maximal slice of the r5-era rows into the remaining slots.
     # -- brand-new r7 queries (prepended as they land) --
+    "doc_temperature_mix",  # brand-new (alpha=0.5 source mixing weights)
+    "dedup_containment",  # brand-new (asymmetric containment near-dup)
+    "doc_ccnet_buckets",  # brand-new (per-source LM-surprisal tiers)
     "sim_hybrid_rrf_ann",  # brand-new (BM25 + PQ-ANN hybrid fusion)
     "text_rrf_three_way",  # brand-new (3-source RRF fusion)
     "text_kneser_ney3",  # brand-new (trigram KN with continuation backoff)

@@ -607,3 +607,55 @@ def importance_resample(
     return weighted.filter(
         u < F.col(weight_col).cast("double") * F.lit(float(rate))
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights at alpha = 0.5 — the
+    multilingual/domain-mixing recipe (mT5/XLM-R style): sampling
+    probability proportional to p_s^alpha flattens the source
+    distribution, up-weighting small sources without letting them
+    dominate. Emits one row per source: (source, n_docs, p, weight,
+    boost) where p = n_s/N (the natural rate), weight the normalized
+    temperature-scaled rate, boost = weight/p the per-source up/down-
+    sampling factor a sampler applies.
+
+    alpha is FIXED at 0.5 because p^0.5 = sqrt(p) is the one power IEEE
+    requires correctly rounded — pow()/ln() are libm-dependent and would
+    break the bit-exact oracle (the dsir_weights convention). The
+    normalizer folds sqrt(n_s) in SOURCE order as an explicit chain
+    (float addition is not associative); sqrt(p_s)/Z == sqrt(n_s)/Z'
+    up to the same normalization, so integer counts feed sqrt directly.
+
+    Shape at scale: one combinable count per source (|sources| rows),
+    one |sources|-row fold broadcast back — corpus scanned once, no
+    other shuffle."""
+    s = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_raw = F.sqrt(F.col("n_docs").cast("double"))
+    norm = s.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("source", w_raw.alias("w")))
+                ),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z"),
+    )
+    p = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    weight = w_raw / F.col("z")
+    return s.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        p.alias("p"),
+        weight.alias("weight"),
+        (weight / p).alias("boost"),
+    )

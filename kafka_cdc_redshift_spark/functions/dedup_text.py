@@ -163,6 +163,77 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """All pairs whose shingle-set CONTAINMENT max(|A∩B|/|A|, |A∩B|/|B|)
+    >= threshold — the asymmetric near-dup relation Jaccard misses: a
+    short document quoted or embedded verbatim inside a long one has
+    tiny Jaccard (the union is dominated by the long doc) but containment
+    ~1 on the short side. Emits (doc_a, doc_b, containment_a,
+    containment_b, jaccard) with doc_a < doc_b; containment_a = the
+    fraction of doc_a's shingles found in doc_b.
+
+    Same posting-list shape as `jaccard_pairs` (one shingle-keyed SMJ
+    shuffle, the stop-shingle cut bounding hot buckets) EXCEPT the
+    size-ratio prune: size asymmetry is exactly the signal here, so no
+    pair is pruned by size. At corpus scale that makes the hot-shingle
+    cut (`max_df`) load-bearing, not optional — a boilerplate shingle
+    joins every tiny quote to every big page."""
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    ex = sets_.select(
+        "doc_id", F.size("sh_set").alias("sz"), F.explode_outer("sh_set").alias("sh")
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        ex = (
+            ex.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    pairs = (
+        ex.alias("a")
+        .join(
+            ex.hint("merge").alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    inter_d = F.col("inter").cast("double")
+    c_a = inter_d / F.col("sz_a").cast("double")
+    c_b = inter_d / F.col("sz_b").cast("double")
+    jac = inter_d / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.select(
+            "doc_a", "doc_b",
+            c_a.alias("containment_a"), c_b.alias("containment_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(float(threshold))
+        )
+    )
+
+
 # universal-hash family over a 2^30 universe (int64-overflow-safe in both
 # engines, Spark ANSI mode included): h_s = (a_s * h30 + b_s) mod P
 _MH_P = 4294967291          # largest prime < 2^32

@@ -1176,3 +1176,56 @@ def lm_surprisal_flags(
             ).alias("surprise_ratio"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    *,
+    n_buckets: int = 3,
+    threshold: float = 0.01,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style per-source quality tiers: rank every document within
+    its source by LM surprisal (the exact threshold-count proxy,
+    `lm_surprisal_flags`) and cut each source into `n_buckets`
+    equal-height tiers — head (most LM-probable), middle, tail. The
+    standard head/middle/tail split CCNet feeds to mixing decisions,
+    kept cross-engine-exact: the ranking key is (surprise_ratio,
+    doc_id), a total order over exact-integer-derived doubles, and
+    ntile is the SQL-standard equal-height cut both engines implement
+    identically. Documents with no bigrams (< 2 tokens) carry no LM
+    evidence and are excluded (the inner join), matching CCNet's
+    convention of scoring only scorable text.
+
+    Shape at scale: lm_surprisal_flags' one corpus explode + vocab-
+    bounded LM join, then ONE window shuffle keyed source — each
+    source's ranking is independent, so the cut parallelizes across
+    sources (salt a pathological single-source corpus first)."""
+    from pyspark.sql import Window
+
+    flags = lm_surprisal_flags(
+        df, threshold=threshold, discount=discount,
+        id_col=id_col, text_col=text_col,
+    )
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("surprise_ratio"), F.asc("doc_id")
+    )
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        src.join(flags, "doc_id")
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .select(
+            "doc_id", "source", "n_bigrams", "surprise_ratio",
+            "bucket", tier.alias("tier"),
+        )
+    )

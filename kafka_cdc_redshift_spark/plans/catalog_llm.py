@@ -2455,3 +2455,114 @@ def q_text_kneser_ney3(spark, sf_dir):
 )
 def q_source_lm_crossscore(spark, sf_dir):
     return text.source_lm_crossscore(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "doc_temperature_mix",
+    "temperature-scaled source sampling weights at alpha = 0.5 "
+    "(functions/curation.temperature_mix; the mT5/XLM-R multilingual "
+    "mixing recipe): weight proportional to sqrt(p_source), flattening "
+    "the source distribution. alpha is fixed at 0.5 because sqrt is the "
+    "one power IEEE requires correctly rounded (pow/ln are libm-"
+    "dependent); the normalizer folds sqrt(n_s) in source order as an "
+    "explicit chain. One combinable count + one |sources|-row fold — "
+    "the corpus is scanned once, nothing else shuffles",
+    """WITH s AS (SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                 list_reduce(
+                   list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                   (a, b) -> a + b) AS z
+          FROM s)
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+           sqrt(CAST(n_docs AS DOUBLE)) / z AS weight,
+           (sqrt(CAST(n_docs AS DOUBLE)) / z)
+             / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS boost
+    FROM s CROSS JOIN t""",
+)
+def q_doc_temperature_mix(spark, sf_dir):
+    return curation.temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "dedup_containment",
+    "asymmetric near-dup detection by shingle-set CONTAINMENT "
+    "(functions/dedup_text.containment_pairs): max(|A∩B|/|A|, "
+    "|A∩B|/|B|) >= 0.6 catches a short document embedded verbatim in a "
+    "long one — tiny Jaccard, containment ~1 on the short side. Same "
+    "single posting-list SMJ shuffle as jaccard_pairs with the "
+    "stop-shingle cut, but NO size-ratio prune (size asymmetry is the "
+    "signal), which makes the hot-bucket cut load-bearing at scale",
+    f"""WITH {_SH_SETS},
+    ex AS (SELECT doc_id, len(sh_set) AS sz, unnest(sh_set) AS sh
+           FROM sh_sets),
+    kept AS (SELECT sh FROM ex GROUP BY sh
+             HAVING count(*) <= {dedup_text.DEFAULT_MAX_DF}),
+    exk AS (SELECT ex.doc_id, ex.sz, ex.sh FROM ex JOIN kept USING (sh)),
+    pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+           FROM exk a JOIN exk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment_a,
+           CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE) AS containment_b,
+           CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)
+             AS jaccard
+    FROM pc
+    WHERE greatest(CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE),
+                   CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)) >= 0.6""",
+)
+def q_dedup_containment(spark, sf_dir):
+    return dedup_text.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+@_spec(
+    "doc_ccnet_buckets",
+    "CCNet-style per-source quality tiers (functions/text.ccnet_buckets): "
+    "rank each source's documents by the exact LM-surprisal proxy and "
+    "ntile-cut into head/middle/tail — the split CCNet feeds to mixing "
+    "decisions. The ranking key (surprise_ratio, doc_id) is a total "
+    "order over exact-integer-derived doubles and ntile is the SQL-"
+    "standard equal-height cut, so the oracle replays every tier "
+    "assignment; one corpus explode + vocab-bounded LM join + one "
+    "window shuffle keyed source",
+    f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+                 FROM base WHERE len(t) >= 2)),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    w1s AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+                   count(*) AS n1w1 FROM bc GROUP BY 1),
+    w2s AS (SELECT w2, count(*) AS n1w2 FROM bc GROUP BY 1),
+    tot AS (SELECT count(*) AS n1all FROM bc),
+    lm AS (SELECT bc.w1, bc.w2,
+                  ((greatest(CAST(bc.c AS DOUBLE) - 0.75, 0.0)
+                    / CAST(w1s.c1 AS DOUBLE))
+                   + (((0.75 * CAST(w1s.n1w1 AS DOUBLE))
+                       / CAST(w1s.c1 AS DOUBLE))
+                      * (CAST(w2s.n1w2 AS DOUBLE)
+                         / CAST(tot.n1all AS DOUBLE)))) AS pkn
+           FROM bc JOIN w1s ON w1s.w1 = bc.w1 JOIN w2s ON w2s.w2 = bc.w2
+           CROSS JOIN tot),
+    fl AS (SELECT bi.doc_id, count(*) AS n_bigrams,
+                  CAST(sum(CASE WHEN lm.pkn < 0.01 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS surprise_ratio
+           FROM bi JOIN lm ON lm.w1 = bi.w1 AND lm.w2 = bi.w2
+           GROUP BY 1),
+    j AS (SELECT d.doc_id, d.source, fl.n_bigrams, fl.surprise_ratio,
+                 CAST(ntile(3) OVER (PARTITION BY d.source
+                      ORDER BY fl.surprise_ratio, d.doc_id) AS INTEGER)
+                   AS bucket
+          FROM documents d JOIN fl ON fl.doc_id = d.doc_id)
+    SELECT doc_id, source, n_bigrams, surprise_ratio, bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = 3 THEN 'tail'
+                ELSE 'middle' END AS tier
+    FROM j""",
+)
+def q_doc_ccnet_buckets(spark, sf_dir):
+    return text.ccnet_buckets(load_table(spark, sf_dir, "documents"))

@@ -553,3 +553,52 @@ def test_importance_resample_deterministic_and_proportional(spark):
     assert 0.5 < hi <= 1.0 and 0.0 < lo < 0.35
     assert curation.importance_resample(w, rate=0.0).count() == 0
     assert curation.importance_resample(w, rate=100.0).count() == 200
+
+
+def test_containment_pairs_catches_embedded_doc(spark):
+    """A short document embedded verbatim in a long one: Jaccard stays
+    below any useful threshold (union dominated by the long doc) but
+    containment on the short side is ~1 — the asymmetric near-dup case
+    jaccard_pairs structurally misses."""
+    from kafka_cdc_redshift_spark.functions import dedup_text
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        + short
+        + " thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely different here")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r
+           for r in dedup_text.containment_pairs(docs, threshold=0.8).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.containment_a == 1.0          # every shingle of 1 is in 2
+    assert r.containment_b < 0.5           # but 2 is mostly NOT 1
+    assert r.jaccard < 0.5                 # jaccard would have missed it
+    # and jaccard_pairs at its default threshold indeed reports nothing
+    assert dedup_text.jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """alpha=0.5 mixing: weights sum to 1, small sources are boosted
+    above their natural rate, large ones damped — and the exact values
+    replay sqrt(n)/sum(sqrt(n)) in sorted-source fold order."""
+    import math
+
+    from kafka_cdc_redshift_spark.functions import curation
+
+    rows = [(i, "x", "big") for i in range(90)] + [
+        (100 + i, "x", "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in curation.temperature_mix(docs).collect()}
+    z = math.sqrt(90.0) + math.sqrt(10.0)  # 'big' < 'small' sort order
+    assert got["big"].weight == math.sqrt(90.0) / z
+    assert got["small"].weight == math.sqrt(10.0) / z
+    assert abs(got["big"].weight + got["small"].weight - 1.0) < 1e-12
+    assert got["small"].boost > 1.0 > got["big"].boost
+    assert got["big"].p == 0.9 and got["small"].p == 0.1
