@@ -2566,3 +2566,135 @@ def q_dedup_containment(spark, sf_dir):
 )
 def q_doc_ccnet_buckets(spark, sf_dir):
     return text.ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# streaming-state fixtures: the ingest state is the Kafka-stand-in
+# fixture of these queries — built once per (session, sf); re-invocation
+# replays the SAME batches into the SAME AppendLog, which the committed-
+# batch manifests turn into no-ops (so every bench rep also exercises
+# the replay guards). Holding the session object keeps its id() from
+# being reused (the catalog.py fixture-cache convention).
+_TOMB_STATE: dict = {}
+
+
+def _tomb_state_dir(spark, sf_dir: str, kind: str) -> str:
+    import tempfile
+
+    stale = [k for k, (sess, _) in _TOMB_STATE.items()
+             if sess._jsc is None or sess._jsc.sc().isStopped()]
+    for k in stale:
+        del _TOMB_STATE[k]
+    key = (id(spark), sf_dir, kind)
+    if key not in _TOMB_STATE:
+        _TOMB_STATE[key] = (spark, tempfile.mkdtemp(prefix=f"{kind}_"))
+    return _TOMB_STATE[key][1]
+
+
+@_spec(
+    "cdc_bm25_tombstones",
+    "the streaming BM25 index under its CDC contract, driver-verified: "
+    "batch 0 ingests the corpus, batch 1 UPDATES doc_id%10==3 (suffixed "
+    "text; tombstone + re-index in one batch) and DELETES doc_id%10==7, "
+    "then compact_state folds the tombstones (dead postings physically "
+    "drop, streaming/tombstones.py). The returned per-doc postings "
+    "census must equal term_freqs of the FINAL corpus — the oracle "
+    "computes that corpus directly, so stale postings, resurrected "
+    "deletes, or a broken fold all hash-mismatch",
+    f"""WITH final AS (
+      SELECT doc_id, text || ' zz updated marker' AS text
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 != 3 AND doc_id % 10 != 7),
+    tok AS (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM final),
+    ex AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex GROUP BY 1, 2, 3)
+    SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(tf) AS BIGINT) AS sum_tf
+    FROM tf GROUP BY 1, 2""",
+)
+def q_cdc_bm25_tombstones(spark, sf_dir):
+    from ..streaming.retrieval_ingest import RetrievalIngest
+    from ..streaming.store import AppendLog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ing = RetrievalIngest(
+        AppendLog(_tomb_state_dir(spark, sf_dir, "bm25tomb")), name="docs"
+    )
+    ing.process_batch(docs, 0)
+    updated = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zz updated marker")).alias("text"),
+    )
+    tombs = docs.filter(
+        (F.col("doc_id") % 10 == 3) | (F.col("doc_id") % 10 == 7)
+    ).select("doc_id")
+    ing.process_batch(updated, 1, tombstones=tombs)
+    ing.compact_state(spark, min_segments=2)  # fold: dead postings drop
+    return (
+        ing.postings(spark)
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("sum_tf"),
+        )
+    )
+
+
+@_spec(
+    "cdc_ann_tombstones",
+    "the streaming IVF index under its CDC contract, driver-verified: "
+    "centroids persist from the ORIGINAL corpus (a trained artifact "
+    "does not drift with later edits), batch 1 updates vec_id%10==3 "
+    "(reversed embedding) and deletes vec_id%10==7, compact_state folds "
+    "the tombstones. The returned live (vec_id, cell) assignment must "
+    "equal assigning the FINAL corpus against those same centroids — "
+    "stale vectors, resurrected deletes, or drift in the persisted "
+    "centroid set all hash-mismatch",
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id < 8),
+    final AS (SELECT vec_id, list_reverse(e) AS e FROM c WHERE vec_id % 10 = 3
+              UNION ALL
+              SELECT vec_id, e FROM c
+              WHERE vec_id % 10 != 3 AND vec_id % 10 != 7),
+    asn AS (SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c_sim DESC, cent_id) AS c_rnk
+            FROM (SELECT f.vec_id, cent.cent_id,
+                         list_dot_product(f.e, cent.ce)
+                           / (sqrt(list_dot_product(f.e, f.e))
+                              * sqrt(list_dot_product(cent.ce, cent.ce)))
+                           AS c_sim
+                  FROM final f CROSS JOIN cent) s)
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cell
+    FROM asn WHERE c_rnk = 1""",
+)
+def q_cdc_ann_tombstones(spark, sf_dir):
+    from ..streaming.ann_ingest import AnnIngest
+    from ..streaming.store import AppendLog
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    log = AppendLog(_tomb_state_dir(spark, sf_dir, "anntomb"))
+    # first invocation trains+persists the centroids; replays recover them
+    ann = (
+        AnnIngest(log, centroids=cents)
+        if not log.has_batch("emb_centroids", "__centroids__")
+        else AnnIngest(log)
+    )
+    ann.process_batch(emb, 0)
+    updated = emb.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    tombs = emb.filter(
+        (F.col("vec_id") % 10 == 3) | (F.col("vec_id") % 10 == 7)
+    ).select("vec_id")
+    ann.process_batch(updated, 1, tombstones=tombs)
+    ann.compact_state(spark, min_segments=2)  # fold: dead vectors drop
+    return ann.live_cells(spark).select("vec_id", "cell")
