@@ -55,6 +55,7 @@ _DRIVER_CHECK_FIRST = [
     # stalest-driver-row-first (see _stale_first), which rotates a
     # maximal slice of the r5-era rows into the remaining slots.
     # -- brand-new r7 queries (prepended as they land) --
+    "cdc_stats_current",  # brand-new (current-state stats via retract/assert)
     "cdc_bm25_tombstones",  # brand-new (streamed BM25 under updates/deletes)
     "cdc_ann_tombstones",  # brand-new (streamed IVF under updates/deletes)
     "doc_temperature_mix",  # brand-new (alpha=0.5 source mixing weights)

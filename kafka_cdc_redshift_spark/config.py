@@ -111,6 +111,15 @@ class SyncRule:
     # routes to the exact check. Independent of stats_group_columns —
     # the bloom is table-global (membership has no group axis).
     stats_bloom_column: str | None = None
+    # ...and <table>_state_stats: CURRENT-STATE per-group stats tracked
+    # through updates AND deletes by folding signed retract/assert
+    # deltas from the CDC before/after images (functions/incremental
+    # group_stats_cdc — requires a before-emitting source, e.g. real
+    # Debezium; updates without a before image degrade to append
+    # semantics for that row). Requires stats_group_columns +
+    # stats_value_column; batch-id-guarded (signed addition is not
+    # idempotent). The plain <table>_stats stays an EVENT census.
+    stats_current_state: bool = False
     # streaming BM25 inverted-index ingest (streaming/retrieval_ingest):
     # append each batch's (doc, dl, term, tf) postings to a standing
     # lexical index over `bm25_text_column` (first primary key = doc id);
@@ -196,6 +205,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 stats_topk_column=it.get("stats_topk_column") or None,
                 stats_sample_column=it.get("stats_sample_column") or None,
                 stats_bloom_column=it.get("stats_bloom_column") or None,
+                stats_current_state=_flag(it.get("stats_current_state", False)),
                 bm25_ingest=_flag(it.get("bm25_ingest", False)),
                 bm25_text_column=it.get("bm25_text_column") or "text",
                 extra={k: v for k, v in it.items() if k not in {
@@ -209,7 +219,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "stats_group_columns", "stats_value_column",
                     "stats_distinct_column", "stats_quantile_column",
                     "stats_topk_column", "stats_sample_column",
-                    "stats_bloom_column",
+                    "stats_bloom_column", "stats_current_state",
                     "bm25_ingest", "bm25_text_column",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )

@@ -541,3 +541,85 @@ def estimate_distinct_kmv(
         size.cast("int").alias("sample_size"),
         est.alias("ndv_est"),
     )
+
+
+def group_stats_cdc(
+    parsed: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    before_col: str = "_before_img",
+) -> DataFrame:
+    """CURRENT-STATE census delta from one CDC batch carrying BEFORE
+    images (route_parse_debezium(emit_before=True)): an insert/snapshot
+    asserts its after (+1), an update retracts its before AND asserts
+    its after, a delete retracts its before — so folding the deltas
+    tracks group_stats of the LIVE table through updates and deletes,
+    the gap the plain observation census (`group_stats`, an EVENT
+    census by contract) deliberately does not cover. Group-changing
+    updates are exact: the retraction lands in the BEFORE row's group,
+    the assertion in the after's.
+
+    Emits (keys..., n, sum, sumsq) signed deltas — min/max are not
+    invertible under deletion and are intentionally absent (keep the
+    event census alongside when "extrema ever seen" matter). Values
+    cast to long like group_stats, so each image's truncation
+    telescopes exactly across retract/assert and the fold replays
+    bit-for-bit in SQL.
+
+    Rows whose retraction side lacks a before image (a connector not
+    configured to emit them) are skipped on that side — the census
+    silently degrades to append-only semantics for exactly those rows,
+    so feed this only from before-emitting sources.
+
+    One union + one combinable shuffle over |batch| rows; the standing
+    table is never read."""
+    op = F.col("op")
+    after_v = F.col(value_col).cast("long")
+    before = F.col(before_col)
+    asserts = parsed.filter(op != "d").select(
+        *[F.col(k).alias(k) for k in keys],
+        after_v.alias("v"),
+        F.lit(1).alias("sign"),
+    )
+    retracts = (
+        parsed.filter(op.isin("u", "d") & before.isNotNull())
+        .select(
+            *[before[k].alias(k) for k in keys],
+            before[value_col].cast("long").alias("v"),
+            F.lit(-1).alias("sign"),
+        )
+    )
+    s = F.col("sign")
+    v = F.col("v")
+    return (
+        asserts.unionByName(retracts)
+        .groupBy(*keys)
+        .agg(
+            F.sum(s).alias("n"),
+            F.sum(s * v).alias("sum"),
+            F.sum(s * v * v).alias("sumsq"),
+        )
+    )
+
+
+def merge_group_stats_cdc(
+    prev: DataFrame | None, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold one batch's signed census delta into the standing current-
+    state stats: n/sum/sumsq add; groups whose live population reached
+    zero disappear (matching a group-by over the live table). NOT
+    replay-idempotent — guard with the batch-id pointer like
+    group_stats. Associative and commutative over batches, so any
+    arrival order converges to group_stats of the final live state
+    (property: retract/assert pairs telescope)."""
+    merged = delta if prev is None else (
+        prev.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.sum("sumsq").alias("sumsq"),
+        )
+    )
+    return merged.filter(F.col("n") > 0)

@@ -137,8 +137,17 @@ def _match(col, value: str, is_regex: bool):
 def route_parse_debezium(
     df: DataFrame, db: str, table: str, payload: T.StructType, *,
     value_col: str = "value", table_is_regex: bool = False,
+    emit_before: bool = False,
 ) -> DataFrame:
-    """Route + parse a Debezium/Flink-CDC multiplexed topic in one parse."""
+    """Route + parse a Debezium/Flink-CDC multiplexed topic in one parse.
+
+    `emit_before=True` additionally carries the envelope's BEFORE image
+    as one nested struct column `_before_img` (null for inserts/
+    snapshots) — the input current-state incremental maintenance needs:
+    an update retracts its before and asserts its after
+    (functions/incremental.group_stats_cdc). Kept nested so the flat
+    payload namespace is untouched; consumers that don't read it pay
+    nothing (column pruning drops it at the parse)."""
     env = envelopes.debezium_schema(payload)
     k = df.select(F.from_json(F.col(value_col), env).alias("k"))
     k = k.filter(
@@ -146,12 +155,16 @@ def route_parse_debezium(
         & _match(F.col("k.source.table"), table, table_is_regex)
         & F.col("k.op").isin("c", "u", "d", "r")
     )
+    extra = [F.col("k.before").alias("_before_img")] if emit_before else []
     flat = k.select(
         F.coalesce(F.col("k.after"), F.col("k.before")).alias("after"),
         F.col("k.op").alias("op"),
         F.col("k.ts_ms").alias("ts_ms"),
+        *extra,
     )
-    return flat.select("after.*", "op", "ts_ms")
+    return flat.select("after.*", "op", "ts_ms", *(
+        ["_before_img"] if emit_before else []
+    ))
 
 
 def route_parse_dms(

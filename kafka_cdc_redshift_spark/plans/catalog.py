@@ -44,6 +44,7 @@ from ..sources.envelopes import (
     MONGO_TS_BASE,
     ORDERS_CHANGELOG_SQL,
     synth_canal_topic,
+    synth_debezium_before_topic,
     synth_debezium_topic,
     synth_dms_topic,
     synth_mongo_topic,
@@ -119,6 +120,7 @@ def warm_fixtures(spark: SparkSession, sf_dir: str) -> None:
     for name, builder in (
         ("changelog", synth_orders_changelog),
         ("debezium_topic", synth_debezium_topic),
+        ("debezium_before_topic", synth_debezium_before_topic),
         ("dms_topic", synth_dms_topic),
         ("mongo_topic", synth_mongo_topic),
         ("canal_topic", synth_canal_topic),
@@ -1077,3 +1079,42 @@ def q_events_salted_join(spark, sf_dir):
         [(i, f"dim_{i}") for i in range(10)], ["k", "label"]
     )
     return salted_join(left, right, ["k"]).select("event_id", "k", "label")
+
+
+@_spec(
+    "cdc_stats_current",
+    "CURRENT-STATE incremental stats through updates AND deletes "
+    "(functions/incremental.group_stats_cdc): the CDC before/after "
+    "images fold as signed retract/assert deltas — an update retracts "
+    "its before and asserts its after, a delete retracts the state "
+    "being removed — so the standing (n, sum, sumsq) census equals a "
+    "group-by over the LIVE table at every point, with zero reads of "
+    "the target. The oracle computes the final live state directly; "
+    "any broken retraction (stale rows, double counts, missed "
+    "group-changing updates) hash-mismatches. Truncation telescopes: "
+    "each image casts identically on its retract and assert sides",
+    """WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey % 7 != 0)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(vl) AS BIGINT) AS sum,
+           CAST(sum(vl * vl) AS BIGINT) AS sumsq
+    FROM (SELECT o_orderpriority, CAST(floor(v) AS BIGINT) AS vl
+          FROM final) t
+    GROUP BY 1""",
+)
+def q_cdc_stats_current(spark, sf_dir):
+    from ..functions.incremental import group_stats_cdc, merge_group_stats_cdc
+    from ..operators.normalize import route_parse_debezium
+
+    orders = load_table(spark, sf_dir, "orders")
+    topic = _fixture(
+        spark, sf_dir, "debezium_before_topic", synth_debezium_before_topic
+    )
+    parsed = route_parse_debezium(
+        topic, "salesdb", "orders", orders.schema, emit_before=True
+    )
+    delta = group_stats_cdc(parsed, ["o_orderpriority"], "o_totalprice")
+    return merge_group_stats_cdc(None, delta, ["o_orderpriority"])

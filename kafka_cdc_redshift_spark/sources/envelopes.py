@@ -332,3 +332,51 @@ def synth_canal_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UPDATE").alias("type"),
         F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz")).alias("ts"),
     )
+
+
+def synth_debezium_before_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium topic whose UPDATE envelopes carry their true BEFORE
+    image — what a real connector emits and what current-state
+    incremental maintenance (functions/incremental.group_stats_cdc)
+    consumes: an update is (-before, +after), a delete is (-before).
+    Consistency matters: a key updated then deleted (o_orderkey % 21
+    == 0) must be deleted with the UPDATED image as its before — the
+    state being removed — not the original insert."""
+    orders = load_table(spark, sf_dir, "orders")
+    base_ts = F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz"))
+    orig = F.struct(*[F.col(c) for c in ORDERS_COLS])
+    upd = F.struct(*[
+        (F.col(c) * F.lit(1.1)).alias(c) if c == "o_totalprice" else F.col(c)
+        for c in ORDERS_COLS
+    ])
+    live = F.when(F.col("o_orderkey") % 3 == 0, upd).otherwise(orig)
+
+    def env(before, after, op, ts):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.struct(
+                    F.lit("salesdb").alias("db"),
+                    F.lit("orders").alias("table"),
+                    ts.alias("ts_ms"),
+                ).alias("source"),
+                op.alias("op"),
+                ts.alias("ts_ms"),
+            )
+        ).alias("value")
+
+    null_row = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in orders.select(*ORDERS_COLS).schema.fields
+        ) + ">"
+    )
+    inserts = orders.select(env(null_row, orig, F.lit("c"), base_ts))
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        env(orig, upd, F.lit("u"), base_ts + 3_600_000)
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        env(live, null_row, F.lit("d"), base_ts + 7_200_000)
+    )
+    return inserts.unionByName(updates).unionByName(deletes)

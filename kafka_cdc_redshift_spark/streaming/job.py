@@ -522,6 +522,56 @@ class CdcBatchProcessor:
                         ),
                         stable, batch_id=batch_id,
                     )
+            if (
+                rule.stats_group_columns
+                and rule.stats_value_column
+                and rule.stats_current_state
+                and fmt in ("FLINK-CDC", "MSK-DEBEZIUM-CDC")
+            ):
+                # CURRENT-STATE stats through updates/deletes: re-parse
+                # this rule's slice WITH before images (only this rule
+                # pays the extra parse) and fold the signed retract/
+                # assert census into <table>_state_stats. Batch-id-
+                # guarded: signed addition is not idempotent.
+                from ..functions.incremental import (
+                    group_stats_cdc,
+                    merge_group_stats_cdc,
+                )
+
+                cstable = f"{rule.target_name}_state_stats"
+                if (
+                    batch_id is None
+                    or self.store.last_batch_id(cstable) != batch_id
+                ):
+                    schema = self.payload_schemas.get(rule.target_name)
+                    if schema is None:
+                        schema = infer_payload_schema(
+                            batch_df, fmt, rule.db, rule.table,
+                            table_is_regex=is_regex,
+                            sample_limit=self.infer_sample_limit,
+                        )
+                    if schema is not None:  # else: no routed rows -> no delta
+                        withb = route_parse_debezium(
+                            batch_df, rule.db, rule.table, schema,
+                            table_is_regex=is_regex, emit_before=True,
+                        )
+                        # no rule typeconv here: the census casts the
+                        # value itself, and conversions applied to the
+                        # FLAT columns but not the nested before image
+                        # would break the retract/assert symmetry
+                        delta = group_stats_cdc(
+                            withb,
+                            list(rule.stats_group_columns),
+                            rule.stats_value_column,
+                        )
+                        prev_cs = self.store.read(self.spark, cstable)
+                        self.store.publish(
+                            merge_group_stats_cdc(
+                                prev_cs, delta,
+                                list(rule.stats_group_columns),
+                            ),
+                            cstable, batch_id=batch_id,
+                        )
             if rule.stats_group_columns and rule.stats_distinct_column:
                 # mergeable HLL distinct-count maintenance: the census
                 # column algebraic parts can't carry. The register union

@@ -685,3 +685,101 @@ def test_routing_census_short_circuit_matches_probe_path(spark, sf_dir, tmp_path
         a = sorted(map(tuple, store.read(spark, t).collect()))
         b = sorted(map(tuple, store2.read(spark, t).collect()))
         assert a == b and a
+
+
+def test_group_stats_cdc_retract_assert_semantics(spark):
+    """The signed census unit contract: an update retracts its before
+    (including GROUP-CHANGING updates — the retraction lands in the
+    before's group), a delete retracts the removed state, and a group
+    whose live population reaches zero disappears after the fold."""
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_stats_cdc,
+        merge_group_stats_cdc,
+    )
+
+    rows = [
+        # (grp, v, op, before(grp, v) or None)
+        ("a", 10, "c", None),
+        ("b", 5, "c", None),
+        ("b", 7, "c", None),
+    ]
+    b2 = [
+        ("b", 20, "u", ("a", 10)),   # group-changing update a -> b
+        (None, None, "d", ("b", 5)),  # delete one b row
+    ]
+
+    def mk(batch):
+        return spark.createDataFrame(
+            [(g, v, op, b) for g, v, op, b in batch],
+            "grp string, v long, op string, "
+            "_before_img struct<grp:string, v:long>",
+        )
+
+    d1 = group_stats_cdc(mk(rows), ["grp"], "v")
+    s1 = merge_group_stats_cdc(None, d1, ["grp"])
+    got1 = {r.grp: (r.n, r.sum, r.sumsq) for r in s1.collect()}
+    assert got1 == {"a": (1, 10, 100), "b": (2, 12, 74)}
+    d2 = group_stats_cdc(mk(b2), ["grp"], "v")
+    s2 = merge_group_stats_cdc(s1, d2, ["grp"])
+    got2 = {r.grp: (r.n, r.sum, r.sumsq) for r in s2.collect()}
+    # a emptied out (its only row moved to b); b = {7, 20}
+    assert got2 == {"b": (2, 27, 449)}
+
+
+def test_current_state_stats_stream_tracks_updates_and_deletes(
+    spark, sf_dir, tmp_path
+):
+    """stats_current_state through the shell: a before-image-carrying
+    Debezium stream with inserts, then updates+deletes, must leave
+    <table>_state_stats equal to a group-by over the FINAL live target
+    state — the gap the (deliberately event-census) <table>_stats does
+    not cover."""
+    from kafka_cdc_redshift_spark.sources.envelopes import (
+        synth_debezium_before_topic,
+    )
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    rules = [
+        SyncRule(
+            db="salesdb", table="orders", primary_key=("o_orderkey",),
+            stats_group_columns=("o_orderpriority",),
+            stats_value_column="o_totalprice",
+            stats_current_state=True,
+        )
+    ]
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+    )
+    topic = synth_debezium_before_topic(spark, sf_dir)
+    src = tmp_path / "topic"
+    src.mkdir()
+    _write_lines(topic.filter(F.col("value").contains('"op":"c"')),
+                 src / "b1.json")
+    _write_lines(topic.filter(~F.col("value").contains('"op":"c"')),
+                 src / "b2.json")
+    q = run_file_stream(spark, str(src), proc, str(tmp_path / "ckpt"),
+                        max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    orders = load_table(spark, sf_dir, "orders")
+    final = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.col("o_totalprice") * F.lit(1.1))
+        .otherwise(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    want = sorted(map(tuple, final.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum"),
+        F.sum(F.col("v") * F.col("v")).alias("sumsq"),
+    ).collect()))
+    got = sorted(map(tuple, store.read(spark, "orders_state_stats")
+                     .select("o_orderpriority", "n", "sum", "sumsq")
+                     .collect()))
+    assert got == want and got
+
+    # the state census tracks the LIVE target exactly (cross-check
+    # against the store's own merged target)
+    tgt = store.read(spark, "orders")
+    assert tgt.count() == final.count()
