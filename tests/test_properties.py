@@ -654,3 +654,62 @@ def test_bloom_no_false_negatives_and_lossless_union(spark, a, b):
     rows = probed.collect()
     assert all(r["hit"] for r in rows)
     assert len(rows) == len(a) + len(b)
+
+
+cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=99),   # new value
+        st.integers(min_value=0, max_value=2),    # 2 = delete attempt
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(ops=cdc_ops, cut=st.integers(min_value=0, max_value=20))
+@settings(**SETTINGS)
+def test_group_stats_cdc_fold_matches_live_state(spark, ops, cut):
+    """Signed retract/assert census property: for ANY consistent CDC
+    event sequence (each event's before == the key's current live
+    image, groups derived from values so updates change groups) and
+    ANY batch split, folding the per-batch deltas equals the census of
+    the final live state — retract/assert pairs telescope."""
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_stats_cdc,
+        merge_group_stats_cdc,
+    )
+
+    events, state = [], {}
+    for k, v, a in ops:
+        grp = f"g{v % 3}"
+        if k not in state:
+            events.append((grp, v, "c", None))
+            state[k] = (grp, v)
+        elif a == 2:
+            bg, bv = state.pop(k)
+            events.append((None, None, "d", (bg, bv)))
+        else:
+            bg, bv = state[k]
+            events.append((grp, v, "u", (bg, bv)))
+            state[k] = (grp, v)
+    exp = {}
+    for grp, v in state.values():
+        n, s, ss = exp.get(grp, (0, 0, 0))
+        exp[grp] = (n + 1, s + v, ss + v * v)
+
+    schema = ("grp string, v long, op string, "
+              "_before_img struct<grp:string, v:long>")
+
+    def census(batches):
+        acc = None
+        for b in batches:
+            delta = group_stats_cdc(
+                spark.createDataFrame(b, schema), ["grp"], "v"
+            )
+            acc = merge_group_stats_cdc(acc, delta, ["grp"])
+        if acc is None:
+            return {}
+        return {r.grp: (r.n, r.sum, r.sumsq) for r in acc.collect()}
+
+    assert census([events[:cut], events[cut:]]) == exp
