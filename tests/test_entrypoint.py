@@ -265,6 +265,9 @@ def test_kitchen_sink_job_composes_every_per_rule_feature(spark, tmp_path):
     lines2.append(doc(101, near_b))
     lines2.append(doc(102, "too short"))  # fails the gopher word count
     lines2.append(doc(3, good_text(3), op="d", ts=99))  # delete doc 3
+    # UPDATE doc 5 (op u, new text): its old postings/bands/vector must
+    # be tombstoned out of every ingest state, the new image re-indexed
+    lines2.append(doc(5, good_text(500), op="u", ts=99))
 
     src = tmp_path / "topic"
     src.mkdir()
@@ -317,11 +320,13 @@ sync_table_list = [\\
     assert open_rows >= len(ids)
 
     # streamed dedup state == one-shot rebuild over the FINAL live
-    # corpus: the gate-passing images minus deletes — doc 3's delete
-    # tombstones its pre-delete create out of the standing index
-    # (streaming/tombstones.py), matching the target's own state
+    # corpus: the gate-passing images minus deletes, with updates at
+    # their LATEST text — doc 3's delete tombstones its pre-delete
+    # create out of the standing index and doc 5's update replaces its
+    # original (streaming/tombstones.py), matching the target's state
     seen = spark.createDataFrame(
-        [(i, good_text(i)) for i in range(8) if i != 3]
+        [(i, good_text(i)) for i in range(8) if i not in (3, 5)]
+        + [(5, good_text(500))]
         + [(i, good_text(50 + i)) for i in range(8, 14)]
         + [(100, near_a), (101, near_b)],
         "doc_id long, text string",
