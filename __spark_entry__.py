@@ -58,6 +58,7 @@ _DRIVER_CHECK_FIRST = [
     "cdc_stats_current",  # brand-new (current-state stats via retract/assert)
     "cdc_bm25_tombstones",  # brand-new (streamed BM25 under updates/deletes)
     "cdc_ann_tombstones",  # brand-new (streamed IVF under updates/deletes)
+    "cdc_dedup_tombstones",  # brand-new (streamed LSH under updates/deletes)
     "doc_temperature_mix",  # brand-new (alpha=0.5 source mixing weights)
     "dedup_containment",  # brand-new (asymmetric containment near-dup)
     "doc_ccnet_buckets",  # brand-new (per-source LM-surprisal tiers)

@@ -2698,3 +2698,88 @@ def q_cdc_ann_tombstones(spark, sf_dir):
     ann.process_batch(updated, 1, tombstones=tombs)
     ann.compact_state(spark, min_segments=2)  # fold: dead vectors drop
     return ann.live_cells(spark).select("vec_id", "cell")
+
+
+def _minhash_tomb_oracle(num_hashes: int = 12, band_size: int = 2) -> str:
+    """_minhash_oracle over the FINAL corpus of the tombstone scenario
+    (doc_id%10==3 updated with a suffix, %10==7 deleted) — replays
+    signatures, banded candidates, and exact-Jaccard verification over
+    exactly the live documents."""
+    from ..functions.dedup_text import _MH_H30, _MH_P, _mh_params
+
+    mins = ",\n              ".join(
+        f"min(({a} * h30 + {b}) % {_MH_P}) AS mh{s}"
+        for s, (a, b) in ((s, _mh_params(s)) for s in range(num_hashes))
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+            b=bi,
+            key=" || ',' || ".join(
+                f"mh{bi * band_size + r}::VARCHAR" for r in range(band_size)
+            ),
+        )
+        for bi in range(num_hashes // band_size)
+    )
+    return f"""WITH final AS (
+  SELECT doc_id, text || ' zz updated marker' AS text
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 10 != 3 AND doc_id % 10 != 7),
+sh_sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, len(t)-2)]) AS sh_set
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM final) _tok
+  WHERE len(t) >= 3),
+ex AS (SELECT doc_id, {_HASH60.format(x="sh")} % {_MH_H30} AS h30
+       FROM (SELECT doc_id, unnest(sh_set) AS sh FROM sh_sets) u),
+sig AS (SELECT doc_id,
+              {mins}
+        FROM ex GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+j AS (SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+               / CAST(len(sa.sh_set) + len(sb.sh_set)
+                      - len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN sh_sets sa ON sa.doc_id = cand.doc_a
+      JOIN sh_sets sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+
+@_spec(
+    "cdc_dedup_tombstones",
+    "the streaming MinHash-LSH dedup state under its CDC contract, "
+    "driver-verified (completing the tombstone trio with cdc_bm25_/"
+    "cdc_ann_tombstones): batch 1 updates doc_id%10==3 and deletes "
+    "%10==7; the live pair set must equal a one-shot minhash_lsh_pairs "
+    "rebuild over the FINAL corpus — a pair dies with the update/delete "
+    "of either side and the updating batch re-finds still-matching "
+    "pairs at its own seq. The oracle replays signatures, banded "
+    "candidates and exact-Jaccard verification over the live documents",
+    _minhash_tomb_oracle(),
+)
+def q_cdc_dedup_tombstones(spark, sf_dir):
+    from ..streaming.dedup_ingest import DedupIngest
+    from ..streaming.store import AppendLog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ing = DedupIngest(
+        AppendLog(_tomb_state_dir(spark, sf_dir, "deduptomb")), name="docs"
+    )
+    ing.process_batch(docs, 0)
+    updated = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zz updated marker")).alias("text"),
+    )
+    tombs = docs.filter(
+        (F.col("doc_id") % 10 == 3) | (F.col("doc_id") % 10 == 7)
+    ).select("doc_id")
+    ing.process_batch(updated, 1, tombstones=tombs)
+    ing.compact_state(spark, min_segments=2)  # fold: dead state drops
+    return ing.pairs(spark).select("doc_a", "doc_b", "jaccard")
