@@ -48,52 +48,57 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 7 priority: brand-new r7 queries first, then the 26 queries
-    # whose newest green driver row is r4-era — they hit the VERDICT's
-    # 2-round staleness limit this round, so the ~50-row cap must not
-    # squeeze them out. Everything after this list is ordered
-    # stalest-driver-row-first (see _stale_first), which rotates a
-    # maximal slice of the r5-era rows into the remaining slots.
-    # -- brand-new r7 queries (prepended as they land) --
-    "cdc_stats_current",  # brand-new (current-state stats via retract/assert)
-    "cdc_bm25_tombstones",  # brand-new (streamed BM25 under updates/deletes)
-    "cdc_ann_tombstones",  # brand-new (streamed IVF under updates/deletes)
-    "cdc_dedup_tombstones",  # brand-new (streamed LSH under updates/deletes)
-    "doc_temperature_mix",  # brand-new (alpha=0.5 source mixing weights)
-    "dedup_containment",  # brand-new (asymmetric containment near-dup)
-    "doc_ccnet_buckets",  # brand-new (per-source LM-surprisal tiers)
-    "sim_hybrid_rrf_ann",  # brand-new (BM25 + PQ-ANN hybrid fusion)
-    "text_rrf_three_way",  # brand-new (3-source RRF fusion)
-    "text_kneser_ney3",  # brand-new (trigram KN with continuation backoff)
-    "source_lm_crossscore",  # brand-new (cross-source LM domain matrix)
-    "text_lm_surprisal",  # r6 row, plan changed (pinned LM broadcast gate)
-    # -- the 26 r4-era rows (2-round staleness limit at r7) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "events_anomaly_zscore",
-    "events_approx_distinct",
-    "events_asof_enrich",
-    "events_funnel",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_last_state",
-    "events_range_join",
-    "events_retention_cohort",
-    "events_rollup_totals",
-    "events_salted_agg",
-    "events_salted_join",
-    "events_sessionize",
-    "doc_pack_sequences",
-    "doc_sample_stratified",
-    "doc_source_mix",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "text_tfidf_topk",
+    # round 8 priority: brand-new r8 queries first (prepended as they
+    # land), then the 38 queries whose newest green driver row is
+    # r5-era — they hit the VERDICT's 2-round staleness limit this
+    # round, so the ~50-row cap must not squeeze them out. Everything
+    # after this list is ordered stalest-driver-row-first (see
+    # _stale_first), which rotates r6-era rows into the remaining
+    # slots (those 49 hit the limit at r9).
+    # -- brand-new / plan-changed r8 queries --
+    "cdc_phrase_tombstones",  # brand-new (streamed positional postings)
+    "sim_hybrid_served",  # brand-new (state-backed BM25+PQ serving fusion)
+    "cdc_cms_current",  # brand-new (retractable Count-Min current state)
+    "doc_ccnet_buckets",  # r7 row, plan changed (broadcast tier thresholds)
+    # -- the 38 r5-era rows (2-round staleness limit at r8) --
+    "doc_chunks",
+    "doc_contamination",
+    "doc_len_quantiles",
+    "doc_sample_k_per_source",
+    "emb_kmeans",
+    "emb_normalize",
+    "emb_quantize",
+    "events_gapfill_locf",
+    "events_moving_avg",
+    "events_pivot_counts",
+    "events_sliding_rollup",
+    "events_value_deciles",
+    "events_value_hour_corr",
+    "events_value_percentiles",
+    "events_winsorize_bounds",
+    "multimodal_feature_extract",
+    "orders_cube",
+    "profile_documents",
+    "q12_late_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_bucket",
+    "text_curation_pipeline",
+    "text_fingerprint",
+    "text_langid",
+    "text_pretoken_stats",
+    "text_quality",
+    "text_repeated_spans",
+    "text_token_stats",
+    "text_winnow_pairs",
+    "top_customers_per_segment",
 ]
 
 

@@ -127,6 +127,10 @@ class SyncRule:
     # always corpus-consistent. Append-only contract like dedup_ingest.
     bm25_ingest: bool = False
     bm25_text_column: str = "text"
+    # store Lucene-style positional posting lists (same row cardinality,
+    # one extra sorted-int-array column) so the standing index serves
+    # exact PHRASE queries next to BM25 (RetrievalIngest.phrase_match)
+    bm25_positions: bool = False
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -208,6 +212,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 stats_current_state=_flag(it.get("stats_current_state", False)),
                 bm25_ingest=_flag(it.get("bm25_ingest", False)),
                 bm25_text_column=it.get("bm25_text_column") or "text",
+                bm25_positions=_flag(it.get("bm25_positions", False)),
                 extra={k: v for k, v in it.items() if k not in {
                     "db", "table", "primary_key", "target_table", "ignore_ddl",
                     "save_delete", "only_save_delete", "skip_delete",
@@ -220,7 +225,7 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "stats_distinct_column", "stats_quantile_column",
                     "stats_topk_column", "stats_sample_column",
                     "stats_bloom_column", "stats_current_state",
-                    "bm25_ingest", "bm25_text_column",
+                    "bm25_ingest", "bm25_text_column", "bm25_positions",
                     "super_columns", "timestamp_columns", "date_columns"}},
             )
         )

@@ -603,6 +603,92 @@ def group_stats_cdc(
     )
 
 
+def group_freq_sketch_cdc(
+    parsed: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    before_col: str = "_before_img",
+) -> DataFrame:
+    """CURRENT-STATE Count-Min delta from one CDC batch carrying BEFORE
+    images — the heavy-hitter companion to `group_stats_cdc`: CMS
+    counters are plain sums, and sums RETRACT, so an update subtracts
+    its before image's d bucket increments and adds its after's, and a
+    delete subtracts the state being removed. Folding the signed deltas
+    (merge_freq_sketches_cdc) keeps the standing sketch equal to
+    `group_freq_sketch` over the LIVE table at every point — estimates
+    keep the one-sided >= guarantee against LIVE counts, which the
+    event-census sketch loses the moment a row is deleted.
+
+    Retractability boundary (why only SOME of the incremental family
+    gets a _cdc variant): counter sketches form a GROUP under signed
+    addition — CMS here, and the quantile histogram would follow the
+    same pattern — but the extremal sketches only form a monoid:
+    HLL-style max-of-hashes (group_distinct_sketch), KMV bottom-k mins
+    (group_sample_sketch), and min/max themselves cannot un-see a
+    deleted value. Those stay event censuses by contract; rebuild from
+    the live table when current-state versions are needed.
+
+    Same shape as group_freq_sketch: one union + one combinable
+    (group, position) shuffle over d*|batch| rows, dense-packed to a
+    d*w array per touched group; the standing table is never read.
+    Rows lacking a before image degrade to append-only on the retract
+    side, like group_stats_cdc."""
+    op = F.col("op")
+    before = F.col(before_col)
+    asserts = parsed.filter(op != "d").select(
+        *[F.col(k).alias(k) for k in keys],
+        F.col(value_col).cast("long").alias("v"),
+        F.lit(1).alias("sign"),
+    )
+    retracts = parsed.filter(op.isin("u", "d") & before.isNotNull()).select(
+        *[before[k].alias(k) for k in keys],
+        before[value_col].cast("long").alias("v"),
+        F.lit(-1).alias("sign"),
+    )
+    r = _cms_residue("v")
+    positions = F.array(
+        *[(_cms_bucket(r, i) + F.lit(i * CMS_W)).cast("int")
+          for i in range(CMS_D)]
+    )
+    size = CMS_D * CMS_W
+    return (
+        asserts.unionByName(retracts)
+        .select(*keys, "sign", F.explode(positions).alias("pos"))
+        .groupBy(*keys, "pos")
+        .agg(F.sum("sign").alias("n"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("pos", "n"))
+            ).alias("m")
+        )
+        .select(
+            *keys,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(size - 1)),
+                lambda p: F.coalesce(
+                    F.element_at("m", p.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("cms"),
+        )
+    )
+
+
+def merge_freq_sketches_cdc(
+    prev: DataFrame | None, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold a signed CMS delta into the standing current-state sketch:
+    the same element-wise addition as merge_freq_sketches (retract/
+    assert pairs telescope inside it), then groups whose live
+    population reached zero disappear — a live group always carries
+    positive counter mass (each live row adds +1 to d buckets), so
+    all-zero == empty, matching group_freq_sketch over the live table.
+    NOT replay-idempotent — guard with the batch-id pointer."""
+    merged = merge_freq_sketches(prev, delta, keys)
+    return merged.filter(F.exists("cms", lambda x: x != F.lit(0)))
+
+
 def merge_group_stats_cdc(
     prev: DataFrame | None, delta: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -66,6 +66,33 @@ def term_freqs(
     )
 
 
+def positional_postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The positional-index superset of `term_freqs`: (doc_id, dl, term,
+    tf, positions) where `positions` is the SORTED array of 0-based
+    token offsets of `term` in the document (so tf == size(positions)).
+    Same single (doc, term)-keyed shuffle as term_freqs — the positions
+    ride the existing groupBy as one more aggregate — and the same row
+    cardinality: this is the Lucene-style posting-list-with-positions
+    layout, which is why a streamed index can serve BM25 AND phrase
+    queries from ONE standing table (streaming/retrieval_ingest with
+    positions=True). array_sort canonicalizes collect_list's
+    partition-order nondeterminism."""
+    base = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).alias("dl"),
+        F.posexplode_outer(tokens_col(text_col)).alias("pos", "term"),
+    ).filter(F.col("term").isNotNull())
+    return base.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
+
+
 def corpus_stats(tf: DataFrame) -> DataFrame:
     """The 1-row (n_docs, sum_dl) corpus constants BM25 normalizes by,
     derived from a (doc_id, dl, term, tf) relation. The streamed index
@@ -209,6 +236,25 @@ def phrase_match(
         F.col(id_col).alias("doc_id"),
         F.posexplode_outer(tokens_col(text_col)).alias("pos", "term"),
     ).filter(F.col("term").isNotNull())
+    return phrase_match_from_postings(
+        postings, phrases,
+        phrase_id_col=phrase_id_col, phrase_col=phrase_col,
+    )
+
+
+def phrase_match_from_postings(
+    postings: DataFrame,
+    phrases: DataFrame,
+    *,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """The positional-index reduction over an ALREADY-MATERIALIZED flat
+    (doc_id, pos, term) relation — the serving path: `phrase_match`
+    explodes a corpus into it, and the streamed index
+    (streaming/retrieval_ingest, positions=True) serves its standing
+    posting lists through the same code, so streamed phrase results ==
+    one-shot phrase_match over the final corpus by construction."""
     pterms = phrases.select(
         F.col(phrase_id_col).alias("phrase_id"),
         F.size(tokens_col(phrase_col)).alias("n_terms"),

@@ -1201,9 +1201,28 @@ def ccnet_buckets(
     convention of scoring only scorable text.
 
     Shape at scale: lm_surprisal_flags' one corpus explode + vocab-
-    bounded LM join, then ONE window shuffle keyed source — each
-    source's ranking is independent, so the cut parallelizes across
-    sources (salt a pathological single-source corpus first)."""
+    bounded LM join, then a RANGE-partitioned exact rank — NOT a
+    per-source ntile window. `source` is a low-cardinality key, so
+    `ntile OVER (PARTITION BY source)` would funnel every source's
+    entire doc population through one reducer at 100×. Instead:
+
+      1. repartitionByRange on the full ranking key
+         (source, surprise_ratio, doc_id) — each source spreads
+         across many partitions, in key order;
+      2. a tiny (partitions × sources)-row census gives every
+         (pid, source) slice its global rank offset and each source
+         its total n — both via windows over the CENSUS (bounded
+         input), broadcast back;
+      3. per-row rank = offset + row_number within (pid, source) —
+         the window key is fine-grained, each task sorts ~n/P rows;
+      4. the bucket is the closed-form ntile assignment from
+         (rank, n) in exact integer arithmetic, applied map-side.
+
+    Rank exactness does not depend on where the range boundaries
+    land (sampling or AQE coalescing only move work between tasks),
+    so the output is deterministic and replays the SQL-standard
+    ntile bit-for-bit: the first n % k buckets take ceil(n/k) rows,
+    the rest floor(n/k)."""
     from pyspark.sql import Window
 
     flags = lm_surprisal_flags(
@@ -1213,19 +1232,52 @@ def ccnet_buckets(
     src = df.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     )
-    w = Window.partitionBy("source").orderBy(
+    scored = src.join(flags, "doc_id")
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = scored.repartitionByRange(
+        n_part, "source", "surprise_ratio", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    census = part.groupBy("pid", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy("source")
+    offsets = census.select(
+        "pid",
+        "source",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_n).alias("n"),
+    )
+    w_rank = Window.partitionBy("pid", "source").orderBy(
         F.asc("surprise_ratio"), F.asc("doc_id")
+    )
+    ranked = (
+        part.withColumn("rn", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), ["pid", "source"])
+        .withColumn("rnk", F.col("off") + F.col("rn"))
+    )
+    # closed-form ntile: big buckets first (SQL standard). base/rem in
+    # exact integer arithmetic; `div` is integer division so no float
+    # rounding can move a boundary. When n < k the `rem` branch covers
+    # every rank (cut == n) so the base==0 division is never selected.
+    k = int(n_buckets)
+    bucket = F.expr(
+        f"CAST(CASE WHEN rnk <= (n % {k}) * ((n DIV {k}) + 1)"
+        f" THEN (rnk - 1) DIV ((n DIV {k}) + 1) + 1"
+        f" ELSE (n % {k}) + (rnk - (n % {k}) * ((n DIV {k}) + 1) - 1)"
+        f" DIV (n DIV {k}) + 1 END AS INT)"
     )
     tier = (
         F.when(F.col("bucket") == 1, F.lit("head"))
         .when(F.col("bucket") == n_buckets, F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
-    return (
-        src.join(flags, "doc_id")
-        .withColumn("bucket", F.ntile(n_buckets).over(w))
-        .select(
-            "doc_id", "source", "n_bigrams", "surprise_ratio",
-            "bucket", tier.alias("tier"),
-        )
+    return ranked.withColumn("bucket", bucket).select(
+        "doc_id", "source", "n_bigrams", "surprise_ratio",
+        "bucket", tier.alias("tier"),
     )

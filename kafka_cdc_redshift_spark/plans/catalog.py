@@ -1118,3 +1118,100 @@ def q_cdc_stats_current(spark, sf_dir):
     )
     delta = group_stats_cdc(parsed, ["o_orderpriority"], "o_totalprice")
     return merge_group_stats_cdc(None, delta, ["o_orderpriority"])
+
+
+@_spec(
+    "cdc_cms_current",
+    "CURRENT-STATE Count-Min heavy hitters through updates AND deletes "
+    "(functions/incremental.group_freq_sketch_cdc): CMS counters are "
+    "sums and sums retract, so the before/after images fold as signed "
+    "bucket deltas — two stream batches (snapshot, then churn) merge "
+    "into a standing sketch that equals group_freq_sketch over the "
+    "LIVE table, keeping the one-sided est >= live-count guarantee "
+    "deletions break for an event-census sketch. Audited like "
+    "events_topk_cms_audit: each group's exact top-3 customers of the "
+    "FINAL live table vs the folded sketch's estimate — a missed "
+    "retraction (deleted orders still counted) or a broken fold "
+    "hash-mismatches. The extremal sketches (HLL max, KMV min) cannot "
+    "retract and intentionally have no _cdc variant",
+    """WITH final AS (SELECT o_orderpriority, o_custkey FROM orders
+                      WHERE o_orderkey % 7 != 0),
+    h AS (SELECT * FROM (VALUES (0, 1664525, 1013904223),
+                                 (1, 1103515245, 12345),
+                                 (2, 22695477, 1),
+                                 (3, 214013, 2531011)) AS t(i, a, b)),
+    r AS (SELECT o_orderpriority,
+                 ((o_custkey % 2147483647) + 2147483647) % 2147483647 AS rr
+          FROM final),
+    cnt AS (SELECT o_orderpriority, h.i,
+                   ((h.a * r.rr + h.b) % 2147483647) % 256 AS bucket,
+                   count(*) AS n
+            FROM r CROSS JOIN h GROUP BY 1, 2, 3),
+    exact AS (SELECT o_orderpriority, o_custkey, count(*) AS exact_cnt
+              FROM final GROUP BY 1, 2),
+    top3 AS (SELECT o_orderpriority, o_custkey, exact_cnt,
+                    row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY exact_cnt DESC, o_custkey)
+                      AS rnk
+             FROM exact QUALIFY rnk <= 3),
+    est AS (SELECT t.o_orderpriority, t.o_custkey, min(c.n) AS cms_est
+            FROM top3 t CROSS JOIN h
+            JOIN cnt c ON c.o_orderpriority = t.o_orderpriority
+             AND c.i = h.i
+             AND c.bucket = ((h.a * (((t.o_custkey % 2147483647)
+                                      + 2147483647) % 2147483647) + h.b)
+                             % 2147483647) % 256
+            GROUP BY 1, 2)
+    SELECT t.o_orderpriority, t.o_custkey, CAST(t.rnk AS INTEGER) AS rnk,
+           CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= t.exact_cnt AS est_ge_exact
+    FROM top3 t JOIN est e
+      ON t.o_orderpriority = e.o_orderpriority
+     AND t.o_custkey = e.o_custkey""",
+)
+def q_cdc_cms_current(spark, sf_dir):
+    from ..functions.incremental import (
+        estimate_freq,
+        group_freq_sketch_cdc,
+        merge_freq_sketches_cdc,
+    )
+    from ..operators.normalize import route_parse_debezium
+
+    orders = load_table(spark, sf_dir, "orders")
+    topic = _fixture(
+        spark, sf_dir, "debezium_before_topic", synth_debezium_before_topic
+    )
+    parsed = route_parse_debezium(
+        topic, "salesdb", "orders", orders.schema, emit_before=True
+    )
+    # two stream batches — the snapshot, then the churn — so the fold
+    # itself (signed addition + empty-group drop) is what's verified,
+    # not just the single-batch delta
+    keys = ["o_orderpriority"]
+    b0 = group_freq_sketch_cdc(
+        parsed.filter(F.col("op") == "c"), keys, "o_custkey"
+    )
+    b1 = group_freq_sketch_cdc(
+        parsed.filter(F.col("op") != "c"), keys, "o_custkey"
+    )
+    sk = merge_freq_sketches_cdc(
+        merge_freq_sketches_cdc(None, b0, keys), b1, keys
+    )
+    live = orders.filter(F.col("o_orderkey") % 7 != 0)
+    exact = live.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top3 = exact.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                F.col("exact_cnt").desc(), "o_custkey"
+            )
+        ),
+    ).filter(F.col("rnk") <= 3)
+    est = estimate_freq(sk, top3, keys, "o_custkey")
+    return est.select(
+        "o_orderpriority", "o_custkey", "rnk", "exact_cnt", "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+    )

@@ -2007,17 +2007,20 @@ def q_text_vocab_growth(spark, sf_dir):
 _PHRASES = [(0, "hash join"), (1, "window agg"), (2, "slow scan filter")]
 
 
-def _phrase_oracle(phrases):
+def _phrase_oracle(phrases, corpus: str = "SELECT doc_id, text FROM documents"):
     """SQL twin of the positional-index phrase reduction: 1-based token
     positions via generate_series, phrase terms as literal (phrase_id,
     offset, term, n_terms) rows, hits normalized to start = pos - offset,
-    HAVING count(*) == n_terms per start. Exact integers throughout."""
+    HAVING count(*) == n_terms per start. Exact integers throughout.
+    `corpus` swaps the document set (the tombstone rows replay phrase
+    search over the FINAL post-churn corpus)."""
     vals = ", ".join(
         f"({pid}, {off}, '{t}', {len(ptext.split())})"
         for pid, ptext in phrases
         for off, t in enumerate(ptext.split())
     )
-    return f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    return f"""WITH corpus AS ({corpus}),
+    base AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
     p0 AS (SELECT doc_id, t,
                   unnest(generate_series(1, len(t))) AS pos FROM base),
     p AS (SELECT doc_id, pos, t[pos] AS term FROM p0),
@@ -2223,19 +2226,7 @@ def q_text_lm_surprisal(spark, sf_dir):
     return text.lm_surprisal_flags(load_table(spark, sf_dir, "documents"))
 
 
-@_spec(
-    "sim_hybrid_rrf_ann",
-    "the hybrid retrieval plan a 100 TB deployment actually runs: BM25 "
-    "top-20 fused with the PQ ANN serving path (ADC shortlist + exact "
-    "re-rank over 32x-compressed codes, functions/similarity."
-    "pq_shortlist_rerank) instead of sim_hybrid_rrf's exact cross-"
-    "product dense scorer — corpus-side cost drops from O(|corpus| x "
-    "|Q|) float dot products to table lookups over codes. Codewords are "
-    "fixed corpus rows so the oracle replays BOTH rankers and the "
-    "source-ordered RRF add chain bit-for-bit; production trains "
-    "codebooks per-subspace (kmeans_centroids), recall-floor-tested "
-    "against the exact fusion in tests/test_retrieval.py",
-    f"""WITH lex AS (SELECT q_id, doc_id, rnk
+_HYBRID_ANN_ORACLE = f"""WITH lex AS (SELECT q_id, doc_id, rnk
             FROM ({_bm25_oracle(_HYBRID_QUERIES, k=20)}) bm),
     ann AS (SELECT q_id, neighbor_id AS doc_id, rnk
             FROM ({_pq_rerank_oracle(shortlist=100, k=20, q_mod=100)}) pq),
@@ -2253,7 +2244,25 @@ def q_text_lm_surprisal(spark, sf_dir):
            CAST(rnk AS INTEGER) AS rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                     ORDER BY rrf DESC, doc_id) AS rnk FROM sc) t
-    WHERE rnk <= 5""",
+    WHERE rnk <= 5"""
+
+
+@_spec(
+    "sim_hybrid_rrf_ann",
+    "the hybrid retrieval plan a 100 TB deployment actually runs: BM25 "
+    "top-20 fused with the PQ ANN serving path (ADC shortlist + exact "
+    "re-rank over 32x-compressed codes, functions/similarity."
+    "pq_shortlist_rerank) instead of sim_hybrid_rrf's exact cross-"
+    "product dense scorer — corpus-side cost drops from O(|corpus| x "
+    "|Q|) float dot products to table lookups over codes. Codewords are "
+    "fixed corpus rows so the oracle replays BOTH rankers and the "
+    "source-ordered RRF add chain bit-for-bit; production trains "
+    "codebooks per-subspace (kmeans_centroids), recall-floor-tested "
+    "against the exact fusion in tests/test_retrieval.py. This spelling "
+    "is the exact-replay ANCHOR (it re-encodes the corpus per "
+    "invocation); sim_hybrid_served is the production serving plan "
+    "over the standing streamed state",
+    _HYBRID_ANN_ORACLE,
 )
 def q_sim_hybrid_rrf_ann(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -2273,6 +2282,69 @@ def q_sim_hybrid_rrf_ann(spark, sf_dir):
     fused = retrieval.rrf_fuse(
         [lex.select("q_id", "doc_id", "rnk"),
          ann.select("q_id", "doc_id", "rnk")],
+        k=5,
+    )
+    return fused.select(
+        "q_id", "doc_id",
+        F.col("r0").alias("lex_rnk"), F.col("r1").alias("ann_rnk"),
+        "rrf", "rnk",
+    )
+
+
+@_spec(
+    "sim_hybrid_served",
+    "the TRUE production hybrid serving plan: BM25 from the STANDING "
+    "streamed index (streaming/retrieval_ingest — postings + folded "
+    "(n_docs, sum_dl) stats, zero corpus re-tokenization) fused with "
+    "PQ ANN from the STANDING code relation (streaming/ann_ingest."
+    "pq_rerank — codes encoded once at ingest, zero per-invocation "
+    "codebook training or corpus encode, the ~4.5 s sim_hybrid_rrf_ann "
+    "pays for oracle replay). Both indexes maintain incrementally "
+    "under updates/deletes (the cdc_*_tombstones rows); serving cost "
+    "is query-bounded: broadcast term prune + ADC lookups + "
+    "|Q| x k x 2 fusion rows. Results equal the batch anchor exactly "
+    "because both legs serve through the SAME scoring code paths "
+    "(bm25_topk_from_stats / pq_shortlist_rerank) over state that "
+    "reproduces the batch inputs bit-for-bit",
+    _HYBRID_ANN_ORACLE,
+)
+def q_sim_hybrid_served(spark, sf_dir):
+    from ..streaming.ann_ingest import AnnIngest
+    from ..streaming.retrieval_ingest import RetrievalIngest
+    from ..streaming.store import AppendLog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    log = AppendLog(_tomb_state_dir(spark, sf_dir, "hybserved"))
+    bm = RetrievalIngest(log, name="docs")
+    bm.process_batch(docs, 0)
+    # first invocation trains+persists centroids/codebooks; replays
+    # recover them (the cdc_ann_tombstones fixture convention)
+    if not log.has_batch("emb_centroids", "__centroids__"):
+        ann = AnnIngest(
+            log,
+            centroids=emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            codebooks=similarity.subvector_codebooks(
+                emb.filter(F.col("vec_id") < 32), n_sub=8
+            ),
+        )
+    else:
+        ann = AnnIngest(log)
+    ann.process_batch(emb, 0)
+    tq = spark.createDataFrame(_HYBRID_QUERIES, "q_id long, q_text string")
+    dq = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    lex = bm.topk(tq, k=20)
+    annk = ann.pq_rerank(dq, k=20, shortlist=100).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    fused = retrieval.rrf_fuse(
+        [lex.select("q_id", "doc_id", "rnk"),
+         annk.select("q_id", "doc_id", "rnk")],
         k=5,
     )
     return fused.select(
@@ -2523,12 +2595,14 @@ def q_dedup_containment(spark, sf_dir):
     "doc_ccnet_buckets",
     "CCNet-style per-source quality tiers (functions/text.ccnet_buckets): "
     "rank each source's documents by the exact LM-surprisal proxy and "
-    "ntile-cut into head/middle/tail — the split CCNet feeds to mixing "
-    "decisions. The ranking key (surprise_ratio, doc_id) is a total "
-    "order over exact-integer-derived doubles and ntile is the SQL-"
-    "standard equal-height cut, so the oracle replays every tier "
-    "assignment; one corpus explode + vocab-bounded LM join + one "
-    "window shuffle keyed source",
+    "cut into head/middle/tail — the split CCNet feeds to mixing "
+    "decisions. The engine computes the rank range-partitioned on the "
+    "full key (source, surprise_ratio, doc_id) with a broadcast "
+    "(pid, source) offset census and assigns the closed-form ntile "
+    "bucket map-side in integer arithmetic — no per-source single-"
+    "reducer sort (source is low-cardinality); the oracle keeps the "
+    "SQL-standard ntile spelling, which the closed form replays "
+    "bit-for-bit",
     f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
@@ -2578,11 +2652,17 @@ _TOMB_STATE: dict = {}
 
 
 def _tomb_state_dir(spark, sf_dir: str, kind: str) -> str:
+    import shutil
     import tempfile
 
     stale = [k for k, (sess, _) in _TOMB_STATE.items()
              if sess._jsc is None or sess._jsc.sc().isStopped()]
     for k in stale:
+        # the evicted session can never replay into this state again
+        # (its id() key is gone), so drop the directory too — without
+        # this every bench/test session accretes orphaned
+        # bm25tomb_*/anntomb_*/deduptomb_* trees in /tmp
+        shutil.rmtree(_TOMB_STATE[k][1], ignore_errors=True)
         del _TOMB_STATE[k]
     key = (id(spark), sf_dir, kind)
     if key not in _TOMB_STATE:
@@ -2641,6 +2721,57 @@ def q_cdc_bm25_tombstones(spark, sf_dir):
             F.sum("tf").alias("sum_tf"),
         )
     )
+
+
+_TOMB_FINAL_CORPUS = """SELECT doc_id, text || ' zz updated marker' AS text
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 != 3 AND doc_id % 10 != 7"""
+
+_TOMB_PHRASES = [
+    (0, "hash join"), (1, "window agg"), (2, "slow scan filter"),
+    (3, "zz updated marker"),
+]
+
+
+@_spec(
+    "cdc_phrase_tombstones",
+    "exact phrase search served from the STANDING streamed index "
+    "(streaming/retrieval_ingest, positions=True) under its CDC "
+    "contract, driver-verified: batch 0 ingests the corpus's posting "
+    "lists WITH positions, batch 1 updates doc_id%10==3 (suffixed "
+    "text) and deletes doc_id%10==7, compact_state folds the "
+    "tombstones, then phrase serving explodes the live posting lists "
+    "through the same positional reduction the batch operator uses. "
+    "Must equal phrase_match over the FINAL corpus — phrase 3 only "
+    "exists in updated images, so stale or missing re-indexed "
+    "positions hash-mismatch immediately",
+    _phrase_oracle(_TOMB_PHRASES, corpus=_TOMB_FINAL_CORPUS),
+)
+def q_cdc_phrase_tombstones(spark, sf_dir):
+    from ..streaming.retrieval_ingest import RetrievalIngest
+    from ..streaming.store import AppendLog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ing = RetrievalIngest(
+        AppendLog(_tomb_state_dir(spark, sf_dir, "phrtomb")),
+        name="docs", positions=True,
+    )
+    ing.process_batch(docs, 0)
+    updated = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zz updated marker")).alias("text"),
+    )
+    tombs = docs.filter(
+        (F.col("doc_id") % 10 == 3) | (F.col("doc_id") % 10 == 7)
+    ).select("doc_id")
+    ing.process_batch(updated, 1, tombstones=tombs)
+    ing.compact_state(spark, min_segments=2)  # fold: dead postings drop
+    phrases = spark.createDataFrame(
+        _TOMB_PHRASES, "phrase_id int, phrase string"
+    )
+    return ing.phrase_match(phrases)
 
 
 @_spec(

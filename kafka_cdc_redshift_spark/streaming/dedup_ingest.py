@@ -248,9 +248,12 @@ class DedupIngest:
             return pairs
         tmax = tombs.groupBy("doc_id").agg(F.max(SEQ_COL).alias("__ds"))
         for side in ("doc_a", "doc_b"):
-            t = tmax.select(
+            # churn-sized by construction (see tombstones.resolve):
+            # pin the broadcast so the serving plan never degrades to
+            # a corpus-wide shuffle on AQE's stats estimate
+            t = F.broadcast(tmax.select(
                 F.col("doc_id").alias(side), F.col("__ds").alias(f"__ds_{side}")
-            )
+            ))
             pairs = pairs.join(t, side, "left").filter(
                 F.col(f"__ds_{side}").isNull()
                 | (F.col(SEQ_COL) >= F.col(f"__ds_{side}"))

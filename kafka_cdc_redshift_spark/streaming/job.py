@@ -215,6 +215,7 @@ class CdcBatchProcessor:
                 name=rule.target_name,
                 id_col=rule.primary_key[0],
                 text_col=rule.bm25_text_column,
+                positions=rule.bm25_positions,
             )
             self._bm25_ingestors[rule.target_name] = ing
         return ing
@@ -572,6 +573,39 @@ class CdcBatchProcessor:
                             ),
                             cstable, batch_id=batch_id,
                         )
+                        if rule.stats_topk_column:
+                            # current-state heavy hitters: CMS counters
+                            # are sums, and sums retract — the signed
+                            # twin of the <table>_cms event sketch,
+                            # riding the same before-image parse.
+                            # Separately batch-id-guarded (its publish
+                            # can land apart from the stats' on retry).
+                            from ..functions.incremental import (
+                                group_freq_sketch_cdc,
+                                merge_freq_sketches_cdc,
+                            )
+
+                            cmtable = f"{rule.target_name}_state_cms"
+                            if (
+                                batch_id is None
+                                or self.store.last_batch_id(cmtable)
+                                != batch_id
+                            ):
+                                cdelta = group_freq_sketch_cdc(
+                                    withb,
+                                    list(rule.stats_group_columns),
+                                    rule.stats_topk_column,
+                                )
+                                prev_cm = self.store.read(
+                                    self.spark, cmtable
+                                )
+                                self.store.publish(
+                                    merge_freq_sketches_cdc(
+                                        prev_cm, cdelta,
+                                        list(rule.stats_group_columns),
+                                    ),
+                                    cmtable, batch_id=batch_id,
+                                )
             if rule.stats_group_columns and rule.stats_distinct_column:
                 # mergeable HLL distinct-count maintenance: the census
                 # column algebraic parts can't carry. The register union

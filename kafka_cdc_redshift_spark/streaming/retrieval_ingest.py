@@ -3,7 +3,10 @@ over a CDC document stream — inserts, UPDATES, and DELETES.
 
 The retrieval twin of `DedupIngest`/`AnnIngest`: each arriving batch's
 (doc_id, dl, term, tf) postings — BM25's ENTIRE index state, see
-functions/retrieval.term_freqs — append to a standing table through
+functions/retrieval.term_freqs; with positions=True the Lucene-style
+(doc_id, dl, term, tf, positions) posting lists, which additionally
+serve exact PHRASE queries from the same standing state — append to a
+standing table through
 `AppendLog`'s atomic per-batch commit, alongside a per-doc (doc_id, dl)
 relation and a 1-row mergeable (n_docs, sum_dl) stats delta. Per-ingest
 cost is O(|batch| postings): the corpus is never re-tokenized, and the
@@ -48,7 +51,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..functions.retrieval import bm25_topk_from_stats, term_freqs
+from ..functions.retrieval import (
+    bm25_topk_from_stats,
+    phrase_match_from_postings,
+    positional_postings,
+    term_freqs,
+)
 from .store import AppendLog
 from .tombstones import SEQ_COL, TombstoneSet, resolve_compact, stamp_seq
 
@@ -83,11 +91,19 @@ class RetrievalIngest:
         name: str = "corpus",
         id_col: str = "doc_id",
         text_col: str = "text",
+        positions: bool = False,
     ):
         self.log = log
         self.name = name
         self.id_col = id_col
         self.text_col = text_col
+        # positions=True stores the Lucene-style posting-list-with-
+        # positions layout (functions/retrieval.positional_postings):
+        # same row cardinality and the same single (doc, term) shuffle
+        # per batch, one extra sorted-int-array column — and the SAME
+        # standing table then serves phrase queries (self.phrase_match)
+        # next to BM25, riding the identical tombstone fold.
+        self.positions = positions
         self._dead = TombstoneSet(log, name, "doc_id")
 
     @property
@@ -125,8 +141,9 @@ class RetrievalIngest:
         if self.log.has_batch(self.stats_table, batch_id):
             return
         spark = batch_df.sparkSession
+        build = positional_postings if self.positions else term_freqs
         tf = stamp_seq(
-            term_freqs(batch_df, id_col=self.id_col, text_col=self.text_col),
+            build(batch_df, id_col=self.id_col, text_col=self.text_col),
             batch_id,
         ).localCheckpoint()
         self.log.append(tf, self.tf_table, batch_id)
@@ -191,6 +208,31 @@ class RetrievalIngest:
         return bm25_topk_from_stats(
             tf, stats, queries, k=k, k1=k1, b=b, idf_mode=idf_mode,
         )
+
+    def phrase_match(self, phrases: DataFrame) -> DataFrame:
+        """Exact phrase search against the STANDING index — requires
+        positions=True at ingest. The stored posting lists explode back
+        to the flat (doc_id, pos, term) relation AFTER tombstone
+        resolution, then run the same positional reduction the batch
+        operator uses (functions/retrieval.phrase_match_from_postings),
+        so streamed results == one-shot phrase_match over the final
+        corpus, through updates and deletes. At scale the explode is
+        term-pruned first when the standing table is partitioned by
+        term — the broadcast phrase-term join pushes below the explode's
+        parent scan exactly like the BM25 prune."""
+        spark = phrases.sparkSession
+        tf = self.postings(spark)
+        if tf is None:
+            raise ValueError(f"index {self.name!r} has no ingested batches")
+        if "positions" not in tf.columns:
+            raise ValueError(
+                f"index {self.name!r} was built without positions=True; "
+                "phrase serving needs the positional posting lists"
+            )
+        flat = tf.select(
+            "doc_id", F.explode("positions").alias("pos"), "term"
+        )
+        return phrase_match_from_postings(flat, phrases)
 
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8

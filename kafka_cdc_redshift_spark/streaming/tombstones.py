@@ -71,14 +71,26 @@ def resolve(
     state: DataFrame | None,
     tombs: DataFrame | None,
     id_col: str,
+    *,
+    broadcast_tombs: bool = True,
 ) -> DataFrame | None:
     """The live rows of `state` under `tombs`: a row survives iff no
     tombstone for its id has seq > the row's seq. One combinable max-agg
-    over the (churn-sized) tombstones, then a left join the state side
-    of which never re-shuffles when bucketed by id."""
+    over the (churn-sized) tombstones, then a left join against the
+    state side.
+
+    The tombstone side is explicitly broadcast-pinned by default:
+    between maintenance folds it is bounded by churn-since-last-fold
+    (truncate_after_fold), never corpus size, so the serving read's
+    plan should not HOPE AQE notices — the same reasoning as
+    lm_surprisal_flags(broadcast_lm=True). Pass False for a deployment
+    whose fold cadence lets tombstones outgrow executor memory; the
+    state side then co-locates when bucketed by id."""
     if state is None or tombs is None:
         return state
     tmax = tombs.groupBy(id_col).agg(F.max(SEQ_COL).alias("__dead_seq"))
+    if broadcast_tombs:
+        tmax = F.broadcast(tmax)
     return (
         state.join(tmax, id_col, "left")
         .filter(

@@ -33,3 +33,37 @@ def test_cache_evicts_stopped_sessions():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+TOMB_SCRIPT = r"""
+import os
+from kafka_cdc_redshift_spark.session import build_session
+from kafka_cdc_redshift_spark.plans import catalog_llm as cl
+
+sf = "/root/testdata/sf0.001"
+s1 = build_session("tomb-a", shuffle_partitions=4)
+d1 = cl._tomb_state_dir(s1, sf, "bm25tomb")
+with open(os.path.join(d1, "marker"), "w") as f:
+    f.write("x")
+s1.stop()
+
+s2 = build_session("tomb-b", shuffle_partitions=4)
+d2 = cl._tomb_state_dir(s2, sf, "bm25tomb")
+assert d2 != d1
+assert not os.path.exists(d1), "evicted session's state dir leaked"
+assert os.path.isdir(d2)
+s2.stop()
+print("OK")
+"""
+
+
+def test_tomb_state_dirs_removed_on_eviction():
+    """_tomb_state_dir must rmtree an evicted session's state dirs, not
+    just forget them — otherwise every bench/test session accretes
+    orphaned bm25tomb_*/anntomb_* trees in /tmp (r7 VERDICT finding #2)."""
+    r = subprocess.run(
+        [sys.executable, "-c", TOMB_SCRIPT], capture_output=True, text=True,
+        cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout

@@ -247,3 +247,104 @@ def test_versioned_ann_rebuild_excludes_tombstoned_vectors(
     ids = {r.vec_id for r in cells.select("vec_id").collect()}
     want = {r.vec_id for r in emb.select("vec_id").collect()} - {4, 8}
     assert ids == want
+
+
+def test_tombstone_resolve_join_is_broadcast(spark, docs, tmp_path):
+    """The serving read's tombstone resolution must PIN the broadcast
+    (tombstones are churn-sized by construction between folds), not
+    hope AQE's stats estimate notices — the lm_surprisal_flags
+    broadcast_lm pattern applied to streaming/tombstones.resolve."""
+    ing = RetrievalIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    ing.process_batch(docs, 0)
+    ing.process_batch(
+        _mk(spark, [(1, "replacement text body")]),
+        1, tombstones=_keys(spark, [1, 3]),
+    )
+    plan = (
+        ing.postings(spark)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_pair_resolution_joins_are_broadcast(spark, tmp_path):
+    """_resolve_pairs joins the per-id tombstone max against BOTH pair
+    sides — each join must carry the explicit broadcast pin."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9, 0), (3, 4, 0.8, 1)],
+        "doc_a long, doc_b long, jaccard double, __seq long",
+    )
+    tombs = spark.createDataFrame([(2, 1)], "doc_id long, __seq long")
+    ing = DedupIngest(AppendLog(str(tmp_path / "state")), name="d")
+    plan = (
+        ing._resolve_pairs(pairs, tombs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_retrieval_ingest_serves_phrases_through_churn(spark, docs, tmp_path):
+    """positions=True: ONE standing table serves BM25 *and* exact phrase
+    queries, both tracking the live corpus through updates/deletes and
+    surviving the compact fold (VERDICT r7 item #3)."""
+    t = _texts(docs)
+    ing = RetrievalIngest(
+        AppendLog(str(tmp_path / "state")), name="docs", positions=True
+    )
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    # b2: update doc 2 (gets doc 11's text + a marker), delete doc 5
+    marked = t[11] + " zz phrase marker here"
+    ing.process_batch(
+        _mk(spark, [(2, marked)]), 2, tombstones=_keys(spark, [2, 5]),
+    )
+    final = {k: v for k, v in t.items() if k not in (2, 5)}
+    final[2] = marked
+    final_df = _mk(spark, final.items())
+    phrases = spark.createDataFrame(
+        [(0, " ".join(t[11].split()[:2])),   # in doc 11 AND updated doc 2
+         (1, "zz phrase marker"),            # only in the updated image
+         (2, " ".join(t[5].split()[:3]))],   # the deleted doc's opener
+        "phrase_id int, phrase string",
+    )
+    expected = {
+        (r.phrase_id, r.doc_id, r.n_occurrences)
+        for r in retrieval.phrase_match(final_df, phrases).collect()
+    }
+    assert any(p == 1 for p, _, _ in expected)  # marker phrase does hit
+    got = {
+        (r.phrase_id, r.doc_id, r.n_occurrences)
+        for r in ing.phrase_match(phrases).collect()
+    }
+    assert got == expected
+    # doc 5 is dead: its opener must not resolve to doc 5 anymore
+    assert not any(p == 2 and d == 5 for p, d, _ in got)
+    # the same standing table still serves BM25 over the live corpus
+    queries = spark.createDataFrame(
+        [(0, " ".join(t[11].split()[:3]))], "q_id int, q_text string"
+    )
+    want_topk = {
+        _topk_key(r)
+        for r in retrieval.bm25_topk(final_df, queries, k=5).collect()
+    }
+    assert {_topk_key(r) for r in ing.topk(queries, k=5).collect()} \
+        == want_topk
+    # fold: physically drop dead posting lists; serving unchanged
+    ing.compact_state(spark, min_segments=2)
+    assert {
+        (r.phrase_id, r.doc_id, r.n_occurrences)
+        for r in ing.phrase_match(phrases).collect()
+    } == expected
+
+
+def test_retrieval_ingest_without_positions_rejects_phrase_serving(
+    spark, docs, tmp_path
+):
+    ing = RetrievalIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    ing.process_batch(docs, 0)
+    phrases = spark.createDataFrame(
+        [(0, "any phrase")], "phrase_id int, phrase string"
+    )
+    with pytest.raises(ValueError, match="positions"):
+        ing.phrase_match(phrases)

@@ -298,3 +298,21 @@ def test_kneser_ney3_single_corpus_explode(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_kneser_ney3")
     assert plan.count("Generate") <= 1
     assert plan.count("documents.parquet") <= 1
+
+
+def test_ccnet_buckets_no_per_source_sort(spark, sf_dir):
+    """ccnet_buckets must not rank with a window keyed only by the
+    low-cardinality `source` (a per-source single-reducer sort at
+    100x). The scale-safe plan ranks range-partitioned: no ntile
+    anywhere, and every window over the corpus-sized relation keys
+    (pid, source) — `pid` right before `source` in the partition
+    spec — so each sort task handles ~n/P rows."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "doc_ccnet_buckets")
+    assert "ntile" not in plan
+    assert "BatchEvalPython" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "source" in spec and "surprise_ratio" in spec:
+            # the corpus-sized ranking window: must be pre-keyed by pid
+            assert "pid" in spec.split("source")[0]

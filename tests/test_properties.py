@@ -713,3 +713,57 @@ def test_group_stats_cdc_fold_matches_live_state(spark, ops, cut):
         return {r.grp: (r.n, r.sum, r.sumsq) for r in acc.collect()}
 
     assert census([events[:cut], events[cut:]]) == exp
+
+
+@given(ops=cdc_ops, cut=st.integers(min_value=0, max_value=20))
+@settings(**SETTINGS)
+def test_group_freq_sketch_cdc_fold_matches_live_sketch(spark, ops, cut):
+    """Signed Count-Min property: for ANY consistent CDC sequence and
+    ANY batch split, folding the signed bucket deltas
+    (group_freq_sketch_cdc + merge_freq_sketches_cdc) equals
+    group_freq_sketch over the final LIVE table counter-for-counter —
+    retract/assert increments telescope — and groups whose live
+    population reached zero disappear entirely."""
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_freq_sketch,
+        group_freq_sketch_cdc,
+        merge_freq_sketches_cdc,
+    )
+
+    events, state = [], {}
+    for k, v, a in ops:
+        grp = f"g{v % 3}"
+        if k not in state:
+            events.append((grp, v, "c", None))
+            state[k] = (grp, v)
+        elif a == 2:
+            bg, bv = state.pop(k)
+            events.append((None, None, "d", (bg, bv)))
+        else:
+            bg, bv = state[k]
+            events.append((grp, v, "u", (bg, bv)))
+            state[k] = (grp, v)
+
+    schema = ("grp string, v long, op string, "
+              "_before_img struct<grp:string, v:long>")
+    acc = None
+    for b in (events[:cut], events[cut:]):
+        delta = group_freq_sketch_cdc(
+            spark.createDataFrame(b, schema), ["grp"], "v"
+        )
+        acc = merge_freq_sketches_cdc(acc, delta, ["grp"])
+    got = {r.grp: list(r.cms) for r in acc.collect()} if acc is not None \
+        else {}
+
+    live = [(grp, v) for grp, v in state.values()]
+    if live:
+        want = {
+            r.grp: list(r.cms)
+            for r in group_freq_sketch(
+                spark.createDataFrame(live, "grp string, v long"),
+                ["grp"], "v",
+            ).collect()
+        }
+    else:
+        want = {}
+    assert got == want

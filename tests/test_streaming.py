@@ -744,6 +744,7 @@ def test_current_state_stats_stream_tracks_updates_and_deletes(
             db="salesdb", table="orders", primary_key=("o_orderkey",),
             stats_group_columns=("o_orderpriority",),
             stats_value_column="o_totalprice",
+            stats_topk_column="o_custkey",
             stats_current_state=True,
         )
     ]
@@ -783,3 +784,25 @@ def test_current_state_stats_stream_tracks_updates_and_deletes(
     # against the store's own merged target)
     tgt = store.read(spark, "orders")
     assert tgt.count() == final.count()
+
+    # current-state CMS rides the same before-image parse: the folded
+    # signed sketch equals the one-shot sketch of the live table,
+    # counter for counter
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_freq_sketch,
+    )
+
+    live_vals = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderpriority", "o_custkey"
+    )
+    want_cms = {
+        r.o_orderpriority: list(r.cms)
+        for r in group_freq_sketch(
+            live_vals, ["o_orderpriority"], "o_custkey"
+        ).collect()
+    }
+    got_cms = {
+        r.o_orderpriority: list(r.cms)
+        for r in store.read(spark, "orders_state_cms").collect()
+    }
+    assert got_cms == want_cms
