@@ -59,6 +59,8 @@ _DRIVER_CHECK_FIRST = [
     "cdc_phrase_tombstones",  # brand-new (streamed positional postings)
     "sim_hybrid_served",  # brand-new (state-backed BM25+PQ serving fusion)
     "cdc_cms_current",  # brand-new (retractable Count-Min current state)
+    "cdc_qsketch_current",  # brand-new (retractable quantile histogram)
+    "cdc_containment_tombstones",  # brand-new (served containment dedup)
     "doc_ccnet_buckets",  # r7 row, plan changed (broadcast tier thresholds)
     # -- the 38 r5-era rows (2-round staleness limit at r8) --
     "doc_chunks",

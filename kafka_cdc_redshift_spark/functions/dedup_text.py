@@ -186,7 +186,24 @@ def containment_pairs(
     pair is pruned by size. At corpus scale that makes the hot-shingle
     cut (`max_df`) load-bearing, not optional — a boilerplate shingle
     joins every tiny quote to every big page."""
-    sets_ = _shingle_sets(df, id_col, text_col, n)
+    return containment_pairs_from_sets(
+        _shingle_sets(df, id_col, text_col, n),
+        threshold=threshold, max_df=max_df,
+    )
+
+
+def containment_pairs_from_sets(
+    sets_: DataFrame,
+    *,
+    threshold: float = 0.8,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """The containment reduction over ALREADY-MATERIALIZED (doc_id,
+    sh_set) shingle sets — the serving path: `containment_pairs`
+    shingles a corpus into it, and the streamed dedup state
+    (streaming/dedup_ingest.DedupIngest.containment) serves its
+    standing verification sketches through the same code, so streamed
+    containment == one-shot containment_pairs over the live corpus."""
     ex = sets_.select(
         "doc_id", F.size("sh_set").alias("sz"), F.explode_outer("sh_set").alias("sh")
     )

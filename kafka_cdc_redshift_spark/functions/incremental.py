@@ -622,8 +622,9 @@ def group_freq_sketch_cdc(
 
     Retractability boundary (why only SOME of the incremental family
     gets a _cdc variant): counter sketches form a GROUP under signed
-    addition — CMS here, and the quantile histogram would follow the
-    same pattern — but the extremal sketches only form a monoid:
+    addition — CMS here, the quantile histogram via
+    group_quantile_sketch_cdc — but the extremal sketches only form a
+    monoid:
     HLL-style max-of-hashes (group_distinct_sketch), KMV bottom-k mins
     (group_sample_sketch), and min/max themselves cannot un-see a
     deleted value. Those stay event censuses by contract; rebuild from
@@ -687,6 +688,80 @@ def merge_freq_sketches_cdc(
     NOT replay-idempotent — guard with the batch-id pointer."""
     merged = merge_freq_sketches(prev, delta, keys)
     return merged.filter(F.exists("cms", lambda x: x != F.lit(0)))
+
+
+def group_quantile_sketch_cdc(
+    parsed: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    before_col: str = "_before_img",
+) -> DataFrame:
+    """CURRENT-STATE quantile-histogram delta from one CDC batch with
+    BEFORE images: the log-bucket counts are sums, and sums retract —
+    an update subtracts its before image's bucket increment and adds
+    its after's, a delete subtracts the state being removed. Folding
+    the signed deltas (merge_quantile_sketches_cdc) keeps the standing
+    sketch equal to `group_quantile_sketch` over the LIVE table, so
+    read-time estimates (estimate_quantiles) track current state
+    through churn — the third member of the retractable counter
+    family next to group_stats_cdc and group_freq_sketch_cdc.
+
+    Both sides bucket the value through the identical cast+log2 chain
+    (_qsk_bucket), so each image's bucket id telescopes exactly across
+    its retract and assert. Same shape as group_quantile_sketch: one
+    union + one combinable (group, bucket) shuffle; rows lacking a
+    before image degrade to append-only on the retract side."""
+    op = F.col("op")
+    before = F.col(before_col)
+    asserts = parsed.filter(op != "d").select(
+        *[F.col(k).alias(k) for k in keys],
+        F.col(value_col).cast("double").alias("v"),
+        F.lit(1).alias("sign"),
+    )
+    retracts = parsed.filter(op.isin("u", "d") & before.isNotNull()).select(
+        *[before[k].alias(k) for k in keys],
+        before[value_col].cast("double").alias("v"),
+        F.lit(-1).alias("sign"),
+    )
+    return (
+        asserts.unionByName(retracts)
+        .select(*keys, _qsk_bucket("v").alias("b"), "sign")
+        .groupBy(*keys, "b")
+        .agg(F.sum("sign").alias("n"))
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("b", "n"))
+            ).alias("qsketch")
+        )
+    )
+
+
+def merge_quantile_sketches_cdc(
+    prev: DataFrame | None, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Fold a signed quantile-histogram delta into the standing
+    current-state sketch: per-bucket signed addition, then buckets
+    whose live count reached zero drop and groups with no occupied
+    bucket disappear — matching group_quantile_sketch over the live
+    table entry-for-entry. The zero-drop filters on != 0 (not > 0) so
+    out-of-order folds stay commutative: a transiently negative bucket
+    is carried until its assert arrives. NOT replay-idempotent — guard
+    with the batch-id pointer."""
+    u = delta if prev is None else prev.unionByName(delta)
+    return (
+        u.select(*keys, F.explode("qsketch").alias("e"))
+        .groupBy(*keys, F.col("e.b").alias("b"))
+        .agg(F.sum("e.n").alias("n"))
+        .filter(F.col("n") != 0)
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("b", "n"))
+            ).alias("qsketch")
+        )
+    )
 
 
 def merge_group_stats_cdc(

@@ -1215,3 +1215,105 @@ def q_cdc_cms_current(spark, sf_dir):
         "o_orderpriority", "o_custkey", "rnk", "exact_cnt", "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
     )
+
+
+@_spec(
+    "cdc_qsketch_current",
+    "CURRENT-STATE quantile tracking through updates AND deletes "
+    "(functions/incremental.group_quantile_sketch_cdc): the log-bucket "
+    "histogram's counts retract like any sum, so the signed before/"
+    "after fold keeps read-time quantile estimates "
+    "(estimate_quantiles) pinned to the LIVE table — deletions shift "
+    "quantiles, which an event-census sketch can never un-see. "
+    "Audited on the rank guarantee like events_quantile_sketch_audit: "
+    "each group's exact p50/p90 order statistic of the FINAL live "
+    "table must fall inside the bucket the FOLDED sketch selects "
+    "(sketch internals stay out of the hash — cross-engine log2 is "
+    "not correctly rounded); a missed retraction moves the selected "
+    "bucket and flips the flag",
+    """WITH final AS (
+      SELECT o_orderpriority, o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey % 7 != 0),
+    n AS (SELECT o_orderpriority, count(*) AS tot FROM final GROUP BY 1),
+    r AS (SELECT o_orderpriority, v,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY v, o_orderkey) AS rn
+          FROM final),
+    p AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p)
+    SELECT r.o_orderpriority, p.p, r.v AS exact_q,
+           TRUE AS sketch_in_bucket
+    FROM r JOIN n USING (o_orderpriority) CROSS JOIN p
+    WHERE r.rn = greatest(CAST(ceil(p.p * n.tot) AS BIGINT), 1)""",
+)
+def q_cdc_qsketch_current(spark, sf_dir):
+    from ..functions.incremental import (
+        QSK_BITS_PER_OCTAVE,
+        estimate_quantiles,
+        group_quantile_sketch_cdc,
+        merge_quantile_sketches_cdc,
+    )
+    from ..operators.normalize import route_parse_debezium
+
+    orders = load_table(spark, sf_dir, "orders")
+    topic = _fixture(
+        spark, sf_dir, "debezium_before_topic", synth_debezium_before_topic
+    )
+    parsed = route_parse_debezium(
+        topic, "salesdb", "orders", orders.schema, emit_before=True
+    )
+    keys = ["o_orderpriority"]
+    b0 = group_quantile_sketch_cdc(
+        parsed.filter(F.col("op") == "c"), keys, "o_totalprice"
+    )
+    b1 = group_quantile_sketch_cdc(
+        parsed.filter(F.col("op") != "c"), keys, "o_totalprice"
+    )
+    sk = merge_quantile_sketches_cdc(
+        merge_quantile_sketches_cdc(None, b0, keys), b1, keys
+    )
+    probs = [0.5, 0.9]
+    est = estimate_quantiles(sk, keys, probs)
+    live = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderpriority", "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.col("o_totalprice") * F.lit(1.1))
+        .otherwise(F.col("o_totalprice")).alias("v"),
+    )
+    ranked = live.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+        ),
+    ).withColumn(
+        "tot", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    )
+    pl = F.explode(F.array(*[F.lit(p) for p in probs])).alias("p")
+    exact = (
+        ranked.select("o_orderpriority", "v", "rn", "tot", pl)
+        .filter(
+            F.col("rn")
+            == F.greatest(
+                F.ceil(F.col("p") * F.col("tot")).cast("long"), F.lit(1)
+            )
+        )
+        .select("o_orderpriority", "p", F.col("v").alias("exact_q"))
+    )
+    width = 2.0 ** (1.0 / QSK_BITS_PER_OCTAVE)
+    v = F.col("exact_q").cast("double")
+    lo, hi = F.col("est"), F.col("est") * F.lit(width)
+    in_bucket = F.when(
+        F.col("bucket") == 0, F.abs(v) < F.lit(1e-9)
+    ).otherwise(
+        F.when(
+            F.col("bucket") > 0, (v >= lo * 0.999999) & (v <= hi * 1.000001)
+        ).otherwise((v <= lo * 0.999999) & (v >= hi * 1.000001))
+    )
+    return (
+        exact.join(est, ["o_orderpriority", "p"])
+        .select(
+            "o_orderpriority", "p", "exact_q",
+            in_bucket.alias("sketch_in_bucket"),
+        )
+    )

@@ -2914,3 +2914,64 @@ def q_cdc_dedup_tombstones(spark, sf_dir):
     ing.process_batch(updated, 1, tombstones=tombs)
     ing.compact_state(spark, min_segments=2)  # fold: dead state drops
     return ing.pairs(spark).select("doc_a", "doc_b", "jaccard")
+
+
+@_spec(
+    "cdc_containment_tombstones",
+    "asymmetric containment near-dups served from the STANDING "
+    "streamed dedup state under its CDC contract "
+    "(streaming/dedup_ingest.DedupIngest.containment): the same "
+    "deduptomb ingest (batch 0 corpus, batch 1 updates %10==3 / "
+    "deletes %10==7, compact fold), then containment runs over the "
+    "tombstone-resolved verification sketches — the corpus is never "
+    "re-shingled. Must equal containment_pairs over the FINAL corpus: "
+    "stale sketches (the updated docs' old shingles) or resurrected "
+    "deletes change intersection counts and hash-mismatch",
+    f"""WITH final AS (
+      SELECT doc_id, text || ' zz updated marker' AS text
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 10 != 3 AND doc_id % 10 != 7),
+    sh_sets AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, len(t)-2)]) AS sh_set
+      FROM (SELECT doc_id, {_TOKS} AS t FROM final) _tok
+      WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, len(sh_set) AS sz, unnest(sh_set) AS sh
+           FROM sh_sets),
+    kept AS (SELECT sh FROM ex GROUP BY sh
+             HAVING count(*) <= {dedup_text.DEFAULT_MAX_DF}),
+    exk AS (SELECT ex.doc_id, ex.sz, ex.sh FROM ex JOIN kept USING (sh)),
+    pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+           FROM exk a JOIN exk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment_a,
+           CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE) AS containment_b,
+           CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)
+             AS jaccard
+    FROM pc
+    WHERE greatest(CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE),
+                   CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)) >= 0.6""",
+)
+def q_cdc_containment_tombstones(spark, sf_dir):
+    from ..streaming.dedup_ingest import DedupIngest
+    from ..streaming.store import AppendLog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ing = DedupIngest(
+        AppendLog(_tomb_state_dir(spark, sf_dir, "deduptomb")), name="docs"
+    )
+    ing.process_batch(docs, 0)
+    updated = docs.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zz updated marker")).alias("text"),
+    )
+    tombs = docs.filter(
+        (F.col("doc_id") % 10 == 3) | (F.col("doc_id") % 10 == 7)
+    ).select("doc_id")
+    ing.process_batch(updated, 1, tombstones=tombs)
+    return ing.containment(spark, threshold=0.6)

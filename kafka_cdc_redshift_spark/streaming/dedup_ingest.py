@@ -52,6 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup_text import (
+    DEFAULT_MAX_DF,
+    containment_pairs_from_sets,
     lsh_band_index,
     minhash_lsh_incremental,
     minhash_lsh_pairs,
@@ -269,6 +271,35 @@ class DedupIngest:
             self.log.read(spark, self.pairs_table), self._dead.read(spark)
         )
         return None if p is None else p.drop(SEQ_COL)
+
+    def containment(
+        self,
+        spark: SparkSession,
+        *,
+        threshold: float = 0.8,
+        max_df: int | None = DEFAULT_MAX_DF,
+    ) -> DataFrame:
+        """Asymmetric containment near-dups of the LIVE corpus, served
+        from the STANDING verification sketches — the streamed twin of
+        functions/dedup_text.containment_pairs: the corpus is never
+        re-read or re-shingled (the sketches were persisted at ingest),
+        tombstone resolution drops superseded/deleted documents first,
+        and the reduction is the same single shingle-keyed posting-list
+        SMJ with the load-bearing hot-shingle cut. Unlike the LSH pair
+        stream (find-at-ingest, incremental), containment is a RELATION
+        over the whole live corpus — a quote becomes containing only
+        relative to what else is live — so it serves as a snapshot scan
+        of the state, not an incremental pair feed."""
+        sk = self._dead.resolve(
+            spark, self.log.read(spark, self.sketches_table)
+        )
+        if sk is None:
+            raise ValueError(
+                f"dedup state {self.name!r} has no ingested batches"
+            )
+        return containment_pairs_from_sets(
+            sk.drop(SEQ_COL), threshold=threshold, max_df=max_df
+        )
 
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8

@@ -606,6 +606,37 @@ class CdcBatchProcessor:
                                     ),
                                     cmtable, batch_id=batch_id,
                                 )
+                        if rule.stats_quantile_column:
+                            # current-state quantile histogram: bucket
+                            # counts are sums too, so the same signed
+                            # fold keeps read-time quantile estimates
+                            # tracking the live table
+                            from ..functions.incremental import (
+                                group_quantile_sketch_cdc,
+                                merge_quantile_sketches_cdc,
+                            )
+
+                            cqtable = f"{rule.target_name}_state_qsketch"
+                            if (
+                                batch_id is None
+                                or self.store.last_batch_id(cqtable)
+                                != batch_id
+                            ):
+                                qdelta = group_quantile_sketch_cdc(
+                                    withb,
+                                    list(rule.stats_group_columns),
+                                    rule.stats_quantile_column,
+                                )
+                                prev_cq = self.store.read(
+                                    self.spark, cqtable
+                                )
+                                self.store.publish(
+                                    merge_quantile_sketches_cdc(
+                                        prev_cq, qdelta,
+                                        list(rule.stats_group_columns),
+                                    ),
+                                    cqtable, batch_id=batch_id,
+                                )
             if rule.stats_group_columns and rule.stats_distinct_column:
                 # mergeable HLL distinct-count maintenance: the census
                 # column algebraic parts can't carry. The register union

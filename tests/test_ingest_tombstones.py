@@ -348,3 +348,43 @@ def test_retrieval_ingest_without_positions_rejects_phrase_serving(
     )
     with pytest.raises(ValueError, match="positions"):
         ing.phrase_match(phrases)
+
+
+def test_dedup_ingest_serves_containment_through_churn(spark, docs, tmp_path):
+    """DedupIngest.containment: the standing verification sketches serve
+    the asymmetric containment relation of the LIVE corpus — equal to
+    one-shot containment_pairs over the final corpus, through updates
+    and deletes, before AND after the compact fold."""
+    t = _texts(docs)
+    ing = DedupIngest(AppendLog(str(tmp_path / "state")), name="docs")
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    # b2: doc 2 becomes a strict prefix of doc 11 (containment ~1 on the
+    # short side), doc 5 deleted
+    quote = " ".join(t[11].split()[: max(4, len(t[11].split()) // 2)])
+    ing.process_batch(
+        _mk(spark, [(2, quote)]), 2, tombstones=_keys(spark, [2, 5]),
+    )
+    final = {k: v for k, v in t.items() if k not in (2, 5)}
+    final[2] = quote
+    final_df = _mk(spark, final.items())
+
+    def key(r):
+        return (r.doc_a, r.doc_b, round(r.containment_a, 9),
+                round(r.containment_b, 9), round(r.jaccard, 9))
+
+    expected = {
+        key(r)
+        for r in dedup_text.containment_pairs(
+            final_df, threshold=0.5
+        ).collect()
+    }
+    assert any(a == 2 or b == 2 for a, b, *_ in expected)  # quote found
+    got = {
+        key(r) for r in ing.containment(spark, threshold=0.5).collect()
+    }
+    assert got == expected
+    ing.compact_state(spark, min_segments=2)
+    assert {
+        key(r) for r in ing.containment(spark, threshold=0.5).collect()
+    } == expected

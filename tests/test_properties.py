@@ -767,3 +767,54 @@ def test_group_freq_sketch_cdc_fold_matches_live_sketch(spark, ops, cut):
     else:
         want = {}
     assert got == want
+
+
+@given(ops=cdc_ops, cut=st.integers(min_value=0, max_value=20))
+@settings(**SETTINGS)
+def test_group_quantile_sketch_cdc_fold_matches_live_sketch(spark, ops, cut):
+    """Signed quantile-histogram property: for ANY consistent CDC
+    sequence and ANY batch split, folding the signed bucket deltas
+    equals group_quantile_sketch over the final LIVE table entry-for-
+    entry (zeroed buckets drop, emptied groups disappear)."""
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_quantile_sketch,
+        group_quantile_sketch_cdc,
+        merge_quantile_sketches_cdc,
+    )
+
+    events, state = [], {}
+    for k, v, a in ops:
+        grp = f"g{v % 3}"
+        if k not in state:
+            events.append((grp, v, "c", None))
+            state[k] = (grp, v)
+        elif a == 2:
+            bg, bv = state.pop(k)
+            events.append((None, None, "d", (bg, bv)))
+        else:
+            bg, bv = state[k]
+            events.append((grp, v, "u", (bg, bv)))
+            state[k] = (grp, v)
+
+    schema = ("grp string, v long, op string, "
+              "_before_img struct<grp:string, v:long>")
+    acc = None
+    for b in (events[:cut], events[cut:]):
+        delta = group_quantile_sketch_cdc(
+            spark.createDataFrame(b, schema), ["grp"], "v"
+        )
+        acc = merge_quantile_sketches_cdc(acc, delta, ["grp"])
+    got = {
+        r.grp: [(e.b, e.n) for e in r.qsketch] for r in acc.collect()
+    } if acc is not None else {}
+    got = {g: s for g, s in got.items() if s}  # unmerged single delta
+
+    live = [(grp, v) for grp, v in state.values()]
+    want = {
+        r.grp: [(e.b, e.n) for e in r.qsketch]
+        for r in group_quantile_sketch(
+            spark.createDataFrame(live, "grp string, v long"),
+            ["grp"], "v",
+        ).collect()
+    } if live else {}
+    assert got == want

@@ -745,6 +745,7 @@ def test_current_state_stats_stream_tracks_updates_and_deletes(
             stats_group_columns=("o_orderpriority",),
             stats_value_column="o_totalprice",
             stats_topk_column="o_custkey",
+            stats_quantile_column="o_totalprice",
             stats_current_state=True,
         )
     ]
@@ -806,3 +807,26 @@ def test_current_state_stats_stream_tracks_updates_and_deletes(
         for r in store.read(spark, "orders_state_cms").collect()
     }
     assert got_cms == want_cms
+
+    # ... and so does the current-state quantile histogram
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_quantile_sketch,
+    )
+
+    live_q = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.col("o_totalprice") * F.lit(1.1))
+        .otherwise(F.col("o_totalprice")).alias("v"),
+    )
+    want_q = {
+        r.o_orderpriority: [(e.b, e.n) for e in r.qsketch]
+        for r in group_quantile_sketch(
+            live_q, ["o_orderpriority"], "v"
+        ).collect()
+    }
+    got_q = {
+        r.o_orderpriority: [(e.b, e.n) for e in r.qsketch]
+        for r in store.read(spark, "orders_state_qsketch").collect()
+    }
+    assert got_q == want_q
