@@ -61,6 +61,7 @@ _DRIVER_CHECK_FIRST = [
     "cdc_cms_current",  # brand-new (retractable Count-Min current state)
     "cdc_qsketch_current",  # brand-new (retractable quantile histogram)
     "cdc_containment_tombstones",  # brand-new (served containment dedup)
+    "cdc_semdedup_tombstones",  # brand-new (served semantic dedup)
     "doc_ccnet_buckets",  # r7 row, plan changed (broadcast tier thresholds)
     # -- the 38 r5-era rows (2-round staleness limit at r8) --
     "doc_chunks",

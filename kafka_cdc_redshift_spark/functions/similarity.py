@@ -349,6 +349,25 @@ def semantic_dedup(
     cells = ivf_assign(
         emb, centroids, n_cells=1, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=False)
+    return semantic_dedup_from_cells(
+        cells, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
+def semantic_dedup_from_cells(
+    cells: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The within-cell dedup reduction over an ALREADY-MATERIALIZED
+    (id, vec, cell) assignment — the serving path: `semantic_dedup`
+    assigns a corpus into it, and the streamed index
+    (streaming/ann_ingest.AnnIngest.semantic_dups) serves its standing
+    tombstone-resolved cell relation through the same code, so streamed
+    semantic dedup == one-shot semantic_dedup over the live corpus
+    against the same persisted centroids."""
     a = cells.select(
         F.col("cell"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_e")
     )

@@ -1232,19 +1232,27 @@ def q_dedup_minhash_eval(spark, sf_dir):
 # source mixing, chunk-level exact dedup, and scored contamination
 # ---------------------------------------------------------------------------
 
-def _semantic_oracle(nlist: int = 8, threshold: float = 0.3) -> str:
+def _semantic_oracle(
+    nlist: int = 8,
+    threshold: float = 0.3,
+    corpus: str = "SELECT vec_id, e FROM c",
+) -> str:
+    """`corpus` swaps the deduped vector set (the tombstone row replays
+    SemDeDup over the FINAL post-churn corpus); centroids always come
+    from the ORIGINAL corpus — a trained artifact does not drift."""
     cos = (
         "list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
     return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     cent AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id < {nlist}),
+    corpus AS ({corpus}),
     asn AS (SELECT vec_id, e, cent_id,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY c_sim DESC, cent_id) AS c_rnk
             FROM (SELECT c.vec_id, c.e, cent.cent_id,
                          {cos.format(a="c.e", b="cent.ce")} AS c_sim
-                  FROM c CROSS JOIN cent) s),
+                  FROM corpus c CROSS JOIN cent) s),
     cells AS (SELECT vec_id, e, cent_id AS cell FROM asn WHERE c_rnk = 1),
     dup AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2829,6 +2837,54 @@ def q_cdc_ann_tombstones(spark, sf_dir):
     ann.process_batch(updated, 1, tombstones=tombs)
     ann.compact_state(spark, min_segments=2)  # fold: dead vectors drop
     return ann.live_cells(spark).select("vec_id", "cell")
+
+
+@_spec(
+    "cdc_semdedup_tombstones",
+    "SemDeDup-style semantic dedup served from the STANDING streamed "
+    "IVF state under its CDC contract (streaming/ann_ingest.AnnIngest."
+    "semantic_dups): the same anntomb ingest (batch 0 corpus, batch 1 "
+    "updates %10==3 reversed / deletes %10==7), then the within-cell "
+    "cosine compare runs over the tombstone-resolved live (id, vec, "
+    "cell) relation — the stored assignment IS SemDeDup's clustering "
+    "pass, so serving skips assignment entirely. Must equal "
+    "semantic_dedup over the FINAL corpus against the persisted "
+    "centroids: a stale vector still pairing, a resurrected delete, "
+    "or a dup flag surviving its lower-id twin's deletion all "
+    "hash-mismatch",
+    _semantic_oracle(
+        corpus="""SELECT vec_id, list_reverse(e) AS e FROM c
+              WHERE vec_id % 10 = 3
+              UNION ALL
+              SELECT vec_id, e FROM c
+              WHERE vec_id % 10 != 3 AND vec_id % 10 != 7""",
+    ),
+)
+def q_cdc_semdedup_tombstones(spark, sf_dir):
+    from ..streaming.ann_ingest import AnnIngest
+    from ..streaming.store import AppendLog
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    log = AppendLog(_tomb_state_dir(spark, sf_dir, "anntomb"))
+    ann = (
+        AnnIngest(log, centroids=cents)
+        if not log.has_batch("emb_centroids", "__centroids__")
+        else AnnIngest(log)
+    )
+    ann.process_batch(emb, 0)
+    updated = emb.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    tombs = emb.filter(
+        (F.col("vec_id") % 10 == 3) | (F.col("vec_id") % 10 == 7)
+    ).select("vec_id")
+    ann.process_batch(updated, 1, tombstones=tombs)
+    return ann.semantic_dups(spark, threshold=0.3)
 
 
 def _minhash_tomb_oracle(num_hashes: int = 12, band_size: int = 2) -> str:

@@ -240,6 +240,30 @@ class AnnIngest:
             id_col=self.id_col, vec_col=self.vec_col, n_sub=self.n_sub,
         )
 
+    def semantic_dups(
+        self, spark: SparkSession, *, threshold: float
+    ) -> DataFrame:
+        """SemDeDup-style semantic dedup served from the STANDING index
+        — the streamed twin of functions/similarity.semantic_dedup: the
+        live (id, vec, cell) relation IS the nearest-centroid
+        assignment (each vector was assigned at its ingest batch
+        against the same persisted centroids), so serving skips the
+        assignment pass entirely and runs only the cell-local pairwise
+        compare. Tracks the live corpus through updates/deletes: an
+        updated vector's new image was re-assigned at its update batch,
+        tombstone resolution drops the old one, and pair decisions are
+        re-derived per serve — a duplicate whose lower-id twin was
+        deleted correctly becomes unique."""
+        from ..functions.similarity import semantic_dedup_from_cells
+
+        cells = self.live_cells(spark)
+        if cells is None:
+            raise ValueError(f"index {self.name!r} has no ingested batches")
+        return semantic_dedup_from_cells(
+            cells, threshold=threshold,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+
     def weighted_drift(self, spark: SparkSession) -> float:
         """Size-weighted mean of `centroid_drift`'s per-cell similarity —
         the single scalar a rebuild schedule compares against its floor."""

@@ -388,3 +388,67 @@ def test_dedup_ingest_serves_containment_through_churn(spark, docs, tmp_path):
     assert {
         key(r) for r in ing.containment(spark, threshold=0.5).collect()
     } == expected
+
+
+def test_ann_ingest_serves_semantic_dedup_through_churn(spark, sf_dir, tmp_path):
+    """AnnIngest.semantic_dups: the standing (id, vec, cell) relation
+    serves SemDeDup against the live corpus — equal to one-shot
+    semantic_dedup over the final corpus with the same persisted
+    centroids, through updates and deletes, and a dup whose lower-id
+    twin is deleted becomes unique."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+        .filter(F.col("vec_id") < 60)
+        .localCheckpoint()
+    )
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    ing = AnnIngest(AppendLog(str(tmp_path / "state")), centroids=cents)
+    ing.process_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    ing.process_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    # b2: duplicate vec 7's embedding onto vec 40 (same cell, cos=1),
+    # delete vec 9
+    v7 = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(40).cast("long").alias("vec_id"), "embedding"
+    )
+    ing.process_batch(v7, 2, tombstones=_keys_vec(spark, [40, 9]))
+    final = emb.filter(~F.col("vec_id").isin(9, 40)).unionByName(v7)
+    want = {
+        (r.vec_id, r.cell, r.is_dup)
+        for r in similarity.semantic_dedup(
+            final, cents, threshold=0.3
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.cell, r.is_dup)
+        for r in ing.semantic_dups(spark, threshold=0.3).collect()
+    }
+    assert got == want
+    assert (40, *[c for v, c, d in want if v == 7][:1], True) in {
+        (v, c, d) for v, c, d in got if v == 40
+    } or any(v == 40 and d for v, c, d in got)  # the clone is flagged
+    # b3: delete vec 7 — the clone's lower-id twin; 40 may become unique
+    ing.process_batch(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        3, tombstones=_keys_vec(spark, [7]),
+    )
+    final2 = final.filter(F.col("vec_id") != 7)
+    want2 = {
+        (r.vec_id, r.cell, r.is_dup)
+        for r in similarity.semantic_dedup(
+            final2, cents, threshold=0.3
+        ).collect()
+    }
+    ing.compact_state(spark, min_segments=2)
+    got2 = {
+        (r.vec_id, r.cell, r.is_dup)
+        for r in ing.semantic_dups(spark, threshold=0.3).collect()
+    }
+    assert got2 == want2
+
+
+def _keys_vec(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "vec_id long")
