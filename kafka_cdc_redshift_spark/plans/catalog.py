@@ -1125,10 +1125,11 @@ def q_cdc_stats_current(spark, sf_dir):
     "CURRENT-STATE Count-Min heavy hitters through updates AND deletes "
     "(functions/incremental.group_freq_sketch_cdc): CMS counters are "
     "sums and sums retract, so the before/after images fold as signed "
-    "bucket deltas — two stream batches (snapshot, then churn) merge "
-    "into a standing sketch that equals group_freq_sketch over the "
-    "LIVE table, keeping the one-sided est >= live-count guarantee "
-    "deletions break for an event-census sketch. Audited like "
+    "bucket deltas into a standing sketch that equals "
+    "group_freq_sketch over the LIVE table, keeping the one-sided "
+    "est >= live-count guarantee deletions break for an event-census "
+    "sketch (batch-split invariance is property-tested; the shell e2e "
+    "streams it in two real batches). Audited like "
     "events_topk_cms_audit: each group's exact top-3 customers of the "
     "FINAL live table vs the folded sketch's estimate — a missed "
     "retraction (deleted orders still counted) or a broken fold "
@@ -1182,22 +1183,18 @@ def q_cdc_cms_current(spark, sf_dir):
     topic = _fixture(
         spark, sf_dir, "debezium_before_topic", synth_debezium_before_topic
     )
+    # one signed delta over the whole topic, folded through the merge
+    # (zero-drop) — the cdc_stats_current shape: the ORACLE cannot
+    # distinguish batch splits (it computes the final state), and
+    # split-invariance is pinned by the hypothesis property
+    # (tests/test_properties.py) plus the real two-batch shell e2e
+    # (tests/test_streaming.py), so the driver row keeps ONE parse pass
     parsed = route_parse_debezium(
         topic, "salesdb", "orders", orders.schema, emit_before=True
     )
-    # two stream batches — the snapshot, then the churn — so the fold
-    # itself (signed addition + empty-group drop) is what's verified,
-    # not just the single-batch delta
     keys = ["o_orderpriority"]
-    b0 = group_freq_sketch_cdc(
-        parsed.filter(F.col("op") == "c"), keys, "o_custkey"
-    )
-    b1 = group_freq_sketch_cdc(
-        parsed.filter(F.col("op") != "c"), keys, "o_custkey"
-    )
-    sk = merge_freq_sketches_cdc(
-        merge_freq_sketches_cdc(None, b0, keys), b1, keys
-    )
+    delta = group_freq_sketch_cdc(parsed, keys, "o_custkey")
+    sk = merge_freq_sketches_cdc(None, delta, keys)
     live = orders.filter(F.col("o_orderkey") % 7 != 0)
     exact = live.groupBy("o_orderpriority", "o_custkey").agg(
         F.count(F.lit(1)).alias("exact_cnt")
@@ -1260,19 +1257,14 @@ def q_cdc_qsketch_current(spark, sf_dir):
     topic = _fixture(
         spark, sf_dir, "debezium_before_topic", synth_debezium_before_topic
     )
+    # one signed delta + merge fold, one parse pass (see
+    # q_cdc_cms_current for why the driver row doesn't split batches)
     parsed = route_parse_debezium(
         topic, "salesdb", "orders", orders.schema, emit_before=True
     )
     keys = ["o_orderpriority"]
-    b0 = group_quantile_sketch_cdc(
-        parsed.filter(F.col("op") == "c"), keys, "o_totalprice"
-    )
-    b1 = group_quantile_sketch_cdc(
-        parsed.filter(F.col("op") != "c"), keys, "o_totalprice"
-    )
-    sk = merge_quantile_sketches_cdc(
-        merge_quantile_sketches_cdc(None, b0, keys), b1, keys
-    )
+    delta = group_quantile_sketch_cdc(parsed, keys, "o_totalprice")
+    sk = merge_quantile_sketches_cdc(None, delta, keys)
     probs = [0.5, 0.9]
     est = estimate_quantiles(sk, keys, probs)
     live = orders.filter(F.col("o_orderkey") % 7 != 0).select(
