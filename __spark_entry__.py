@@ -62,6 +62,7 @@ _DRIVER_CHECK_FIRST = [
     "cdc_qsketch_current",  # brand-new (retractable quantile histogram)
     "cdc_containment_tombstones",  # brand-new (served containment dedup)
     "cdc_semdedup_tombstones",  # brand-new (served semantic dedup)
+    "cdc_stats_current",  # r7 row, plan changed (one-pass signed images)
     "doc_ccnet_buckets",  # r7 row, plan changed (broadcast tier thresholds)
     # -- the 38 r5-era rows (2-round staleness limit at r8) --
     "doc_chunks",

@@ -543,6 +543,46 @@ def estimate_distinct_kmv(
     )
 
 
+def _signed_images(
+    parsed: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    before_col: str,
+    cast: str,
+) -> DataFrame:
+    """One-pass (keys..., v, sign) signed image rows for the CDC delta
+    builders: each row emits its assert (+1, after image) and/or
+    retract (-1, before image) entry via a map-side inline explode —
+    ONE scan of the parsed batch. The obvious
+    `asserts.unionByName(retracts)` spelling executes the upstream
+    parse once per branch (a union's children are independent
+    subtrees; the JSON parse is the expensive node), which doubled the
+    hot-path cost of every current-state fold."""
+    op = F.col("op")
+    before = F.col(before_col)
+    a_entry = F.when(
+        op != "d",
+        F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            F.col(value_col).cast(cast).alias("v"),
+            F.lit(1).alias("sign"),
+        ),
+    )
+    r_entry = F.when(
+        op.isin("u", "d") & before.isNotNull(),
+        F.struct(
+            *[before[k].alias(k) for k in keys],
+            before[value_col].cast(cast).alias("v"),
+            F.lit(-1).alias("sign"),
+        ),
+    )
+    return (
+        parsed.select(F.explode(F.array(a_entry, r_entry)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("e.*")
+    )
+
+
 def group_stats_cdc(
     parsed: DataFrame,
     keys: Sequence[str],
@@ -572,34 +612,16 @@ def group_stats_cdc(
     silently degrades to append-only semantics for exactly those rows,
     so feed this only from before-emitting sources.
 
-    One union + one combinable shuffle over |batch| rows; the standing
-    table is never read."""
-    op = F.col("op")
-    after_v = F.col(value_col).cast("long")
-    before = F.col(before_col)
-    asserts = parsed.filter(op != "d").select(
-        *[F.col(k).alias(k) for k in keys],
-        after_v.alias("v"),
-        F.lit(1).alias("sign"),
-    )
-    retracts = (
-        parsed.filter(op.isin("u", "d") & before.isNotNull())
-        .select(
-            *[before[k].alias(k) for k in keys],
-            before[value_col].cast("long").alias("v"),
-            F.lit(-1).alias("sign"),
-        )
-    )
+    One map-side signed-image explode (_signed_images — one scan, not
+    a per-branch union) + one combinable shuffle over |batch| rows;
+    the standing table is never read."""
+    ex = _signed_images(parsed, keys, value_col, before_col, "long")
     s = F.col("sign")
     v = F.col("v")
-    return (
-        asserts.unionByName(retracts)
-        .groupBy(*keys)
-        .agg(
-            F.sum(s).alias("n"),
-            F.sum(s * v).alias("sum"),
-            F.sum(s * v * v).alias("sumsq"),
-        )
+    return ex.groupBy(*keys).agg(
+        F.sum(s).alias("n"),
+        F.sum(s * v).alias("sum"),
+        F.sum(s * v * v).alias("sumsq"),
     )
 
 
@@ -630,23 +652,13 @@ def group_freq_sketch_cdc(
     deleted value. Those stay event censuses by contract; rebuild from
     the live table when current-state versions are needed.
 
-    Same shape as group_freq_sketch: one union + one combinable
-    (group, position) shuffle over d*|batch| rows, dense-packed to a
-    d*w array per touched group; the standing table is never read.
-    Rows lacking a before image degrade to append-only on the retract
-    side, like group_stats_cdc."""
-    op = F.col("op")
-    before = F.col(before_col)
-    asserts = parsed.filter(op != "d").select(
-        *[F.col(k).alias(k) for k in keys],
-        F.col(value_col).cast("long").alias("v"),
-        F.lit(1).alias("sign"),
-    )
-    retracts = parsed.filter(op.isin("u", "d") & before.isNotNull()).select(
-        *[before[k].alias(k) for k in keys],
-        before[value_col].cast("long").alias("v"),
-        F.lit(-1).alias("sign"),
-    )
+    Same shape as group_freq_sketch: one map-side signed-image explode
+    (_signed_images — one scan, not a per-branch union) + one
+    combinable (group, position) shuffle over d*|batch| rows,
+    dense-packed to a d*w array per touched group; the standing table
+    is never read. Rows lacking a before image degrade to append-only
+    on the retract side, like group_stats_cdc."""
+    ex = _signed_images(parsed, keys, value_col, before_col, "long")
     r = _cms_residue("v")
     positions = F.array(
         *[(_cms_bucket(r, i) + F.lit(i * CMS_W)).cast("int")
@@ -654,8 +666,7 @@ def group_freq_sketch_cdc(
     )
     size = CMS_D * CMS_W
     return (
-        asserts.unionByName(retracts)
-        .select(*keys, "sign", F.explode(positions).alias("pos"))
+        ex.select(*keys, "sign", F.explode(positions).alias("pos"))
         .groupBy(*keys, "pos")
         .agg(F.sum("sign").alias("n"))
         .groupBy(*keys)
@@ -710,23 +721,13 @@ def group_quantile_sketch_cdc(
     Both sides bucket the value through the identical cast+log2 chain
     (_qsk_bucket), so each image's bucket id telescopes exactly across
     its retract and assert. Same shape as group_quantile_sketch: one
-    union + one combinable (group, bucket) shuffle; rows lacking a
-    before image degrade to append-only on the retract side."""
-    op = F.col("op")
-    before = F.col(before_col)
-    asserts = parsed.filter(op != "d").select(
-        *[F.col(k).alias(k) for k in keys],
-        F.col(value_col).cast("double").alias("v"),
-        F.lit(1).alias("sign"),
-    )
-    retracts = parsed.filter(op.isin("u", "d") & before.isNotNull()).select(
-        *[before[k].alias(k) for k in keys],
-        before[value_col].cast("double").alias("v"),
-        F.lit(-1).alias("sign"),
-    )
+    map-side signed-image explode (_signed_images — one scan, not a
+    per-branch union) + one combinable (group, bucket) shuffle; rows
+    lacking a before image degrade to append-only on the retract
+    side."""
+    ex = _signed_images(parsed, keys, value_col, before_col, "double")
     return (
-        asserts.unionByName(retracts)
-        .select(*keys, _qsk_bucket("v").alias("b"), "sign")
+        ex.select(*keys, _qsk_bucket("v").alias("b"), "sign")
         .groupBy(*keys, "b")
         .agg(F.sum("sign").alias("n"))
         .groupBy(*keys)
