@@ -216,10 +216,15 @@ class RetrievalIngest:
         resolution, then run the same positional reduction the batch
         operator uses (functions/retrieval.phrase_match_from_postings),
         so streamed results == one-shot phrase_match over the final
-        corpus, through updates and deletes. At scale the explode is
-        term-pruned first when the standing table is partitioned by
-        term — the broadcast phrase-term join pushes below the explode's
-        parent scan exactly like the BM25 prune."""
+        corpus, through updates and deletes. The broadcast phrase-term
+        prune lands BEFORE the position explode (an inner join on term
+        commutes with exploding that term's positions), so only
+        matching posting lists ever explode — the explode is
+        query-sized, not corpus-sized, and with the standing table
+        partitioned by term the prune also skips non-matching
+        shards."""
+        from ..functions.text import tokens_col
+
         spark = phrases.sparkSession
         tf = self.postings(spark)
         if tf is None:
@@ -229,7 +234,10 @@ class RetrievalIngest:
                 f"index {self.name!r} was built without positions=True; "
                 "phrase serving needs the positional posting lists"
             )
-        flat = tf.select(
+        terms = phrases.select(
+            F.explode(F.array_distinct(tokens_col("phrase"))).alias("term")
+        ).distinct()
+        flat = tf.join(F.broadcast(terms), "term").select(
             "doc_id", F.explode("positions").alias("pos"), "term"
         )
         return phrase_match_from_postings(flat, phrases)

@@ -452,3 +452,26 @@ def test_ann_ingest_serves_semantic_dedup_through_churn(spark, sf_dir, tmp_path)
 
 def _keys_vec(spark, ids):
     return spark.createDataFrame([(i,) for i in ids], "vec_id long")
+
+
+def test_phrase_serving_prunes_terms_before_position_explode(
+    spark, docs, tmp_path
+):
+    """The standing index's phrase serving must broadcast-prune posting
+    lists by phrase term BEFORE exploding positions — an un-pruned
+    corpus-wide position explode is the avoidable cost at scale. Two
+    broadcast joins: the pre-explode term prune plus the reduction's
+    phrase-term join."""
+    ing = RetrievalIngest(
+        AppendLog(str(tmp_path / "state")), name="docs", positions=True
+    )
+    ing.process_batch(docs, 0)
+    phrases = spark.createDataFrame(
+        [(0, "alpha beta")], "phrase_id int, phrase string"
+    )
+    plan = (
+        ing.phrase_match(phrases)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
