@@ -1222,8 +1222,10 @@ def ccnet_buckets(
     land (sampling or AQE coalescing only move work between tasks),
     so the output is deterministic and replays the SQL-standard
     ntile bit-for-bit: the first n % k buckets take ceil(n/k) rows,
-    the rest floor(n/k)."""
-    from pyspark.sql import Window
+    the rest floor(n/k). Steps 1-3 are util.range_partitioned_rank,
+    shared with every other exact-rank-over-low-cardinality-key
+    consumer."""
+    from ..util import range_partitioned_rank
 
     flags = lm_surprisal_flags(
         df, threshold=threshold, discount=discount,
@@ -1233,33 +1235,8 @@ def ccnet_buckets(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     )
     scored = src.join(flags, "doc_id")
-    spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    part = scored.repartitionByRange(
-        n_part, "source", "surprise_ratio", "doc_id"
-    ).withColumn("pid", F.spark_partition_id())
-    census = part.groupBy("pid", "source").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_n = Window.partitionBy("source")
-    offsets = census.select(
-        "pid",
-        "source",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
-        F.sum("cnt").over(w_n).alias("n"),
-    )
-    w_rank = Window.partitionBy("pid", "source").orderBy(
-        F.asc("surprise_ratio"), F.asc("doc_id")
-    )
-    ranked = (
-        part.withColumn("rn", F.row_number().over(w_rank))
-        .join(F.broadcast(offsets), ["pid", "source"])
-        .withColumn("rnk", F.col("off") + F.col("rn"))
+    ranked = range_partitioned_rank(
+        scored, ["source"], ["surprise_ratio", "doc_id"]
     )
     # closed-form ntile: big buckets first (SQL standard). base/rem in
     # exact integer arithmetic; `div` is integer division so no float

@@ -518,14 +518,17 @@ def q_customers_lapsed(spark, sf_dir):
        FROM r GROUP BY lang""",
 )
 def q_doc_len_quantiles(spark, sf_dir):
+    from kafka_cdc_redshift_spark.util import range_partitioned_rank
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    wn = Window.partitionBy("lang")
-    r = docs.select(
-        "lang",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # exact per-lang rank WITHOUT the per-lang single-reducer sort the
+    # window spelling pays (lang is low-cardinality — the ccnet_buckets
+    # lesson, same shared machinery); the oracle keeps the SQL window
+    # spelling, which the range-partitioned rank replays row-for-row
+    r = range_partitioned_rank(
+        docs.select("lang", "n_chars", "doc_id"),
+        ["lang"], ["n_chars", "doc_id"],
+        rank_col="rn", n_col="n",
     )
     at = lambda q: F.max(  # noqa: E731
         F.when(

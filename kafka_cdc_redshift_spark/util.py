@@ -52,3 +52,68 @@ def _estimated_partitions(df: DataFrame) -> float:
         return size / max(max_pb, 1)
     except Exception:  # noqa: BLE001 - connect/other backends
         return float(df.rdd.getNumPartitions())
+
+
+def range_partitioned_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    *,
+    n_partitions: int | None = None,
+    rank_col: str = "rnk",
+    n_col: str = "n",
+) -> DataFrame:
+    """Exact per-group dense rank WITHOUT a per-group single-reducer
+    sort — the scale-safe replacement for
+    `row_number() OVER (PARTITION BY low_cardinality_key ORDER BY ...)`:
+
+      1. repartitionByRange on the FULL key (part_cols + order_cols) —
+         each group spreads across many partitions, in key order;
+      2. a tiny (partitions x groups)-row census gives every
+         (pid, group) slice its global offset and each group its total
+         `n_col` — both via windows over the CENSUS, broadcast back;
+      3. per-row `rank_col` = offset + row_number within (pid, group) —
+         a fine-grained window key, each task sorts ~n/P rows.
+
+    Rank exactness does not depend on where the range boundaries land
+    (sampling or AQE coalescing only move rows between tasks), so the
+    result is deterministic and equals the single-window spelling
+    row-for-row. The order key must be a total order (append a unique
+    id as the last order column). Output: df's columns + rank_col +
+    n_col, with the internal pid/offset columns dropped.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(
+        n_partitions, *part_cols, *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
+    census = part.groupBy("__pid", *part_cols).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy(*part_cols)
+    offsets = census.select(
+        "__pid",
+        *part_cols,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_n).alias(n_col),
+    )
+    w_rank = Window.partitionBy("__pid", *part_cols).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    return (
+        part.withColumn("__rn", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), ["__pid", *part_cols])
+        .withColumn(rank_col, F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__rn", "__off")
+    )

@@ -316,3 +316,18 @@ def test_ccnet_buckets_no_per_source_sort(spark, sf_dir):
         if "source" in spec and "surprise_ratio" in spec:
             # the corpus-sized ranking window: must be pre-keyed by pid
             assert "pid" in spec.split("source")[0]
+
+
+def test_doc_len_quantiles_no_per_lang_sort(spark, sf_dir):
+    """The exact-rank quantile query must rank via
+    util.range_partitioned_rank, not a window keyed only by the
+    low-cardinality `lang` (the ccnet_buckets lesson): every
+    corpus-sized ranking window is pre-keyed by the range-partition
+    id."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "doc_len_quantiles")
+    assert "BatchEvalPython" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "lang" in spec and "n_chars" in spec:
+            assert "pid" in spec.split("lang")[0]
