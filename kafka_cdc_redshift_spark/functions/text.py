@@ -1238,17 +1238,9 @@ def ccnet_buckets(
     ranked = range_partitioned_rank(
         scored, ["source"], ["surprise_ratio", "doc_id"]
     )
-    # closed-form ntile: big buckets first (SQL standard). base/rem in
-    # exact integer arithmetic; `div` is integer division so no float
-    # rounding can move a boundary. When n < k the `rem` branch covers
-    # every rank (cut == n) so the base==0 division is never selected.
-    k = int(n_buckets)
-    bucket = F.expr(
-        f"CAST(CASE WHEN rnk <= (n % {k}) * ((n DIV {k}) + 1)"
-        f" THEN (rnk - 1) DIV ((n DIV {k}) + 1) + 1"
-        f" ELSE (n % {k}) + (rnk - (n % {k}) * ((n DIV {k}) + 1) - 1)"
-        f" DIV (n DIV {k}) + 1 END AS INT)"
-    )
+    from ..util import closed_form_ntile
+
+    bucket = closed_form_ntile(n_buckets)
     tier = (
         F.when(F.col("bucket") == 1, F.lit("head"))
         .when(F.col("bucket") == n_buckets, F.lit("tail"))

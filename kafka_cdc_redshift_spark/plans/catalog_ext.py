@@ -970,10 +970,26 @@ def q_cdc_scd2(spark, sf_dir):
        GROUP BY 1, 2""",
 )
 def q_events_deciles(spark, sf_dir):
+    from kafka_cdc_redshift_spark.util import (
+        closed_form_ntile,
+        range_partitioned_rank,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # exact deciles WITHOUT funnelling each event_type through one
+    # reducer: range-partitioned exact rank + the closed-form ntile
+    # (the ccnet_buckets machinery); the oracle keeps the SQL ntile
+    # spelling, which this replays bit-for-bit. `n` aliased __gn so the
+    # bucket count column can keep its contract name.
+    r = range_partitioned_rank(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"], ["value", "event_id"],
+        rank_col="__rk", n_col="__gn",
+    )
     return (
-        ev.withColumn("decile", F.ntile(10).over(w))
+        r.withColumn(
+            "decile", closed_form_ntile(10, rank_col="__rk", n_col="__gn")
+        )
         .groupBy("event_type", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

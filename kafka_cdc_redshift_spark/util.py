@@ -117,3 +117,26 @@ def range_partitioned_rank(
         .withColumn(rank_col, F.col("__off") + F.col("__rn"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def closed_form_ntile(
+    n_buckets: int, *, rank_col: str = "rnk", n_col: str = "n"
+):
+    """The SQL-standard ntile bucket computed map-side from an exact
+    (rank, group size) pair — the companion to `range_partitioned_rank`
+    that lets `ntile(k) OVER (PARTITION BY low_cardinality_key ...)` be
+    replaced without a per-group sort: the first n % k buckets take
+    ceil(n/k) rows, the rest floor(n/k), in pure integer `DIV`
+    arithmetic so no float rounding can move a boundary. When n < k the
+    remainder branch covers every rank (cut == n), so the base==0
+    division is never selected."""
+    from pyspark.sql import functions as F
+
+    k = int(n_buckets)
+    r, n = rank_col, n_col
+    return F.expr(
+        f"CAST(CASE WHEN {r} <= ({n} % {k}) * (({n} DIV {k}) + 1)"
+        f" THEN ({r} - 1) DIV (({n} DIV {k}) + 1) + 1"
+        f" ELSE ({n} % {k}) + ({r} - ({n} % {k}) * (({n} DIV {k}) + 1) - 1)"
+        f" DIV ({n} DIV {k}) + 1 END AS INT)"
+    )

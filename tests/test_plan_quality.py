@@ -331,3 +331,16 @@ def test_doc_len_quantiles_no_per_lang_sort(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "lang" in spec and "n_chars" in spec:
             assert "pid" in spec.split("lang")[0]
+
+
+def test_events_deciles_no_per_type_sort(spark, sf_dir):
+    """events_value_deciles must not compute ntile over a window keyed
+    only by the low-cardinality event_type — range-partitioned rank +
+    closed-form ntile instead (util.range_partitioned_rank)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "events_value_deciles")
+    assert "ntile" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "event_type" in spec and "value" in spec:
+            assert "pid" in spec.split("event_type")[0]
