@@ -344,3 +344,15 @@ def test_events_deciles_no_per_type_sort(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "event_type" in spec and "value" in spec:
             assert "pid" in spec.split("event_type")[0]
+
+
+def test_topk_per_group_window_has_group_limit(spark, sf_dir):
+    """row_number() <= k cuts are scale-safe out of the box: Catalyst
+    inserts Partial+Final WindowGroupLimit (mapper-side top-k per
+    group), so only ~k rows per group per mapper reach the window
+    shuffle. Pin it so a refactor that breaks the pushdown (e.g.
+    filtering on a derived column instead of the raw rank) fails here —
+    this is why rank CUTS keep the window spelling while full-rank
+    ASSIGNMENTS (ntile, quantile ranks) need range_partitioned_rank."""
+    plan = plan_of(spark, sf_dir, "top_customers_per_segment")
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
