@@ -63,6 +63,7 @@ _DRIVER_CHECK_FIRST = [
     "cdc_containment_tombstones",  # brand-new (served containment dedup)
     "cdc_semdedup_tombstones",  # brand-new (served semantic dedup)
     "cdc_stats_current",  # r7 row, plan changed (one-pass signed images)
+    "sim_eval_metrics",  # brand-new (recall@k / MRR ranking evaluation)
     "doc_ccnet_buckets",  # r7 row, plan changed (broadcast tier thresholds)
     # -- the 38 r5-era rows (2-round staleness limit at r8) --
     "doc_chunks",

@@ -274,6 +274,66 @@ def phrase_match_from_postings(
     )
 
 
+def ranking_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    q_col: str = "q_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Ranking-quality evaluation — the retrieval family's closing
+    loop: given a top-k `ranking` (q_id, doc_id, rnk) and a `qrels`
+    relevance set (q_id, doc_id), emit per-query
+    (q_id, n_rel, n_hits, recall_at_k, mrr):
+
+      * recall_at_k = |top-k ∩ relevant| / |relevant|,
+      * mrr = 1 / rank of the first relevant result (0.0 if none in
+        the top k) — the reciprocal-rank term RRF itself is built on.
+
+    Every metric is a ratio of exact integers (one IEEE division —
+    cross-engine deterministic; no log-based NDCG here precisely
+    because libm log2 is not bit-portable, the tfidf/bm25 raw-idf
+    convention). Queries with relevance judgments but no retrieved
+    hits still get a row (right-anchored on qrels), so a silently
+    empty ranker scores 0, not absent.
+
+    Shape: qrels is judgment-sized and the ranking is top-k-bounded
+    (|Q| x k rows), so the join and the per-query fold are both tiny
+    regardless of corpus size — evaluation cost never scales with the
+    corpus, only with the judged set."""
+    rel = qrels.select(
+        F.col(q_col).alias("q_id"), F.col(doc_col).alias("doc_id")
+    ).distinct()
+    n_rel = rel.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    topk = ranking.select(
+        F.col(q_col).alias("q_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("__rnk"),
+    ).filter(F.col("__rnk") <= k)
+    hits = (
+        topk.join(rel.withColumn("__rel", F.lit(1)), ["q_id", "doc_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("__rnk").alias("__first_rel"),
+        )
+    )
+    return n_rel.join(hits, "q_id", "left").select(
+        "q_id",
+        "n_rel",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_rel").cast("double")
+        ).alias("recall_at_k"),
+        F.coalesce(
+            F.lit(1.0) / F.col("__first_rel").cast("double"), F.lit(0.0)
+        ).alias("mrr"),
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,

@@ -2362,6 +2362,52 @@ def q_sim_hybrid_served(spark, sf_dir):
     )
 
 
+_QREL_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _HYBRID_QUERIES)
+
+
+@_spec(
+    "sim_eval_metrics",
+    "ranking-quality evaluation closing the retrieval loop "
+    "(functions/retrieval.ranking_metrics): per-query recall@10 and "
+    "MRR of BM25 against term-containment relevance judgments. Every "
+    "metric is a ratio of exact integers (one IEEE division — no "
+    "libm NDCG, the raw-idf portability convention), queries with "
+    "judgments but no retrieved hits still score 0.0 (right-anchored "
+    "on qrels), and evaluation cost is judgment-sized — it never "
+    "scales with the corpus",
+    f"""WITH lex AS (SELECT q_id, doc_id, rnk
+            FROM ({_bm25_oracle(_HYBRID_QUERIES, k=10)}) bm),
+    q(q_id, term) AS (VALUES {_QREL_VALUES}),
+    tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    rel AS (SELECT q.q_id, tok.doc_id
+            FROM q JOIN tok ON list_contains(tok.t, q.term)),
+    nrel AS (SELECT q_id, count(*) AS n_rel FROM rel GROUP BY 1),
+    hits AS (SELECT l.q_id, count(*) AS n_hits, min(l.rnk) AS fr
+             FROM lex l JOIN rel r
+               ON r.q_id = l.q_id AND r.doc_id = l.doc_id
+             GROUP BY 1)
+    SELECT CAST(n.q_id AS BIGINT) AS q_id,
+           CAST(n.n_rel AS BIGINT) AS n_rel,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / CAST(n.n_rel AS DOUBLE) AS recall_at_k,
+           COALESCE(1.0 / CAST(h.fr AS DOUBLE), 0.0) AS mrr
+    FROM nrel n LEFT JOIN hits h USING (q_id)""",
+)
+def q_sim_eval_metrics(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tq = spark.createDataFrame(_HYBRID_QUERIES, "q_id long, q_text string")
+    ranking = retrieval.bm25_topk(docs, tq, k=10)
+    # term-containment judgments: the query term set is tiny, so the
+    # qrels construction is a broadcast nested-loop over 5 queries —
+    # harness cost, not engine path
+    toks = docs.select("doc_id", text.tokens_col("text").alias("t"))
+    qrels = tq.join(
+        toks, F.array_contains(F.col("t"), F.col("q_text"))
+    ).select("q_id", "doc_id")
+    return retrieval.ranking_metrics(ranking, qrels, k=10)
+
+
 @_spec(
     "text_rrf_three_way",
     "reciprocal-rank fusion over THREE rankers in one rrf_fuse call — "
