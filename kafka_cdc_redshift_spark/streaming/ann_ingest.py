@@ -532,6 +532,9 @@ class VersionedAnnIndex:
     def pq_rerank(self, queries: DataFrame, *, k: int = 3, shortlist: int = 100):
         return self.current().pq_rerank(queries, k=k, shortlist=shortlist)
 
+    def semantic_dups(self, spark: SparkSession, *, threshold: float):
+        return self.current().semantic_dups(spark, threshold=threshold)
+
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8
     ) -> None:

@@ -356,3 +356,32 @@ def test_hybrid_ann_fusion_recall_floor(spark, sf_dir):
     assert exact and ann
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.5, f"hybrid ANN recall {recall:.2f} below floor"
+
+
+def test_ranking_metrics_edges(spark):
+    """recall@k / MRR contract: ratios of exact integers, judged-but-
+    unretrieved queries score 0.0 (right-anchored on qrels), hits
+    outside the top k don't count, MRR uses the FIRST relevant rank."""
+    from kafka_cdc_redshift_spark.functions.retrieval import ranking_metrics
+
+    ranking = spark.createDataFrame(
+        # q0: relevant at ranks 2 and 3; q1: relevant only at rank 11
+        # (outside k=10); q2 never retrieved anything relevant
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 11),
+         (2, 30, 1)],
+        "q_id long, doc_id long, rnk int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 11), (0, 12), (0, 99),   # 3 judged, 2 hit
+         (1, 21),                     # 1 judged, hit outside k
+         (2, 77), (2, 78)],           # 2 judged, 0 hit
+        "q_id long, doc_id long",
+    )
+    rows = {r.q_id: r for r in
+            ranking_metrics(ranking, qrels, k=10).collect()}
+    assert rows[0].n_rel == 3 and rows[0].n_hits == 2
+    assert rows[0].recall_at_k == 2 / 3 and rows[0].mrr == 0.5
+    assert rows[1].n_hits == 0 and rows[1].mrr == 0.0
+    assert rows[2].n_hits == 0 and rows[2].recall_at_k == 0.0
+    assert set(rows) == {0, 1, 2}
