@@ -64,6 +64,7 @@ _DRIVER_CHECK_FIRST = [
     "cdc_semdedup_tombstones",  # brand-new (served semantic dedup)
     "cdc_stats_current",  # r7 row, plan changed (one-pass signed images)
     "sim_eval_metrics",  # brand-new (recall@k / MRR ranking evaluation)
+    "events_series_moving_avg",  # brand-new (halo-blocked series frames)
     "doc_ccnet_buckets",  # r7 row, plan changed (broadcast tier thresholds)
     # -- the 38 r5-era rows (2-round staleness limit at r8) --
     "doc_chunks",

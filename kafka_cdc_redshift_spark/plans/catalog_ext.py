@@ -424,6 +424,45 @@ def q_events_moving_avg(spark, sf_dir):
 
 
 @_spec(
+    "events_series_moving_avg",
+    "per-SERIES rolling mean (ROWS BETWEEN 4 PRECEDING AND CURRENT) "
+    "where the series key is LOW-cardinality — the window spelling "
+    "would funnel each event_type's entire history through one "
+    "reducer, so the engine runs it block-partitioned with a p-row "
+    "halo (functions/timeseries.moving_window_agg: exact global rank "
+    "via range_partitioned_rank, rank-block assignment, the last p "
+    "rows of each block copied into the next, frame window within "
+    "(series, block), halo rows dropped) — row-for-row equal to the "
+    "window spelling, which the oracle keeps",
+    """SELECT event_id, event_type, value,
+              CAST(sum(value::DECIMAL(18,6))
+                   OVER (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS mov_avg
+       FROM events""",
+)
+def q_events_series_moving_avg(spark, sf_dir):
+    from ..functions.timeseries import moving_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = moving_window_agg(
+        ev.select("event_id", "event_type", "ts", "value"),
+        ["event_type"], ["ts", "event_id"],
+        {
+            "__s": F.sum(_dec(F.col("value"), 18, 6)),
+            "__c": F.count(F.lit(1)),
+        },
+        preceding=4,
+    )
+    return out.select(
+        "event_id", "event_type", "value",
+        (F.col("__s").cast("double") / F.col("__c")).alias("mov_avg"),
+    )
+
+
+@_spec(
     "events_pivot_counts",
     "per-user event-type pivot (fixed value list -> deterministic columns; "
     "one shuffle, conditional counts)",

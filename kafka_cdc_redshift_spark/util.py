@@ -90,9 +90,19 @@ def range_partitioned_rank(
         n_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(
-        n_partitions, *part_cols, *order_cols
-    ).withColumn("__pid", F.spark_partition_id())
+    # The pid-stamped frame feeds TWO consumers (the offset census and
+    # the ranked output). They MUST observe the identical partitioning:
+    # without a materialization barrier each consumer re-executes the
+    # range exchange independently, and on multi-split inputs the range
+    # sampler can land different boundaries per execution — the census
+    # offsets then describe a different partitioning than the ranks
+    # they're added to (observed on the events table: systematically
+    # shifted ranks). localCheckpoint pins ONE partitioning for both.
+    part = (
+        df.repartitionByRange(n_partitions, *part_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     census = part.groupBy("__pid", *part_cols).agg(
         F.count(F.lit(1)).alias("__cnt")
     )

@@ -1,0 +1,86 @@
+"""functions/timeseries.moving_window_agg: block-partitioned moving
+frames with a p-row halo must equal the single-window spelling
+row-for-row, across halo-heavy block sizes, and must never key a
+corpus-sized window by the bare low-cardinality series."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_cdc_redshift_spark.functions.timeseries import moving_window_agg
+
+
+def _aggs():
+    return {
+        "mv_sum": F.sum("v"),
+        "mv_n": F.count(F.lit(1)),
+        "mv_min": F.min("v"),
+    }
+
+
+@pytest.mark.parametrize("p,b", [(4, 8), (0, 16), (7, 8), (3, 64)])
+def test_moving_window_agg_equals_plain_window(spark, p, b):
+    rows = [(f"s{i % 3}", i * 7 % 101, float(i % 17)) for i in range(500)]
+    df = spark.createDataFrame(rows, "series string, t int, v double")
+    got = moving_window_agg(
+        df, ["series"], ["t", "v"], _aggs(), preceding=p, block=b
+    )
+    w = Window.partitionBy("series").orderBy("t", "v").rowsBetween(-p, 0)
+    want = df.select(
+        "*",
+        F.sum("v").over(w).alias("mv_sum"),
+        F.count(F.lit(1)).over(w).alias("mv_n"),
+        F.min("v").over(w).alias("mv_min"),
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_moving_window_agg_rejects_halo_deeper_than_block(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], "series string, t int, v double")
+    with pytest.raises(ValueError, match="preceding"):
+        moving_window_agg(
+            df, ["series"], ["t", "v"], _aggs(), preceding=8, block=8
+        )
+
+
+def test_moving_window_agg_plan_is_block_keyed(spark, sf_dir):
+    """Every frame window over the corpus partitions by (series, block),
+    never the bare series — the per-series single-reducer shape."""
+    import re
+
+    from kafka_cdc_redshift_spark.plans import SPECS
+
+    plan = (
+        SPECS["events_series_moving_avg"].spark(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "event_type" in spec and "__rnk" in spec:
+            assert "__blk" in spec.split("event_type")[1] or \
+                "__blk" in spec.split("event_type")[0]
+
+
+def test_range_partitioned_rank_multi_split_input(spark, sf_dir):
+    """Regression: the rank helper's census and ranked output must
+    observe the SAME range partitioning. Without the materialization
+    barrier, a multi-split input (the events scan) can sample different
+    range boundaries per consumer execution — offsets then describe a
+    different partitioning than the ranks they are added to, and most
+    ranks come out shifted."""
+    from kafka_cdc_redshift_spark.plans.catalog import load_table
+    from kafka_cdc_redshift_spark.util import range_partitioned_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    r = range_partitioned_rank(
+        ev, ["event_type"], ["ts", "event_id"], rank_col="rnk", n_col="n"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    truth = ev.withColumn("true_rnk", F.row_number().over(w))
+    j = r.join(truth, ["event_id", "event_type", "ts"])
+    assert j.filter(F.col("rnk") != F.col("true_rnk")).count() == 0
+    assert j.count() == ev.count()
