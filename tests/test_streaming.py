@@ -830,3 +830,22 @@ def test_current_state_stats_stream_tracks_updates_and_deletes(
         for r in store.read(spark, "orders_state_qsketch").collect()
     }
     assert got_q == want_q
+
+    # replay guard: signed folds are NOT idempotent, so re-applying the
+    # churn batch under its committed id must be a no-op for ALL three
+    # current-state tables (a double-fold would double-retract)
+    last_bid = store.last_batch_id("orders_state_stats")
+    assert last_bid is not None
+    churn = topic.filter(~F.col("value").contains('"op":"c"'))
+    proc.process_batch(churn, last_bid)
+    assert sorted(map(tuple, store.read(spark, "orders_state_stats")
+                      .select("o_orderpriority", "n", "sum", "sumsq")
+                      .collect())) == got
+    assert {
+        r.o_orderpriority: list(r.cms)
+        for r in store.read(spark, "orders_state_cms").collect()
+    } == want_cms
+    assert {
+        r.o_orderpriority: [(e.b, e.n) for e in r.qsketch]
+        for r in store.read(spark, "orders_state_qsketch").collect()
+    } == want_q
