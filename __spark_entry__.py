@@ -48,63 +48,65 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 8 priority: brand-new r8 queries first (prepended as they
-    # land), then the 38 queries whose newest green driver row is
-    # r5-era — they hit the VERDICT's 2-round staleness limit this
-    # round, so the ~50-row cap must not squeeze them out. Everything
-    # after this list is ordered stalest-driver-row-first (see
-    # _stale_first), which rotates r6-era rows into the remaining
-    # slots (those 49 hit the limit at r9).
-    # -- brand-new / plan-changed r8 queries --
-    "cdc_phrase_tombstones",  # brand-new (streamed positional postings)
-    "sim_hybrid_served",  # brand-new (state-backed BM25+PQ serving fusion)
-    "cdc_cms_current",  # brand-new (retractable Count-Min current state)
-    "cdc_qsketch_current",  # brand-new (retractable quantile histogram)
-    "cdc_containment_tombstones",  # brand-new (served containment dedup)
-    "cdc_semdedup_tombstones",  # brand-new (served semantic dedup)
-    "cdc_stats_current",  # r7 row, plan changed (one-pass signed images)
-    "sim_eval_metrics",  # brand-new (recall@k / MRR ranking evaluation)
-    "events_series_moving_avg",  # brand-new (halo-blocked series frames)
-    "doc_ccnet_buckets",  # r7 row, plan changed (broadcast tier thresholds)
-    # -- the 38 r5-era rows (2-round staleness limit at r8) --
-    "doc_chunks",
-    "doc_contamination",
-    "doc_len_quantiles",
-    "doc_sample_k_per_source",
-    "emb_kmeans",
-    "emb_normalize",
-    "emb_quantize",
-    "events_gapfill_locf",
-    "events_moving_avg",
-    "events_pivot_counts",
-    "events_sliding_rollup",
-    "events_value_deciles",
-    "events_value_hour_corr",
-    "events_value_percentiles",
-    "events_winsorize_bounds",
-    "multimodal_feature_extract",
-    "orders_cube",
-    "profile_documents",
-    "q12_late_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "sim_lsh_bucket",
-    "text_curation_pipeline",
-    "text_fingerprint",
-    "text_langid",
-    "text_pretoken_stats",
-    "text_quality",
-    "text_repeated_spans",
-    "text_token_stats",
-    "text_winnow_pairs",
-    "top_customers_per_segment",
+    # round 9 priority: this is a freshness-protection round by
+    # arithmetic — the 47 queries whose newest green driver row is
+    # r6-era hit the VERDICT's 2-round staleness limit at r9 and
+    # consume nearly the whole ~50-row cap. They go first, then the
+    # round's plan-changed / brand-new rows fill the remaining slots.
+    # Everything after this list is ordered stalest-driver-row-first
+    # (see _stale_first).
+    # -- the 47 r6-era rows (2-round staleness limit at r9) --
+    "cdc_delete_stream",
+    "cdc_merge_skip_delete",
+    "cdc_pipeline_debezium",
+    "cdc_pipeline_dms",
+    "cdc_pipeline_mongo",
+    "cdc_safe_cast",
+    "cdc_schema_evolution",
+    "cdc_typeconv",
+    "corpus_group_stats",
+    "corpus_stats_incremental",
+    "curation_pipeline_v3",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_lsh_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_contamination_bloom",
+    "doc_decontaminate",
+    "doc_dsir_weights",
+    "doc_importance_resample",
+    "events_grouping_sets",
+    "events_kmv_sample_audit",
+    "events_quantile_sketch_audit",
+    "events_topk_cms_audit",
+    "q20_excess_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_hybrid_rrf",
+    "sim_ivf_recall",
+    "sim_pair_hist",
+    "sim_pq_rerank",
+    "text_bm25_topk",
+    "text_collocations",
+    "text_commonness",
+    "text_gopher_filters",
+    "text_kneser_ney",
+    "text_ngram_counts",
+    "text_phrase_match",
+    "text_pii_redact",
+    "text_repetition",
+    "text_vocab_growth",
+    # -- plan-changed / brand-new r9 rows (the <=3 budget) --
+    "emb_kmeans",  # plan changed: map-side cell_size (groupBy+broadcast)
+    "events_series_moving_avg",  # plan changed: boundary-explicit rank substrate
+    "sim_rrf_three_way_served",  # brand-new: standing-state 3-way RRF fusion
 ]
 
 
