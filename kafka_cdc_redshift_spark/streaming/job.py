@@ -539,11 +539,34 @@ class CdcBatchProcessor:
                     merge_group_stats_cdc,
                 )
 
+                # Each state table is batch-id-guarded INDEPENDENTLY and at
+                # the SAME nesting level: a retry of a batch that crashed
+                # after the stats publish but before the cms/qsketch
+                # publishes must still fold this batch's signed delta into
+                # the tables that missed it. Nesting the sketch guards
+                # inside the stats guard would skip them forever once the
+                # stats table shows the batch as committed (the contract
+                # AnnIngest.process_batch keeps for its codes table).
                 cstable = f"{rule.target_name}_state_stats"
-                if (
-                    batch_id is None
-                    or self.store.last_batch_id(cstable) != batch_id
-                ):
+                cmtable = (
+                    f"{rule.target_name}_state_cms"
+                    if rule.stats_topk_column else None
+                )
+                cqtable = (
+                    f"{rule.target_name}_state_qsketch"
+                    if rule.stats_quantile_column else None
+                )
+
+                def _needs(table: str | None) -> bool:
+                    return table is not None and (
+                        batch_id is None
+                        or self.store.last_batch_id(table) != batch_id
+                    )
+
+                need_cs = _needs(cstable)
+                need_cm = _needs(cmtable)
+                need_cq = _needs(cqtable)
+                if need_cs or need_cm or need_cq:
                     schema = self.payload_schemas.get(rule.target_name)
                     if schema is None:
                         schema = infer_payload_schema(
@@ -560,53 +583,46 @@ class CdcBatchProcessor:
                         # value itself, and conversions applied to the
                         # FLAT columns but not the nested before image
                         # would break the retract/assert symmetry
-                        delta = group_stats_cdc(
-                            withb,
-                            list(rule.stats_group_columns),
-                            rule.stats_value_column,
-                        )
-                        prev_cs = self.store.read(self.spark, cstable)
-                        self.store.publish(
-                            merge_group_stats_cdc(
-                                prev_cs, delta,
+                        if need_cs:
+                            delta = group_stats_cdc(
+                                withb,
                                 list(rule.stats_group_columns),
-                            ),
-                            cstable, batch_id=batch_id,
-                        )
-                        if rule.stats_topk_column:
+                                rule.stats_value_column,
+                            )
+                            prev_cs = self.store.read(self.spark, cstable)
+                            self.store.publish(
+                                merge_group_stats_cdc(
+                                    prev_cs, delta,
+                                    list(rule.stats_group_columns),
+                                ),
+                                cstable, batch_id=batch_id,
+                            )
+                        if need_cm:
                             # current-state heavy hitters: CMS counters
                             # are sums, and sums retract — the signed
                             # twin of the <table>_cms event sketch,
                             # riding the same before-image parse.
-                            # Separately batch-id-guarded (its publish
-                            # can land apart from the stats' on retry).
                             from ..functions.incremental import (
                                 group_freq_sketch_cdc,
                                 merge_freq_sketches_cdc,
                             )
 
-                            cmtable = f"{rule.target_name}_state_cms"
-                            if (
-                                batch_id is None
-                                or self.store.last_batch_id(cmtable)
-                                != batch_id
-                            ):
-                                cdelta = group_freq_sketch_cdc(
-                                    withb,
+                            cdelta = group_freq_sketch_cdc(
+                                withb,
+                                list(rule.stats_group_columns),
+                                rule.stats_topk_column,
+                            )
+                            prev_cm = self.store.read(
+                                self.spark, cmtable
+                            )
+                            self.store.publish(
+                                merge_freq_sketches_cdc(
+                                    prev_cm, cdelta,
                                     list(rule.stats_group_columns),
-                                    rule.stats_topk_column,
-                                )
-                                prev_cm = self.store.read(
-                                    self.spark, cmtable
-                                )
-                                self.store.publish(
-                                    merge_freq_sketches_cdc(
-                                        prev_cm, cdelta,
-                                        list(rule.stats_group_columns),
-                                    ),
-                                    cmtable, batch_id=batch_id,
-                                )
-                        if rule.stats_quantile_column:
+                                ),
+                                cmtable, batch_id=batch_id,
+                            )
+                        if need_cq:
                             # current-state quantile histogram: bucket
                             # counts are sums too, so the same signed
                             # fold keeps read-time quantile estimates
@@ -616,27 +632,21 @@ class CdcBatchProcessor:
                                 merge_quantile_sketches_cdc,
                             )
 
-                            cqtable = f"{rule.target_name}_state_qsketch"
-                            if (
-                                batch_id is None
-                                or self.store.last_batch_id(cqtable)
-                                != batch_id
-                            ):
-                                qdelta = group_quantile_sketch_cdc(
-                                    withb,
+                            qdelta = group_quantile_sketch_cdc(
+                                withb,
+                                list(rule.stats_group_columns),
+                                rule.stats_quantile_column,
+                            )
+                            prev_cq = self.store.read(
+                                self.spark, cqtable
+                            )
+                            self.store.publish(
+                                merge_quantile_sketches_cdc(
+                                    prev_cq, qdelta,
                                     list(rule.stats_group_columns),
-                                    rule.stats_quantile_column,
-                                )
-                                prev_cq = self.store.read(
-                                    self.spark, cqtable
-                                )
-                                self.store.publish(
-                                    merge_quantile_sketches_cdc(
-                                        prev_cq, qdelta,
-                                        list(rule.stats_group_columns),
-                                    ),
-                                    cqtable, batch_id=batch_id,
-                                )
+                                ),
+                                cqtable, batch_id=batch_id,
+                            )
             if rule.stats_group_columns and rule.stats_distinct_column:
                 # mergeable HLL distinct-count maintenance: the census
                 # column algebraic parts can't carry. The register union

@@ -849,3 +849,113 @@ def test_current_state_stats_stream_tracks_updates_and_deletes(
         r.o_orderpriority: [(e.b, e.n) for e in r.qsketch]
         for r in store.read(spark, "orders_state_qsketch").collect()
     } == want_q
+
+
+def test_state_sketch_guards_survive_partial_commit_retry(
+    spark, sf_dir, tmp_path
+):
+    """A batch that crashes AFTER the <table>_state_stats publish but
+    BEFORE the _state_cms/_state_qsketch publishes is re-delivered by the
+    checkpoint; the stats table's guard then says "committed", but the
+    sketch tables must still fold the batch's signed delta — each state
+    table is independently batch-id-guarded at the same nesting level
+    (a nested guard would skip them forever: silent divergence)."""
+    from kafka_cdc_redshift_spark.functions.incremental import (
+        group_freq_sketch,
+        group_quantile_sketch,
+    )
+    from kafka_cdc_redshift_spark.sources.envelopes import (
+        synth_debezium_before_topic,
+    )
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    rules = [
+        SyncRule(
+            db="salesdb", table="orders", primary_key=("o_orderkey",),
+            stats_group_columns=("o_orderpriority",),
+            stats_value_column="o_totalprice",
+            stats_topk_column="o_custkey",
+            stats_quantile_column="o_totalprice",
+            stats_current_state=True,
+        )
+    ]
+    proc = CdcBatchProcessor(
+        spark, rules, store,
+        payload_schemas={"orders": load_table(spark, sf_dir, "orders").schema},
+    )
+    topic = synth_debezium_before_topic(spark, sf_dir)
+    inserts = topic.filter(F.col("value").contains('"op":"c"'))
+    churn = topic.filter(~F.col("value").contains('"op":"c"'))
+    proc.process_batch(inserts, 1)
+
+    # inject the crash: first publish aimed at the CMS table dies, so
+    # batch 2 lands in _state_stats but in neither sketch table
+    orig_publish = store.publish
+    armed = {"on": True}
+
+    def flaky_publish(df, table, *a, **kw):
+        if armed["on"] and table == "orders_state_cms":
+            armed["on"] = False
+            raise RuntimeError("injected crash")
+        return orig_publish(df, table, *a, **kw)
+
+    store.publish = flaky_publish
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc.process_batch(churn, 2)
+    store.publish = orig_publish
+    assert store.last_batch_id("orders_state_stats") == 2
+    assert store.last_batch_id("orders_state_cms") != 2
+    assert store.last_batch_id("orders_state_qsketch") != 2
+
+    # the checkpoint retry re-delivers batch 2 under the same id: the
+    # sketches fold it, the stats table (already committed) must not
+    # double-fold
+    proc.process_batch(churn, 2)
+
+    orders = load_table(spark, sf_dir, "orders")
+    live = orders.filter(F.col("o_orderkey") % 7 != 0)
+    want_cms = {
+        r.o_orderpriority: list(r.cms)
+        for r in group_freq_sketch(
+            live.select("o_orderpriority", "o_custkey"),
+            ["o_orderpriority"], "o_custkey",
+        ).collect()
+    }
+    got_cms = {
+        r.o_orderpriority: list(r.cms)
+        for r in store.read(spark, "orders_state_cms").collect()
+    }
+    assert got_cms == want_cms
+
+    live_q = live.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.col("o_totalprice") * F.lit(1.1))
+        .otherwise(F.col("o_totalprice")).alias("v"),
+    )
+    want_q = {
+        r.o_orderpriority: [(e.b, e.n) for e in r.qsketch]
+        for r in group_quantile_sketch(
+            live_q, ["o_orderpriority"], "v"
+        ).collect()
+    }
+    got_q = {
+        r.o_orderpriority: [(e.b, e.n) for e in r.qsketch]
+        for r in store.read(spark, "orders_state_qsketch").collect()
+    }
+    assert got_q == want_q
+
+    want_stats = sorted(map(tuple, live.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.col("o_totalprice") * F.lit(1.1))
+        .otherwise(F.col("o_totalprice")).cast("long").alias("v"),
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum"),
+        F.sum(F.col("v") * F.col("v")).alias("sumsq"),
+    ).collect()))
+    got_stats = sorted(map(tuple, store.read(spark, "orders_state_stats")
+                           .select("o_orderpriority", "n", "sum", "sumsq")
+                           .collect()))
+    assert got_stats == want_stats and got_stats
