@@ -119,13 +119,15 @@ def kmeans(
     """
     centroids = _lloyd(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     final = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
-    from pyspark.sql import Window
-
-    return final.select(
-        F.col(id_col),
-        "cell",
-        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("cell_size"),
-    )
+    # cell_size via a k-row groupBy broadcast-joined back, NOT
+    # count(*) OVER (PARTITION BY cell): `cell` has cardinality k over a
+    # corpus-sized relation, so the window spelling funnels every
+    # cluster's full membership through one task at scale. The groupBy
+    # is map-side-combined and its k-row result broadcasts for free.
+    sizes = final.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_size"))
+    return final.select(F.col(id_col), "cell").join(
+        F.broadcast(sizes), "cell", "left"
+    ).select(F.col(id_col), "cell", "cell_size")
 
 
 def kmeans_centroids(

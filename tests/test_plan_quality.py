@@ -356,3 +356,16 @@ def test_topk_per_group_window_has_group_limit(spark, sf_dir):
     ASSIGNMENTS (ntile, quantile ranks) need range_partitioned_rank."""
     plan = plan_of(spark, sf_dir, "top_customers_per_segment")
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+
+
+def test_kmeans_cell_size_is_map_side(spark, sf_dir):
+    """kmeans' cell_size must come from a k-row groupBy broadcast-joined
+    back, NOT count(*) OVER (PARTITION BY cell): `cell` is a
+    k-cardinality key over the corpus-sized assignment, so the window
+    spelling funnels each cluster's entire membership through one task
+    at 100x (the ccnet_buckets lesson, minus the ORDER BY that made it
+    visible there)."""
+    plan = plan_of(spark, sf_dir, "emb_kmeans")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
