@@ -54,6 +54,46 @@ def _estimated_partitions(df: DataFrame) -> float:
         return float(df.rdd.getNumPartitions())
 
 
+def _sampled_range_bounds(
+    df: DataFrame,
+    keys: list[str],
+    n_partitions: int,
+    *,
+    sample_per_partition: int = 20,
+) -> list[tuple]:
+    """Sample the key space ONCE and return up to n_partitions-1 boundary
+    tuples, used as LITERALS by every downstream consumer — determinism
+    by construction, with no materialization barrier. The sample is a
+    distributed top-S by key hash (TakeOrdered: per-partition top-S +
+    driver merge, never a full sort), so cost is one column-pruned scan
+    and S ~ P*20 driver rows. Tuples containing NULL are excluded: a
+    NULL field makes the struct comparison NULL (bucketing the row into
+    partition 0), so NULL-keyed boundaries would bucket inconsistently
+    with the NULLS FIRST order the rank replays."""
+    from pyspark.sql import functions as F
+
+    if n_partitions <= 1:
+        return []
+    s = max(n_partitions * sample_per_partition, 64)
+    sampled = (
+        df.select(*keys)
+        .na.drop("any")
+        .orderBy(F.xxhash64(*keys))
+        .limit(s)
+        .collect()
+    )
+    vals = sorted({tuple(r) for r in sampled})
+    if not vals:
+        return []
+    step = len(vals) / n_partitions
+    bounds: list[tuple] = []
+    for i in range(1, n_partitions):
+        b = vals[min(int(i * step), len(vals) - 1)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
 def range_partitioned_rank(
     df: DataFrame,
     part_cols: list[str],
@@ -67,21 +107,31 @@ def range_partitioned_rank(
     sort — the scale-safe replacement for
     `row_number() OVER (PARTITION BY low_cardinality_key ORDER BY ...)`:
 
-      1. repartitionByRange on the FULL key (part_cols + order_cols) —
-         each group spreads across many partitions, in key order;
-      2. a tiny (partitions x groups)-row census gives every
-         (pid, group) slice its global offset and each group its total
-         `n_col` — both via windows over the CENSUS, broadcast back;
+      1. sample the FULL key (part_cols + order_cols) once and stamp
+         each row's range-bucket id `__pid` from EXPLICIT boundary
+         literals (struct comparisons) — each group spreads across many
+         buckets, in key order, and the bucket id is a deterministic
+         function of the ROW, so every consumer observes the identical
+         partitioning with no materialization barrier (the old
+         spark_partition_id + localCheckpoint spelling materialized the
+         whole corpus to executor storage just to pin the sampler);
+      2. a tiny (buckets x groups)-row census gives every (pid, group)
+         slice its global offset and each group its total `n_col` —
+         both via windows over the CENSUS, broadcast back (null-safe
+         join: NULL group keys form a normal window partition);
       3. per-row `rank_col` = offset + row_number within (pid, group) —
          a fine-grained window key, each task sorts ~n/P rows.
 
-    Rank exactness does not depend on where the range boundaries land
-    (sampling or AQE coalescing only move rows between tasks), so the
-    result is deterministic and equals the single-window spelling
-    row-for-row. The order key must be a total order (append a unique
-    id as the last order column). Output: df's columns + rank_col +
-    n_col, with the internal pid/offset columns dropped.
+    Rank exactness does not depend on where the sampled boundaries land
+    (they only move rows between tasks), so the result is deterministic
+    and equals the single-window spelling row-for-row. Rows with a NULL
+    key field land in bucket 0, matching their NULLS FIRST rank order.
+    The order key must be a total order (append a unique id as the last
+    order column). Output: df's columns + rank_col + n_col, with the
+    internal pid/offset columns dropped.
     """
+    from functools import reduce
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -90,19 +140,23 @@ def range_partitioned_rank(
         n_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    # The pid-stamped frame feeds TWO consumers (the offset census and
-    # the ranked output). They MUST observe the identical partitioning:
-    # without a materialization barrier each consumer re-executes the
-    # range exchange independently, and on multi-split inputs the range
-    # sampler can land different boundaries per execution — the census
-    # offsets then describe a different partitioning than the ranks
-    # they're added to (observed on the events table: systematically
-    # shifted ranks). localCheckpoint pins ONE partitioning for both.
-    part = (
-        df.repartitionByRange(n_partitions, *part_cols, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    keys = [*part_cols, *order_cols]
+    bounds = _sampled_range_bounds(df, keys, n_partitions)
+    key_struct = F.struct(*[F.col(c) for c in keys])
+    types = {c: df.schema[c].dataType for c in keys}
+    pid = reduce(
+        lambda acc, b: acc
+        + F.when(
+            key_struct
+            > F.struct(
+                *[F.lit(v).cast(types[c]) for c, v in zip(keys, b)]
+            ),
+            1,
+        ).otherwise(0),
+        bounds,
+        F.lit(0),
     )
+    part = df.withColumn("__pid", pid)
     census = part.groupBy("__pid", *part_cols).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
@@ -117,15 +171,26 @@ def range_partitioned_rank(
         *part_cols,
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__cnt").over(w_n).alias(n_col),
+    ).select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(c).alias(f"__ok{i}") for i, c in enumerate(part_cols)],
+        "__off",
+        n_col,
     )
+    cond = F.col("__pid") == F.col("__opid")
+    for i, c in enumerate(part_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__ok{i}"))
     w_rank = Window.partitionBy("__pid", *part_cols).orderBy(
         *[F.asc(c) for c in order_cols]
     )
     return (
         part.withColumn("__rn", F.row_number().over(w_rank))
-        .join(F.broadcast(offsets), ["__pid", *part_cols])
+        .join(F.broadcast(offsets), cond)
         .withColumn(rank_col, F.col("__off") + F.col("__rn"))
-        .drop("__pid", "__rn", "__off")
+        .drop(
+            "__pid", "__rn", "__off", "__opid",
+            *[f"__ok{i}" for i in range(len(part_cols))],
+        )
     )
 
 

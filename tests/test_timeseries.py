@@ -84,3 +84,47 @@ def test_range_partitioned_rank_multi_split_input(spark, sf_dir):
     j = r.join(truth, ["event_id", "event_type", "ts"])
     assert j.filter(F.col("rnk") != F.col("true_rnk")).count() == 0
     assert j.count() == ev.count()
+
+
+def test_range_partitioned_rank_null_partition_keys(spark):
+    """Regression (r9 advisor): NULL is a normal window partition, so a
+    NULL partition-key row must neither vanish through the offsets join
+    (null-unsafe equi-join) nor rank apart from the window spelling.
+    NULL order values must also keep their NULLS FIRST position."""
+    from kafka_cdc_redshift_spark.util import range_partitioned_rank
+
+    rows = [
+        (None, 5, 1), (None, 3, 2), ("a", None, 3), ("a", 1, 4),
+        ("a", 9, 5), ("b", 2, 6), (None, None, 7), ("b", 2, 8),
+    ]
+    df = spark.createDataFrame(rows, "k string, v int, id int")
+    r = range_partitioned_rank(df, ["k"], ["v", "id"],
+                               rank_col="rnk", n_col="n")
+    assert r.count() == len(rows)  # nothing dropped
+    w = Window.partitionBy("k").orderBy("v", "id")
+    truth = df.withColumn("true_rnk", F.row_number().over(w))
+    j = r.join(truth, ["id"])
+    assert j.filter(F.col("rnk") != F.col("true_rnk")).count() == 0
+    # and each group's n is its true size (NULL group included)
+    got_n = {r_.k: r_.n for r_ in r.select("k", "n").distinct().collect()}
+    assert got_n == {None: 3, "a": 3, "b": 2}
+
+
+def test_range_partitioned_rank_no_corpus_checkpoint(spark, sf_dir):
+    """The boundary-explicit spelling derives the bucket id from the ROW
+    against sampled literal boundaries, so determinism needs no
+    materialization barrier: the plan must contain no checkpointed RDD
+    scan (the old spelling localCheckpoint'ed the whole corpus per rank
+    call) and no Python batches."""
+    from kafka_cdc_redshift_spark.plans.catalog import load_table
+    from kafka_cdc_redshift_spark.util import range_partitioned_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    r = range_partitioned_rank(
+        ev, ["event_type"], ["ts", "event_id"], rank_col="rnk", n_col="n"
+    )
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan
+    assert "BatchEvalPython" not in plan
