@@ -248,14 +248,21 @@ class DedupIngest:
         pair at its own seq)."""
         if pairs is None or tombs is None:
             return pairs
+        from .tombstones import tombs_fit_broadcast
+
         tmax = tombs.groupBy("doc_id").agg(F.max(SEQ_COL).alias("__ds"))
+        # churn-sized by construction (see tombstones.resolve): pin the
+        # broadcast so the serving plan never degrades to a corpus-wide
+        # shuffle on AQE's stats estimate — but size-gated, so a
+        # deployment whose fold cadence lets churn accumulate falls
+        # back to the shuffle join instead of a broadcast OOM
+        pin = tombs_fit_broadcast(tombs)
         for side in ("doc_a", "doc_b"):
-            # churn-sized by construction (see tombstones.resolve):
-            # pin the broadcast so the serving plan never degrades to
-            # a corpus-wide shuffle on AQE's stats estimate
-            t = F.broadcast(tmax.select(
+            t = tmax.select(
                 F.col("doc_id").alias(side), F.col("__ds").alias(f"__ds_{side}")
-            ))
+            )
+            if pin:
+                t = F.broadcast(t)
             pairs = pairs.join(t, side, "left").filter(
                 F.col(f"__ds_{side}").isNull()
                 | (F.col(SEQ_COL) >= F.col(f"__ds_{side}"))

@@ -141,6 +141,23 @@ class RetrievalIngest:
         if self.log.has_batch(self.stats_table, batch_id):
             return
         spark = batch_df.sparkSession
+        # Refuse a positions toggle against a standing index: mixing
+        # with/without-positions segments in one tf table gives the
+        # AppendLog's multi-path scan a nondeterministic schema (no
+        # mergeSchema), so earlier docs either lose the positions
+        # column or explode to nothing — silently invisible to
+        # phrase_match while staying BM25-visible. Same no-swap
+        # contract as AnnIngest's centroid check: rebuild fresh.
+        existing = self.log.read(spark, self.tf_table)
+        if existing is not None:
+            had = "positions" in existing.columns
+            if had != self.positions:
+                raise ValueError(
+                    f"index {self.name!r} was built with positions="
+                    f"{had}; re-opening it with positions="
+                    f"{self.positions} would mix posting schemas — "
+                    "build a fresh index to change the layout"
+                )
         build = positional_postings if self.positions else term_freqs
         tf = stamp_seq(
             build(batch_df, id_col=self.id_col, text_col=self.text_col),

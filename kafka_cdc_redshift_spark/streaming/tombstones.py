@@ -67,28 +67,61 @@ def tombstone_rows(keys: DataFrame, id_col: str, batch_id) -> DataFrame:
     ).distinct()
 
 
+def tombs_fit_broadcast(tombs: DataFrame, *, headroom: int = 4) -> bool:
+    """Driver-side (no job) gate for broadcast-pinning a tombstone
+    relation: the optimizer's size estimate must fit within `headroom`×
+    the session's autoBroadcastJoinThreshold. Between maintenance folds
+    tombstones are churn-sized and always pass; a deployment whose fold
+    cadence lets churn accumulate degrades to a shuffle join instead of
+    a broadcast OOM. Unknown/invalid stats default to broadcast (the
+    historical pinned behavior)."""
+    try:
+        jqe = tombs._jdf.queryExecution()
+        raw = jqe.optimizedPlan().stats().sizeInBytes()
+        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+        conf = tombs.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        thresh = int(str(conf).lower().rstrip("b"))
+        if thresh <= 0:  # auto-broadcast disabled: honor it
+            return False
+        if size >= 1 << 60:
+            # stats sentinel (Long.MaxValue-ish): size UNKNOWN — e.g. a
+            # local-relation fixture — keep the historical pin; real
+            # accumulation lives in file-backed state with real stats
+            return True
+        return size <= thresh * headroom
+    except Exception:  # noqa: BLE001 - connect/other backends
+        return True
+
+
 def resolve(
     state: DataFrame | None,
     tombs: DataFrame | None,
     id_col: str,
     *,
-    broadcast_tombs: bool = True,
+    broadcast_tombs: bool | None = None,
 ) -> DataFrame | None:
     """The live rows of `state` under `tombs`: a row survives iff no
     tombstone for its id has seq > the row's seq. One combinable max-agg
     over the (churn-sized) tombstones, then a left join against the
     state side.
 
-    The tombstone side is explicitly broadcast-pinned by default:
+    The tombstone side is broadcast-pinned whenever it plausibly fits:
     between maintenance folds it is bounded by churn-since-last-fold
     (truncate_after_fold), never corpus size, so the serving read's
     plan should not HOPE AQE notices — the same reasoning as
-    lm_surprisal_flags(broadcast_lm=True). Pass False for a deployment
-    whose fold cadence lets tombstones outgrow executor memory; the
-    state side then co-locates when bucketed by id."""
+    lm_surprisal_flags(broadcast_lm=True). `broadcast_tombs=None`
+    (default) gates the pin on the optimizer's size estimate
+    (tombs_fit_broadcast), so accumulated churn degrades to a shuffle
+    join rather than a broadcast OOM; True pins unconditionally, False
+    forces the shuffle (the state side then co-locates when bucketed
+    by id)."""
     if state is None or tombs is None:
         return state
     tmax = tombs.groupBy(id_col).agg(F.max(SEQ_COL).alias("__dead_seq"))
+    if broadcast_tombs is None:
+        broadcast_tombs = tombs_fit_broadcast(tombs)
     if broadcast_tombs:
         tmax = F.broadcast(tmax)
     return (
@@ -137,12 +170,17 @@ class TombstoneSet:
         return self.log.read(spark, self.table)
 
     def resolve(
-        self, spark: SparkSession, state: DataFrame | None
+        self, spark: SparkSession, state: DataFrame | None, *,
+        broadcast_tombs: bool | None = None,
     ) -> DataFrame | None:
-        return resolve(state, self.read(spark), self.id_col)
+        return resolve(
+            state, self.read(spark), self.id_col,
+            broadcast_tombs=broadcast_tombs,
+        )
 
     def resolve_frozen(
-        self, spark: SparkSession, state: DataFrame | None, batch_id
+        self, spark: SparkSession, state: DataFrame | None, batch_id, *,
+        broadcast_tombs: bool | None = None,
     ) -> DataFrame | None:
         """Live rows as of the START of `batch_id` — both the state and
         the tombstones are frozen to seq < batch_id, so a retried batch
@@ -151,6 +189,7 @@ class TombstoneSet:
             frozen_before(state, batch_id),
             frozen_before(self.read(spark), batch_id),
             self.id_col,
+            broadcast_tombs=broadcast_tombs,
         )
 
     def is_empty(self, spark: SparkSession) -> bool:

@@ -284,6 +284,41 @@ def test_dedup_pair_resolution_joins_are_broadcast(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_tombstone_broadcast_degrades_to_shuffle_when_oversized(spark):
+    """The broadcast pin is size-gated (r9 advisor): when the tombstone
+    relation's estimate outgrows the broadcast budget — here simulated
+    by disabling autoBroadcastJoinThreshold, which the gate honors —
+    resolve must degrade to a shuffle join instead of OOMing the
+    executors, with no caller changes. An explicit True still pins."""
+    from kafka_cdc_redshift_spark.streaming.tombstones import resolve
+
+    state = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "doc_id long, __seq long"
+    )
+    tombs = spark.createDataFrame([(2, 1)], "doc_id long, __seq long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            resolve(state, tombs, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+        pinned = (
+            resolve(state, tombs, "doc_id", broadcast_tombs=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in pinned
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # default conf: churn-sized tombstones keep the pinned broadcast
+    plan = (
+        resolve(state, tombs, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_retrieval_ingest_serves_phrases_through_churn(spark, docs, tmp_path):
     """positions=True: ONE standing table serves BM25 *and* exact phrase
     queries, both tracking the live corpus through updates/deletes and
@@ -348,6 +383,31 @@ def test_retrieval_ingest_without_positions_rejects_phrase_serving(
     )
     with pytest.raises(ValueError, match="positions"):
         ing.phrase_match(phrases)
+
+
+def test_retrieval_ingest_rejects_positions_toggle_on_standing_index(
+    spark, docs, tmp_path
+):
+    """Toggling positions on an index whose earlier batches used the
+    other layout would mix posting schemas in one tf table (the
+    AppendLog scan has no mergeSchema): earlier docs silently vanish
+    from phrase_match while staying BM25-visible. The ingest must
+    refuse at process_batch, in both directions."""
+    log = AppendLog(str(tmp_path / "state"))
+    ing = RetrievalIngest(log, name="docs")
+    ing.process_batch(docs, 0)
+    flipped = RetrievalIngest(log, name="docs", positions=True)
+    with pytest.raises(ValueError, match="positions"):
+        flipped.process_batch(docs, 1)
+
+    log2 = AppendLog(str(tmp_path / "state2"))
+    ing2 = RetrievalIngest(log2, name="docs", positions=True)
+    ing2.process_batch(docs, 0)
+    flipped2 = RetrievalIngest(log2, name="docs")
+    with pytest.raises(ValueError, match="positions"):
+        flipped2.process_batch(docs, 1)
+    # the matching layout keeps ingesting fine
+    ing2.process_batch(docs.limit(0), 1)
 
 
 def test_dedup_ingest_serves_containment_through_churn(spark, docs, tmp_path):
