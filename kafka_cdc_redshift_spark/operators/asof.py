@@ -33,6 +33,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance: str | None = None,
     suffix: str | None = None,
+    low_cardinality: bool = False,
 ) -> DataFrame:
     """Backward as-of join (left rows kept; unmatched get nulls).
 
@@ -47,6 +48,15 @@ def asof_join(
                  with a left column (like pandas.merge_asof suffixes);
                  None (default) raises on collision instead of emitting an
                  ambiguous duplicate name.
+    low_cardinality : the union+window carry-forward partitions by `on`,
+                 so a handful of hot keys funnels each key's full
+                 timeline through one task. Pass True when `on` is
+                 low-cardinality (a sensor id, an event type) to run the
+                 carry through the two-pass block prefix scan
+                 (functions.timeseries.running_agg) — identical output,
+                 every sort task bounded by ~n/P rows. Leave False for
+                 high-cardinality keys (the default plan is one shuffle
+                 and already balanced).
     """
     on = list(on)
     if right_cols is None:
@@ -84,16 +94,22 @@ def asof_join(
         F.struct(F.col(right_time), *[F.col(c) for c in right_cols]).alias("__r"),
     )
     # right rows sort BEFORE left rows at equal time => ties match (<=)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    joined = (
-        l_tag.unionByName(r_tag)
-        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__is_left") == 1)
-    )
+    tagged = l_tag.unionByName(r_tag)
+    if low_cardinality:
+        from ..functions.timeseries import running_agg
+
+        joined = running_agg(
+            tagged, on, ["__t", "__is_left"], lasts={"__match": "__r"}
+        ).filter(F.col("__is_left") == 1)
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        joined = tagged.withColumn(
+            "__match", F.last("__r", ignorenulls=True).over(w)
+        ).filter(F.col("__is_left") == 1)
     if tolerance is not None:
         too_old = F.col("__match").isNotNull() & (
             F.col(f"__match.{right_time}")

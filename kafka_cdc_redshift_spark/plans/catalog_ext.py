@@ -954,16 +954,20 @@ def q_events_gapfill(spark, sf_dir):
         ).alias("h"),
     )
     j = grid.join(agg, ["event_type", "h"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
+    # LOCF via the two-pass block prefix scan: event_type is
+    # low-cardinality, so the plain carry-forward window would funnel
+    # each series' full grid through one task; running_agg keeps every
+    # sort ~n/P rows (the oracle keeps the window SQL spelling, which
+    # the scan replays row-for-row — the grid's (event_type, h) key is
+    # a total order)
+    from ..functions.timeseries import running_agg
+
+    filled = running_agg(j, ["event_type"], ["h"], lasts={"__locf": "sv"})
+    return filled.select(
         "event_type",
         F.col("h").cast("timestamp_ntz").alias("hour_start"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
-        F.last("sv", ignorenulls=True).over(w).cast("double").alias("sum_value"),
+        F.col("__locf").cast("double").alias("sum_value"),
         F.col("n").isNull().alias("filled"),
     )
 

@@ -94,6 +94,49 @@ def _sampled_range_bounds(
     return bounds
 
 
+def stamp_range_bucket(
+    df: DataFrame,
+    keys: list[str],
+    n_partitions: int | None = None,
+    *,
+    pid_col: str = "__pid",
+) -> DataFrame:
+    """Stamp each row's range-bucket id: the count of sampled boundary
+    tuples (see `_sampled_range_bounds`) strictly below the row's key,
+    as a deterministic EXPRESSION of the row — so any number of
+    downstream consumers (censuses, windows) observe the identical
+    partitioning with no materialization barrier. Bucket ids are
+    monotone in the key's lexicographic order; rows with a NULL key
+    field land in bucket 0, matching their NULLS FIRST sort position.
+    The shared substrate of `range_partitioned_rank` and
+    `functions.timeseries.running_agg`."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    bounds = _sampled_range_bounds(df, keys, n_partitions)
+    key_struct = F.struct(*[F.col(c) for c in keys])
+    types = {c: df.schema[c].dataType for c in keys}
+    pid = reduce(
+        lambda acc, b: acc
+        + F.when(
+            key_struct
+            > F.struct(
+                *[F.lit(v).cast(types[c]) for c, v in zip(keys, b)]
+            ),
+            1,
+        ).otherwise(0),
+        bounds,
+        F.lit(0),
+    )
+    return df.withColumn(pid_col, pid)
+
+
 def range_partitioned_rank(
     df: DataFrame,
     part_cols: list[str],
@@ -130,33 +173,12 @@ def range_partitioned_rank(
     order column). Output: df's columns + rank_col + n_col, with the
     internal pid/offset columns dropped.
     """
-    from functools import reduce
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    spark = df.sparkSession
-    if n_partitions is None:
-        n_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    keys = [*part_cols, *order_cols]
-    bounds = _sampled_range_bounds(df, keys, n_partitions)
-    key_struct = F.struct(*[F.col(c) for c in keys])
-    types = {c: df.schema[c].dataType for c in keys}
-    pid = reduce(
-        lambda acc, b: acc
-        + F.when(
-            key_struct
-            > F.struct(
-                *[F.lit(v).cast(types[c]) for c, v in zip(keys, b)]
-            ),
-            1,
-        ).otherwise(0),
-        bounds,
-        F.lit(0),
+    part = stamp_range_bucket(
+        df, [*part_cols, *order_cols], n_partitions
     )
-    part = df.withColumn("__pid", pid)
     census = part.groupBy("__pid", *part_cols).agg(
         F.count(F.lit(1)).alias("__cnt")
     )

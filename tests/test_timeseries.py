@@ -128,3 +128,137 @@ def test_range_partitioned_rank_no_corpus_checkpoint(spark, sf_dir):
     plan = r._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_running_agg_matches_window_on_multi_split_input(spark, sf_dir):
+    """The two-pass block prefix scan must replay the running-frame
+    window row-for-row on a real multi-split table (the boundary
+    lesson from range_partitioned_rank): running sum AND carry-forward
+    last, including null values (SQL SUM/last_value IGNORE NULLS
+    semantics)."""
+    from kafka_cdc_redshift_spark.functions.timeseries import running_agg
+    from kafka_cdc_redshift_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        # every third value null: exercises the null-prefix edge in
+        # both aggregates; decimal so the sum is associative (a DOUBLE
+        # running sum is reassociated by the block partials — the
+        # documented partial-aggregation caveat)
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.col("value").cast("decimal(18,2)"),
+        ).alias("v"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("vd"),
+    )
+    got = running_agg(
+        ev, ["event_type"], ["ts", "event_id"],
+        sums={"run_sum": "v", "run_sum_dbl": "vd"}, lasts={"run_last": "v"},
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = ev.select(
+        "event_id",
+        F.sum("v").over(w).alias("true_sum"),
+        F.sum("vd").over(w).alias("true_sum_dbl"),
+        F.last("v", ignorenulls=True).over(w).alias("true_last"),
+    )
+    j = got.join(want, "event_id")
+    assert j.count() == ev.count()
+    bad = j.filter(
+        ~F.col("run_sum").eqNullSafe(F.col("true_sum"))
+        | ~F.col("run_last").eqNullSafe(F.col("true_last"))
+    )
+    assert bad.count() == 0
+    # double sums: equal to the sequential fold within float tolerance
+    bad_dbl = j.filter(
+        F.col("run_sum_dbl").isNotNull()
+        & (
+            F.abs(F.col("run_sum_dbl") - F.col("true_sum_dbl"))
+            > F.lit(1e-9) * F.greatest(F.abs("true_sum_dbl"), F.lit(1.0))
+        )
+    )
+    assert bad_dbl.count() == 0
+    assert j.filter(
+        F.col("run_sum_dbl").isNull() != F.col("true_sum_dbl").isNull()
+    ).count() == 0
+
+
+def test_running_agg_null_partition_keys(spark):
+    """NULL series keys form a normal window partition: nothing drops
+    through the offsets join, and the running values match the window
+    spelling."""
+    from kafka_cdc_redshift_spark.functions.timeseries import running_agg
+
+    rows = [
+        (None, 1, 10), (None, 2, None), (None, 3, 5),
+        ("a", 1, None), ("a", 2, 7), ("b", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    got = running_agg(df, ["k"], ["t"], sums={"s": "v"}, lasts={"l": "v"})
+    assert got.count() == len(rows)
+    w = (
+        Window.partitionBy("k").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "k", "t",
+        F.sum("v").over(w).alias("ts"),
+        F.last("v", ignorenulls=True).over(w).alias("tl"),
+    )
+    j = got.alias("g").join(
+        want.alias("w"),
+        F.col("g.k").eqNullSafe(F.col("w.k")) & (F.col("g.t") == F.col("w.t")),
+    )
+    assert j.count() == len(rows)
+    assert j.filter(
+        ~F.col("g.s").eqNullSafe(F.col("w.ts"))
+        | ~F.col("g.l").eqNullSafe(F.col("w.tl"))
+    ).count() == 0
+
+
+def test_asof_join_low_cardinality_matches_default(spark, sf_dir):
+    """asof_join(low_cardinality=True) routes the carry-forward through
+    the block prefix scan — output must equal the union+window default
+    on a low-cardinality key."""
+    from kafka_cdc_redshift_spark.operators.asof import asof_join
+    from kafka_cdc_redshift_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    # right side: one state row per (event_type, hour) — unique key+time
+    # so the match is deterministic in both spellings
+    state = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("state_ts")
+    ).agg(F.count(F.lit(1)).alias("hour_n"))
+    kw = dict(on=["event_type"], left_time="ts", right_time="state_ts")
+    base = asof_join(ev, state, **kw)
+    scan = asof_join(ev, state, low_cardinality=True, **kw)
+    assert base.count() == ev.count() and scan.count() == ev.count()
+    j = base.select(
+        "event_id", F.col("hour_n").alias("base_n")
+    ).join(scan.select("event_id", "hour_n"), "event_id")
+    assert j.filter(~F.col("hour_n").eqNullSafe(F.col("base_n"))).count() == 0
+
+
+def test_gapfill_locf_no_per_series_reducer(spark, sf_dir):
+    """events_gapfill_locf's carry-forward must run block-partitioned:
+    every window over the grid keys (pid, event_type), never event_type
+    alone (the last UNBOUNDED-frame engine path without a scale-safe
+    spelling, VERDICT r8 missing #3)."""
+    import re
+
+    from kafka_cdc_redshift_spark.plans import SPECS
+
+    plan = (
+        SPECS["events_gapfill_locf"].spark(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "event_type" in spec and ("sv" in spec or "__locf" in spec):
+            assert "pid" in spec.split("event_type")[0]
