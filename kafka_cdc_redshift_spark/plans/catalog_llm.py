@@ -2490,6 +2490,113 @@ def q_text_rrf_three_way(spark, sf_dir):
 
 
 @_spec(
+    "sim_rrf_three_way_served",
+    "the 3-way fusion's TRUE production twin: text_rrf_three_way "
+    "re-served entirely from standing streamed state — ONE positional "
+    "index (streaming/retrieval_ingest, positions=True) serves BOTH "
+    "the BM25 leg (topk over the folded corpus constants) AND the "
+    "exact-phrase leg (the stored posting lists explode only for the "
+    "broadcast-pruned query terms), and the PQ code relation "
+    "(streaming/ann_ingest.pq_rerank) serves the dense leg with zero "
+    "per-invocation codebook training or corpus encode. Serving cost "
+    "is query-bounded on all three legs; fusion is |Q| x k x 3 rows. "
+    "The oracle replays all three rankers over the raw corpus plus "
+    "the source-ordered ((0+c0)+c1)+c2 RRF fold bit-for-bit, so a "
+    "stale posting, lost position, or drifted codebook in ANY "
+    "standing table hash-mismatches; the dense leg is PQ ANN (the "
+    "production ranker), not text_rrf_three_way's exact-cosine anchor",
+    f"""WITH lex AS (SELECT q_id, doc_id, rnk
+            FROM ({_bm25_oracle(_HYBRID_QUERIES, k=20)}) bm),
+    ph0 AS (SELECT phrase_id AS q_id, doc_id, n_occurrences
+            FROM ({_phrase_oracle(_HYBRID_QUERIES)}) p),
+    phr AS (SELECT q_id, doc_id, rnk FROM (
+              SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                     ORDER BY n_occurrences DESC, doc_id) AS rnk
+              FROM ph0) t WHERE rnk <= 20),
+    ann AS (SELECT q_id, neighbor_id AS doc_id, rnk
+            FROM ({_pq_rerank_oracle(shortlist=100, k=20, q_mod=100)}) pq),
+    u AS (SELECT q_id, doc_id, 0 AS src, rnk FROM lex
+          UNION ALL SELECT q_id, doc_id, 1 AS src, rnk FROM phr
+          UNION ALL SELECT q_id, doc_id, 2 AS src, rnk FROM ann),
+    piv AS (SELECT q_id, doc_id,
+                   min(CASE WHEN src = 0 THEN rnk END) AS r0,
+                   min(CASE WHEN src = 1 THEN rnk END) AS r1,
+                   min(CASE WHEN src = 2 THEN rnk END) AS r2
+            FROM u GROUP BY 1, 2),
+    sc AS (SELECT q_id, doc_id, r0 AS lex_rnk, r1 AS phrase_rnk,
+                  r2 AS ann_rnk,
+                  (((0.0 + COALESCE(1.0 / (60.0 + CAST(r0 AS DOUBLE)), 0.0))
+                    + COALESCE(1.0 / (60.0 + CAST(r1 AS DOUBLE)), 0.0))
+                   + COALESCE(1.0 / (60.0 + CAST(r2 AS DOUBLE)), 0.0)) AS rrf
+           FROM piv)
+    SELECT q_id, doc_id, lex_rnk, phrase_rnk, ann_rnk, rrf,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY rrf DESC, doc_id) AS rnk FROM sc) t
+    WHERE rnk <= 5""",
+)
+def q_sim_rrf_three_way_served(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..streaming.ann_ingest import AnnIngest
+    from ..streaming.retrieval_ingest import RetrievalIngest
+    from ..streaming.store import AppendLog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    log = AppendLog(_tomb_state_dir(spark, sf_dir, "rrf3served"))
+    bm = RetrievalIngest(log, name="docs", positions=True)
+    bm.process_batch(docs, 0)
+    # first invocation trains+persists centroids/codebooks; replays
+    # recover them (the cdc_ann_tombstones fixture convention)
+    if not log.has_batch("emb_centroids", "__centroids__"):
+        ann = AnnIngest(
+            log,
+            centroids=emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("c_emb"),
+            ),
+            codebooks=similarity.subvector_codebooks(
+                emb.filter(F.col("vec_id") < 32), n_sub=8
+            ),
+        )
+    else:
+        ann = AnnIngest(log)
+    ann.process_batch(emb, 0)
+    tq = spark.createDataFrame(_HYBRID_QUERIES, "q_id long, q_text string")
+    lex = bm.topk(tq, k=20)
+    ph = bm.phrase_match(
+        tq.select(
+            F.col("q_id").alias("phrase_id"), F.col("q_text").alias("phrase")
+        )
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    phr = (
+        ph.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("phrase_id").alias("q_id"), "doc_id", "rnk")
+    )
+    dq = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    annk = ann.pq_rerank(dq, k=20, shortlist=100).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    fused = retrieval.rrf_fuse(
+        [lex.select("q_id", "doc_id", "rnk"), phr,
+         annk.select("q_id", "doc_id", "rnk")],
+        k=5,
+    )
+    return fused.select(
+        "q_id", "doc_id",
+        F.col("r0").alias("lex_rnk"), F.col("r1").alias("phrase_rnk"),
+        F.col("r2").alias("ann_rnk"), "rrf", "rnk",
+    )
+
+
+@_spec(
     "text_kneser_ney3",
     "interpolated Kneser-Ney TRIGRAM LM with the bigram continuation-"
     "count backoff tier (functions/text.kneser_ney_trigrams) — KenLM's "
