@@ -107,6 +107,10 @@ _DRIVER_CHECK_FIRST = [
     "emb_kmeans",  # plan changed: map-side cell_size (groupBy+broadcast)
     "events_series_moving_avg",  # plan changed: boundary-explicit rank substrate
     "sim_rrf_three_way_served",  # brand-new: standing-state 3-way RRF fusion
+    # below the ~50 cut if the driver stops at 50 — r8-fresh row, safe
+    # until r10 even unchecked; listed because its exact-quantile leg
+    # moved onto range_partitioned_rank this round
+    "cdc_qsketch_current",
 ]
 
 

@@ -1273,13 +1273,15 @@ def q_cdc_qsketch_current(spark, sf_dir):
                F.col("o_totalprice") * F.lit(1.1))
         .otherwise(F.col("o_totalprice")).alias("v"),
     )
-    ranked = live.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-        ),
-    ).withColumn(
-        "tot", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    # exact order-statistic leg: o_orderpriority is 5-valued, so a plain
+    # rank window funnels each priority's full census through one sort
+    # task — range_partitioned_rank replays the window row-for-row with
+    # every task bounded at ~n/P rows (same fix as the events audit)
+    from kafka_cdc_redshift_spark.util import range_partitioned_rank
+
+    ranked = range_partitioned_rank(
+        live, ["o_orderpriority"], ["v", "o_orderkey"],
+        rank_col="rn", n_col="tot",
     )
     pl = F.explode(F.array(*[F.lit(p) for p in probs])).alias("p")
     exact = (

@@ -1155,8 +1155,13 @@ def q_events_corr(spark, sf_dir):
     "selection, no interpolation arithmetic) plus the in-query audit "
     "flag; the sketch's own bucket ids/estimates stay out of the compare "
     "because cross-engine log2 is not correctly-rounded (the "
-    "events_approx_distinct pattern). Bound + merge properties are "
-    "pinned in tests/test_properties.py",
+    "events_approx_distinct pattern). The exact leg ranks via "
+    "util.range_partitioned_rank — event_type is low-cardinality, so a "
+    "plain rank window would funnel each type's full value census "
+    "through one task (the ccnet_buckets lesson); the helper keeps "
+    "every sort task at ~n/P rows and returns the (rank, group total) "
+    "pair the ceil(p*tot) selection needs in one pass. Bound + merge "
+    "properties are pinned in tests/test_properties.py",
     """WITH n AS (SELECT event_type, count(*) AS tot FROM events GROUP BY 1),
     r AS (SELECT event_type, value,
                  row_number() OVER (PARTITION BY event_type
@@ -1171,18 +1176,18 @@ def q_events_corr(spark, sf_dir):
 def q_events_quantile_sketch_audit(spark, sf_dir):
     from ..functions import incremental
 
+    from kafka_cdc_redshift_spark.util import range_partitioned_rank
+
     ev = load_table(spark, sf_dir, "events")
     probs = [0.5, 0.9, 0.99]
     # exact rank-r order statistic per (group, p) — a data VALUE, so it
     # hash-matches the oracle's identical selection (event_id tiebreak
-    # only stabilizes which duplicate row is picked; the value is equal)
-    ranked = ev.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy("value", "event_id")
-        ),
-    ).withColumn(
-        "tot", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    # only stabilizes which duplicate row is picked; the value is equal).
+    # range_partitioned_rank = the window spelling row-for-row, without
+    # funneling each event_type's census through one sort task
+    ranked = range_partitioned_rank(
+        ev, ["event_type"], ["value", "event_id"],
+        rank_col="rn", n_col="tot",
     )
     pl = F.explode(F.array(*[F.lit(p) for p in probs])).alias("p")
     exact = (

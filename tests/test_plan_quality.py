@@ -369,3 +369,19 @@ def test_kmeans_cell_size_is_map_side(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quantile_sketch_audit_no_per_type_sort(spark, sf_dir):
+    """events_quantile_sketch_audit's exact order-statistic leg must rank
+    via util.range_partitioned_rank, not row_number/count windows keyed
+    only by the low-cardinality event_type (the ccnet_buckets lesson):
+    every corpus-sized ranking window is pre-keyed by the range-bucket
+    id, and the group total comes from the census, not a second
+    whole-group window."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "events_quantile_sketch_audit")
+    assert "BatchEvalPython" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "event_type" in spec and "value" in spec:
+            assert "pid" in spec.split("event_type")[0]
