@@ -17,6 +17,9 @@ in this test environment.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -128,6 +131,45 @@ def write_bulk_staged(
         writer.mode("append").save()
     except Exception as e:  # noqa: BLE001
         raise JdbcUnavailable(f"bulk connector unavailable: {e}") from e
+
+
+#: COPY `NULL AS` token for the staged CSV — an explicit token (not the
+#: empty string) so SQL NULL never collides with a genuinely empty string
+#: field after the quote-stripping COPY applies to quoted fields.
+BULK_NULL_TOKEN = "@NULL@"
+
+
+def bulk_stage_csv_options(bulk: BulkLoadOptions) -> dict[str, str]:
+    """The staged-file format both bulk transports share: RFC 4180 CSV
+    (quote-doubling escape — what COPY's CSV mode expects), an explicit
+    NULL token, and ISO date/timestamp text that the generated
+    `dateformat 'auto' timeformat 'auto'` COPY options accept. Declared
+    once so the filesystem twin stages byte-compatible files with the
+    S3 path's COPY contract."""
+    opts = {
+        "header": "false",
+        "nullValue": BULK_NULL_TOKEN,
+        "quote": '"',
+        "escape": '"',
+        # read-side: records may span lines (quoted embedded newlines —
+        # COPY's CSV mode handles them natively, Spark's reader needs the
+        # flag); ignored on write
+        "multiLine": "true",
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "dateFormat": "yyyy-MM-dd",
+    }
+    if bulk.tempformat.upper() == "CSV GZIP":
+        opts["compression"] = "gzip"
+    return opts
+
+
+def is_object_store_path(path: str) -> bool:
+    """True for s3://, s3a://, gs://, abfss://... staging prefixes — the
+    transports that need the warehouse-side COPY connector. Plain paths
+    and file:// URIs stage through the filesystem twin."""
+    scheme, sep, _ = path.partition("://")
+    return bool(sep) and scheme.lower() not in ("file", "local")
 
 
 def _q(ident: str) -> str:
@@ -548,11 +590,17 @@ class JdbcMergeSink:
         """Stage the batch and merge. Retries once after dropping a possibly
         half-written staging table (redshift_sink.py:528-547)."""
         if self.bulk is not None:
-            write_bulk_staged(
-                df, url=self.url, db=db, table=table, keys=keys,
-                user=self.user, password=self.password, bulk=self.bulk,
-                skip_delete=skip_delete,
-            )
+            if is_object_store_path(self.bulk.tempdir):
+                write_bulk_staged(
+                    df, url=self.url, db=db, table=table, keys=keys,
+                    user=self.user, password=self.password, bulk=self.bulk,
+                    skip_delete=skip_delete,
+                )
+            else:
+                self._apply_bulk_fs(
+                    df, db=db, table=table, keys=keys,
+                    skip_delete=skip_delete,
+                )
             return
         spark = df.sparkSession
         stage = stage_table_name(db, table)
@@ -579,6 +627,59 @@ class JdbcMergeSink:
             self.run_sql(spark, [drop_stage], tolerate_ddl=True)
             df.write.jdbc(self.url, stage, mode="append", properties=props)
             self.run_sql(spark, stmts, tolerate_ddl=tolerant)
+
+    def _apply_bulk_fs(
+        self,
+        df: DataFrame,
+        *,
+        db: str,
+        table: str,
+        keys: Sequence[str],
+        skip_delete: bool = False,
+    ) -> None:
+        """Filesystem twin of the S3+COPY bulk path (`write_bulk_staged`),
+        taken when `bulk.tempdir` is a plain filesystem prefix: stage the
+        batch as the SHARED staged-CSV format (`bulk_stage_csv_options` —
+        RFC 4180 quote-doubling, explicit NULL token, auto-parseable
+        date/timestamp text), load the staged files into the stage table,
+        and run the merge post-actions as ONE warehouse transaction — the
+        same stage -> COPY -> postactions contract as the reference
+        (cdc_util/redshift_sink.py:514-527) with only the transport
+        swapped. This makes the staging-format fidelity and the
+        transactional sequencing live-testable (embedded Derby) without
+        the connector jar, and gives on-prem deployments whose staging
+        area is NFS a working bulk path; s3://-style prefixes dispatch to
+        the connector instead (see apply_batch)."""
+        assert self.bulk is not None
+        spark = df.sparkSession
+        stage = stage_table_name(db, table)
+        stmts = build_merge_sql(
+            target=table, stage=stage, columns=df.columns, keys=keys,
+            skip_delete=skip_delete, dialect=self.dialect,
+            portable=self.portable_sql,
+        )
+        csv_opts = bulk_stage_csv_options(self.bulk)
+        root = self.bulk.tempdir
+        local_root = root[len("file://"):] if root.startswith("file://") else root
+        stage_dir = os.path.join(local_root, f"{stage}_{uuid.uuid4().hex}")
+        tolerant = self.dialect in (
+            "ansi_merge", "delete_insert", "redshift_merge"
+        )
+        try:
+            df.write.options(**csv_opts).mode("overwrite").csv(stage_dir)
+            # the warehouse COPY stand-in: the STAGED BYTES are what load
+            # (re-read with the declared format, schema from the batch),
+            # so a staging-format infidelity fails the merge result, not
+            # just a unit assertion
+            staged = spark.read.schema(df.schema).options(**csv_opts).csv(
+                stage_dir
+            )
+            staged.write.jdbc(
+                self.url, stage, mode="append", properties=self._props()
+            )
+            self.run_sql(spark, stmts, tolerate_ddl=tolerant)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
     def append_table(self, df: DataFrame, table: str) -> None:
         """Plain batched append (the <table>_delete stream,

@@ -334,3 +334,88 @@ def test_live_retry_drops_poisoned_stage(spark, sink):
         db="d", table="retrytgt", keys=["pid"],
     )
     assert _read_target(spark, sink, "retrytgt") == {1: "a", 2: "b"}
+
+
+def test_live_bulk_fs_staged_copy_twin(spark, tmp_path):
+    """The filesystem twin of the S3+COPY bulk path, end-to-end on live
+    Derby: the batch stages as the shared COPY-shaped CSV (gzip, RFC
+    4180 quote-doubling, explicit NULL token), the STAGED BYTES load
+    into the stage table, and the merge postactions run as one
+    transaction. Covers the format-fidelity hazards a unit test of the
+    option dict can't: embedded commas/quotes/newlines, SQL NULL vs
+    empty string, and second-batch upsert+delete through the same
+    staged transport. Staging dirs must be cleaned up after each
+    apply."""
+    from kafka_cdc_redshift_spark.streaming.sinks import BulkLoadOptions
+
+    s = JdbcMergeSink(
+        DERBY_URL, user="app", password="app", driver=DERBY_DRIVER,
+        dialect="ansi_merge",
+        bulk=BulkLoadOptions(tempdir=str(tmp_path), tempformat="CSV GZIP"),
+        extra_jdbc_props={
+            "createTableColumnTypes": "pname VARCHAR(64), op VARCHAR(8)"
+        },
+    )
+    try:
+        s.run_sql(spark, ["VALUES 1"])
+    except JdbcUnavailable as e:  # pragma: no cover
+        pytest.skip(f"embedded Derby unavailable: {e}")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [Row(pid=p, pname=n, v=v, op=o) for p, n, v, o in rows],
+            "pid long, pname string, v double, op string",
+        )
+
+    table = "bulkfs_target"
+    s.apply_batch(
+        batch([
+            (1, "plain", 1.5, "c"),
+            (2, 'comma, and "quotes"', None, "c"),   # NULL double
+            (3, "line1\nline2", 3.25, "c"),          # embedded newline
+            (4, "", 4.0, "c"),                       # empty string != NULL
+        ]),
+        db="db", table=table, keys=["pid"],
+    )
+    got = {
+        r.pid: (r.pname, r.v)
+        for r in spark.read.jdbc(
+            s.url, table, properties=s._props()
+        ).collect()
+    }
+    assert got == {
+        1: ("plain", 1.5),
+        2: ('comma, and "quotes"', None),
+        3: ("line1\nline2", 3.25),
+        4: ("", 4.0),
+    }
+    # second batch through the same staged transport: update 2, delete 3
+    s.apply_batch(
+        batch([(2, "updated", 2.0, "u"), (3, "gone", 0.0, "d")]),
+        db="db", table=table, keys=["pid"],
+    )
+    got = {
+        r.pid: (r.pname, r.v)
+        for r in spark.read.jdbc(
+            s.url, table, properties=s._props()
+        ).collect()
+    }
+    assert got == {
+        1: ("plain", 1.5),
+        2: ("updated", 2.0),
+        4: ("", 4.0),
+    }
+    # every staging dir was rmtree'd after its apply
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_bulk_transport_dispatch():
+    """Object-store prefixes take the connector path; filesystem prefixes
+    (plain or file://) take the twin."""
+    from kafka_cdc_redshift_spark.streaming.sinks import is_object_store_path
+
+    assert is_object_store_path("s3://bucket/tmp/")
+    assert is_object_store_path("s3a://bucket/tmp/")
+    assert is_object_store_path("gs://bucket/tmp/")
+    assert not is_object_store_path("/mnt/staging/cdc")
+    assert not is_object_store_path("file:///mnt/staging/cdc")
