@@ -45,6 +45,12 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
                             JDBC merge target; omitted -> managed parquet
                             store at `target_store_path` (default
                             ./cdc_target_store)
+  catalog_target_provider   merge into session-catalog transactional
+                            tables instead (delta | iceberg): one atomic
+                            MERGE INTO per batch (streaming/catalog_sink);
+                            optional catalog_target_namespace prefixes
+                            target names. Requires the format's jars —
+                            raises a typed gate otherwise
   target_store_mode         cow (default: copy-on-write versioned store) |
                             mor (merge-on-read: O(batch) delta publishes,
                             resolution at read, folds in the compaction
@@ -63,6 +69,7 @@ from pyspark.sql import SparkSession
 from .config import load_properties, parse_sync_rules
 from .sources import kafka
 from .sources.secrets import resolve_credentials
+from .streaming.catalog_sink import CatalogMergeSink
 from .streaming.job import CdcBatchProcessor, run_file_stream
 from .streaming.sinks import BulkLoadOptions, JdbcMergeSink
 from .streaming.store import (
@@ -118,6 +125,13 @@ def build_processor(
             driver=props.get("jdbc_driver", "com.amazon.redshift.jdbc42.Driver"),
             batchsize=int(props.get("jdbc_batchsize", "10000")),
             bulk=bulk,
+        )
+    elif props.get("catalog_target_provider"):
+        # lakehouse target: same external-sink slot, one atomic MERGE
+        # INTO per batch (streaming/catalog_sink)
+        jdbc_sink = CatalogMergeSink(
+            provider=props["catalog_target_provider"],
+            namespace=props.get("catalog_target_namespace") or None,
         )
     return CdcBatchProcessor(
         spark,

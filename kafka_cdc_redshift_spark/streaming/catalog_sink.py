@@ -117,11 +117,20 @@ class CatalogMergeSink:
         op_col: str = "op",
         delete_op: str = "d",
         bootstrap: bool = True,
+        namespace: str | None = None,
     ):
         self.provider = provider
         self.op_col = op_col
         self.delete_op = delete_op
         self.bootstrap = bootstrap
+        # optional catalog namespace the targets live in; the JDBC sink's
+        # `db` is the SOURCE database (it only names the staging table),
+        # so the duck-typed apply_batch ignores it — target placement is
+        # a sink-level choice here
+        self.namespace = namespace
+
+    def _target(self, table: str) -> str:
+        return f"{self.namespace}.{table}" if self.namespace else table
 
     def apply_batch(
         self,
@@ -130,8 +139,10 @@ class CatalogMergeSink:
         table: str,
         keys: Sequence[str],
         skip_delete: bool = False,
+        db: str | None = None,  # JdbcMergeSink duck-type; see namespace
     ) -> None:
         spark = df.sparkSession
+        table = self._target(table)
         view = f"cdc_stage_{uuid.uuid4().hex}"
         df.createOrReplaceTempView(view)
         try:
@@ -162,3 +173,11 @@ class CatalogMergeSink:
                 raise
         finally:
             spark.catalog.dropTempView(view)
+
+    def append_table(self, df: DataFrame, table: str) -> None:
+        """Append-only channel (the *_delete audit tables — J2's
+        save_delete feed): plain provider-format append, created on
+        first write."""
+        df.write.format(self.provider).mode("append").saveAsTable(
+            self._target(table)
+        )

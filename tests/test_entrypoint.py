@@ -104,6 +104,32 @@ def test_jdbc_sink_built_from_redshift_properties(spark):
     assert sink.bulk.maxerror == 100 and sink.bulk.tempformat == "CSV"
 
 
+def test_catalog_sink_built_from_properties(spark):
+    """catalog_target_provider routes the external-sink slot to the
+    lakehouse MERGE INTO sink (streaming/catalog_sink); the duck-typed
+    apply_batch surface accepts the job's JdbcMergeSink call shape."""
+    import inspect
+
+    from kafka_cdc_redshift_spark.streaming.catalog_sink import (
+        CatalogMergeSink,
+    )
+
+    props = {
+        "sync_table_list": '[{"db": "d", "table": "t", "primary_key": "pid"}]',
+        "catalog_target_provider": "delta",
+        "catalog_target_namespace": "lake",
+    }
+    proc = build_processor(spark, props)
+    sink = proc.jdbc_sink
+    assert isinstance(sink, CatalogMergeSink)
+    assert sink.provider == "delta" and sink.namespace == "lake"
+    # the job calls apply_batch(df, db=..., table=..., keys=..., skip_delete=...)
+    params = inspect.signature(sink.apply_batch).parameters
+    for p in ("db", "table", "keys", "skip_delete"):
+        assert p in params
+    assert sink._target("t") == "lake.t"
+
+
 class _FakeSecretsClient:
     def __init__(self, payload):
         self.payload = payload
