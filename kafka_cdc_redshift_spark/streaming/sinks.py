@@ -665,8 +665,12 @@ class JdbcMergeSink:
         tolerant = self.dialect in (
             "ansi_merge", "delete_insert", "redshift_merge"
         )
-        try:
-            df.write.options(**csv_opts).mode("overwrite").csv(stage_dir)
+        drop_stage = (
+            f"DROP TABLE {stage}" if tolerant
+            else f"DROP TABLE IF EXISTS {stage}"
+        )
+
+        def load_and_merge():
             # the warehouse COPY stand-in: the STAGED BYTES are what load
             # (re-read with the declared format, schema from the batch),
             # so a staging-format infidelity fails the merge result, not
@@ -678,6 +682,20 @@ class JdbcMergeSink:
                 self.url, stage, mode="append", properties=self._props()
             )
             self.run_sql(spark, stmts, tolerate_ddl=tolerant)
+
+        try:
+            df.write.options(**csv_opts).mode("overwrite").csv(stage_dir)
+            try:
+                load_and_merge()
+            except JdbcUnavailable:
+                raise
+            except Exception:
+                # same crash-window contract as the JDBC path
+                # (redshift_sink.py:528-547): a prior half-written stage
+                # table (or this attempt's) poisons the merge — drop it
+                # and retry once from the staged files
+                self.run_sql(spark, [drop_stage], tolerate_ddl=True)
+                load_and_merge()
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
 

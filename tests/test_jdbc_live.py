@@ -419,3 +419,39 @@ def test_bulk_transport_dispatch():
     assert is_object_store_path("gs://bucket/tmp/")
     assert not is_object_store_path("/mnt/staging/cdc")
     assert not is_object_store_path("file:///mnt/staging/cdc")
+
+
+def test_live_bulk_fs_retry_drops_poisoned_stage(spark, tmp_path):
+    """The fs-staged bulk transport inherits the JDBC path's crash-window
+    contract (redshift_sink.py:528-547): a stage table left behind by a
+    previous failure poisons the staged load; the twin must drop it and
+    retry once from the staged files."""
+    from kafka_cdc_redshift_spark.streaming.sinks import (
+        BulkLoadOptions,
+        stage_table_name,
+    )
+
+    s = JdbcMergeSink(
+        DERBY_URL, user="app", password="app", driver=DERBY_DRIVER,
+        dialect="ansi_merge",
+        bulk=BulkLoadOptions(tempdir=str(tmp_path)),
+        extra_jdbc_props={
+            "createTableColumnTypes": "pname VARCHAR(64), op VARCHAR(8)"
+        },
+    )
+    try:
+        s.run_sql(spark, ["VALUES 1"])
+    except JdbcUnavailable as e:  # pragma: no cover
+        pytest.skip(f"embedded Derby unavailable: {e}")
+    stage = stage_table_name("d", "bulkfs_retrytgt")
+    s.run_sql(
+        spark,
+        [f'CREATE TABLE {stage} ("wrong" VARCHAR(4))'],
+        tolerate_ddl=True,
+    )
+    s.apply_batch(
+        _batch(spark, [(1, "a", "c"), (2, "b", "c")]),
+        db="d", table="bulkfs_retrytgt", keys=["pid"],
+    )
+    assert _read_target(spark, s, "bulkfs_retrytgt") == {1: "a", 2: "b"}
+    assert list(tmp_path.iterdir()) == []  # staging dir cleaned either way
