@@ -146,6 +146,10 @@ def bulk_stage_csv_options(bulk: BulkLoadOptions) -> dict[str, str]:
     `dateformat 'auto' timeformat 'auto'` COPY options accept. Declared
     once so the filesystem twin stages byte-compatible files with the
     S3 path's COPY contract."""
+    # Known token-collision caveat (inherent to COPY's `NULL AS` too): a
+    # string field whose VALUE is exactly the null token reads back as
+    # SQL NULL — the token is chosen to make that practically impossible
+    # for real data, matching the connector's convention.
     opts = {
         "header": "false",
         "nullValue": BULK_NULL_TOKEN,
@@ -155,6 +159,12 @@ def bulk_stage_csv_options(bulk: BulkLoadOptions) -> dict[str, str]:
         # COPY's CSV mode handles them natively, Spark's reader needs the
         # flag); ignored on write
         "multiLine": "true",
+        # non-finite doubles: the writer emits Java Double.toString
+        # ("Infinity"/"-Infinity"), but the reader's DEFAULT tokens are
+        # "Inf"/"-Inf" — without pinning these, infinite values silently
+        # null out on the read side of the staged load
+        "positiveInf": "Infinity",
+        "negativeInf": "-Infinity",
         "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
         "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
         "dateFormat": "yyyy-MM-dd",

@@ -367,3 +367,52 @@ def test_profile_table_hostile_column_names(spark):
         "dot.ted": (3, 3, 0),
         "sp ace": (3, 0, 2),
     }
+
+
+def test_bulk_stage_csv_roundtrip_nasty_corpus(spark, tmp_path):
+    """The shared staged-CSV format (both bulk transports) must
+    round-trip the values that break naive CSV staging: embedded
+    quotes/commas/newlines/tabs/backslashes, unicode, SQL NULL vs empty
+    string, non-finite doubles (writer emits Infinity/-Infinity; the
+    reader tokens are pinned to match), and microsecond timestamps."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from kafka_cdc_redshift_spark.streaming.sinks import (
+        BulkLoadOptions,
+        bulk_stage_csv_options,
+    )
+
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    rows = [
+        Row(id=1, s="plain", v=1.5, ts=ts),
+        Row(id=2, s='q"uo,te', v=None, ts=None),
+        Row(id=3, s="line\nbreak\r\nand\ttab", v=float("inf"), ts=ts),
+        Row(id=4, s="", v=float("-inf"), ts=ts),
+        Row(id=5, s=None, v=float("nan"), ts=ts),
+        Row(id=6, s="unicodé 你好 back\\slash", v=-0.0, ts=ts),
+    ]
+    schema = "id long, s string, v double, ts timestamp_ntz"
+    df = spark.createDataFrame(rows, schema)
+    opts = bulk_stage_csv_options(
+        BulkLoadOptions(tempdir=str(tmp_path), tempformat="CSV GZIP")
+    )
+    path = str(tmp_path / "stage")
+    df.write.options(**opts).mode("overwrite").csv(path)
+    back = {
+        r.id: r
+        for r in spark.read.schema(schema).options(**opts).csv(path).collect()
+    }
+    assert len(back) == len(rows)
+    for want in rows:
+        got = back[want.id]
+        assert got.s == want.s, (want.id, got.s, want.s)
+        if want.v is None:
+            assert got.v is None
+        elif math.isnan(want.v):
+            assert math.isnan(got.v)
+        else:
+            assert got.v == want.v, (want.id, got.v, want.v)
+        assert got.ts == want.ts, (want.id, got.ts, want.ts)
