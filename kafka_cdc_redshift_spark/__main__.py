@@ -29,7 +29,10 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
   thread_max_workers        per-batch table fan-out (T10)
   batch_timeout_sec         batch watchdog (T8); unset = no timeout
   maxerror / tempformat / redshift_tmpdir / redshift_iam_role
-                            bulk COPY-path tuning
+                            bulk COPY-path tuning; s3:// tmpdirs stage
+                            through the connector, filesystem tmpdirs
+                            through the built-in staged transport
+                            (same CSV format + merge transaction)
   compact_every_n_batches / compact_target_mb
                             periodic store small-file compaction
                             (operators/layout.py); unset = off
