@@ -48,69 +48,68 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 9 priority: this is a freshness-protection round by
-    # arithmetic — the 47 queries whose newest green driver row is
-    # r6-era hit the VERDICT's 2-round staleness limit at r9 and
-    # consume nearly the whole ~50-row cap. They go first, then the
-    # round's plan-changed / brand-new rows fill the remaining slots.
+    # round 10 priority: another freshness-protection round by
+    # arithmetic — the 48 queries whose newest green driver row is
+    # r7-era hit the VERDICT's 2-round staleness limit at r10, and the
+    # two r8-era rows whose plans changed in r9 (events_gapfill_locf
+    # moved onto running_agg; cdc_qsketch_current's exact leg moved
+    # onto range_partitioned_rank) must be re-hashed on their current
+    # plans. 48 + 2 = exactly the ~50-row driver cap, so this round
+    # budgets ZERO new catalog queries (r9 verdict item #1).
     # Everything after this list is ordered stalest-driver-row-first
     # (see _stale_first).
-    # -- the 47 r6-era rows (2-round staleness limit at r9) --
-    "cdc_delete_stream",
-    "cdc_merge_skip_delete",
-    "cdc_pipeline_debezium",
-    "cdc_pipeline_dms",
-    "cdc_pipeline_mongo",
-    "cdc_safe_cast",
-    "cdc_schema_evolution",
-    "cdc_typeconv",
-    "corpus_group_stats",
-    "corpus_stats_incremental",
-    "curation_pipeline_v3",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_lsh_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_contamination_bloom",
-    "doc_decontaminate",
-    "doc_dsir_weights",
-    "doc_importance_resample",
-    "events_grouping_sets",
-    "events_kmv_sample_audit",
-    "events_quantile_sketch_audit",
-    "events_topk_cms_audit",
-    "q20_excess_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "sim_hybrid_rrf",
-    "sim_ivf_recall",
-    "sim_pair_hist",
-    "sim_pq_rerank",
-    "text_bm25_topk",
-    "text_collocations",
-    "text_commonness",
-    "text_gopher_filters",
-    "text_kneser_ney",
-    "text_ngram_counts",
-    "text_phrase_match",
-    "text_pii_redact",
-    "text_repetition",
-    "text_vocab_growth",
-    # -- plan-changed / brand-new r9 rows (the <=3 budget) --
-    "emb_kmeans",  # plan changed: map-side cell_size (groupBy+broadcast)
-    "events_series_moving_avg",  # plan changed: boundary-explicit rank substrate
-    "sim_rrf_three_way_served",  # brand-new: standing-state 3-way RRF fusion
-    # below the ~50 cut if the driver stops at 50 — r8-fresh row, safe
-    # until r10 even unchecked; listed because its exact-quantile leg
-    # moved onto range_partitioned_rank this round
-    "cdc_qsketch_current",
+    # -- the 48 r7-era rows (2-round staleness limit at r10) --
+    "cdc_ann_tombstones",
+    "cdc_bm25_tombstones",
+    "cdc_dedup_tombstones",
+    "cdc_lww_dedup",
+    "cdc_merge_into",
+    "cdc_scd2_history",
+    "corpus_ndv_incremental",
+    "corpus_stats_approx_audit",
+    "curation_pipeline_v2",
+    "customers_lapsed",
+    "dedup_containment",
+    "dedup_keep_best",
+    "dedup_keep_one",
+    "dedup_minhash_eval",
+    "dedup_semantic",
+    "doc_chunk_dedup",
+    "doc_pack_sequences",
+    "doc_sample_stratified",
+    "doc_source_mix",
+    "doc_temperature_mix",
+    "events_anomaly_zscore",
+    "events_approx_distinct",
+    "events_asof_enrich",
+    "events_funnel",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_last_state",
+    "events_range_join",
+    "events_retention_cohort",
+    "events_rollup_totals",
+    "events_salted_agg",
+    "events_salted_join",
+    "events_sessionize",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "sim_hybrid_rrf_ann",
+    "source_lm_crossscore",
+    "text_kneser_ney3",
+    "text_lm_surprisal",
+    "text_rrf_three_way",
+    "text_tfidf_topk",
+    # -- the 2 r9-plan-changed r8-era rows (re-pin per r9 verdict) --
+    "events_gapfill_locf",  # plan changed r9: LOCF leg moved onto running_agg
+    "cdc_qsketch_current",  # plan changed r9: exact leg on range_partitioned_rank
 ]
 
 
