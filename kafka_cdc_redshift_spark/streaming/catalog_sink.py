@@ -87,10 +87,17 @@ def merge_into_sql(
     return " ".join(parts)
 
 
-#: engine messages that mean "this table/provider can't do row-level ops"
+#: engine messages that mean "this table/provider can't do row-level ops".
+#: Deliberately narrow — only MERGE/row-level-capability phrases. A bare
+#: "does not support" / "UNSUPPORTED_FEATURE" would reclassify unrelated
+#: MERGE-time engine errors (a type or expression the engine "does not
+#: support") as TransactionalTableUnavailable and mask the real failure.
 _NO_ROW_LEVEL = re.compile(
-    r"MERGE INTO TABLE is not supported|does not support|"
-    r"UNSUPPORTED_FEATURE|not a Delta table|row-level",
+    r"MERGE INTO TABLE is not supported"
+    r"|does not support\W+(?:row.level|MERGE|DELETE|UPDATE)"
+    r"|UNSUPPORTED_FEATURE\.TABLE_OPERATION"
+    r"|not a Delta table"
+    r"|row.level operation",
     re.IGNORECASE,
 )
 
@@ -147,6 +154,14 @@ class CatalogMergeSink:
         df.createOrReplaceTempView(view)
         try:
             if self.bootstrap and not spark.catalog.tableExists(table):
+                if self.namespace:
+                    # the JDBC path's DDL bootstrap tolerates a missing
+                    # schema; give the catalog path the same courtesy so
+                    # the first batch doesn't die on a raw AnalysisException
+                    spark.sql(
+                        "CREATE NAMESPACE IF NOT EXISTS "
+                        f"{_qualify(self.namespace)}"
+                    )
                 cols = ", ".join(
                     _bq(c) for c in df.columns if c != self.op_col
                 )

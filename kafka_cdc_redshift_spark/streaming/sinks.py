@@ -169,8 +169,18 @@ def bulk_stage_csv_options(bulk: BulkLoadOptions) -> dict[str, str]:
         "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
         "dateFormat": "yyyy-MM-dd",
     }
-    if bulk.tempformat.upper() == "CSV GZIP":
+    fmt = bulk.tempformat.upper()
+    if fmt == "CSV GZIP":
         opts["compression"] = "gzip"
+    elif fmt != "CSV":
+        # the staged-file twin speaks CSV only; a JSON-configured job must
+        # not silently stage a different format than it declared — the
+        # connector path honors JSON, so dispatch there or reconfigure
+        raise ValueError(
+            f"filesystem bulk staging supports tempformat CSV / CSV GZIP, "
+            f"not {bulk.tempformat!r} — use an object-store tempdir (the "
+            f"COPY connector honors JSON) or set tempformat='CSV'"
+        )
     return opts
 
 
@@ -671,7 +681,15 @@ class JdbcMergeSink:
         csv_opts = bulk_stage_csv_options(self.bulk)
         root = self.bulk.tempdir
         local_root = root[len("file://"):] if root.startswith("file://") else root
-        stage_dir = os.path.join(local_root, f"{stage}_{uuid.uuid4().hex}")
+        stage_dir = os.path.abspath(
+            os.path.join(local_root, f"{stage}_{uuid.uuid4().hex}")
+        )
+        # Spark resolves a plain path against fs.defaultFS while
+        # shutil.rmtree always deletes from the driver-local disk; stage
+        # through an explicit file:// URI so the write, the COPY-twin
+        # read, and the cleanup all target the SAME filesystem even on a
+        # cluster whose defaultFS is HDFS/object storage
+        stage_uri = "file://" + stage_dir
         tolerant = self.dialect in (
             "ansi_merge", "delete_insert", "redshift_merge"
         )
@@ -686,7 +704,7 @@ class JdbcMergeSink:
             # so a staging-format infidelity fails the merge result, not
             # just a unit assertion
             staged = spark.read.schema(df.schema).options(**csv_opts).csv(
-                stage_dir
+                stage_uri
             )
             staged.write.jdbc(
                 self.url, stage, mode="append", properties=self._props()
@@ -694,7 +712,7 @@ class JdbcMergeSink:
             self.run_sql(spark, stmts, tolerate_ddl=tolerant)
 
         try:
-            df.write.options(**csv_opts).mode("overwrite").csv(stage_dir)
+            df.write.options(**csv_opts).mode("overwrite").csv(stage_uri)
             try:
                 load_and_merge()
             except JdbcUnavailable:

@@ -86,3 +86,55 @@ def test_catalog_sink_delta_end_to_end(spark, tmp_path):
         assert got == {1: "a2", 3: "c"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_no_row_level_gate_regex_is_narrow():
+    """The gate regex must catch the engines' MERGE/row-level-capability
+    refusals but NOT generic 'does not support' engine errors (a type or
+    expression the engine rejects at MERGE time is a real failure the
+    user must see, not a TransactionalTableUnavailable)."""
+    from kafka_cdc_redshift_spark.streaming.catalog_sink import _NO_ROW_LEVEL
+
+    caught = [
+        "MERGE INTO TABLE is not supported temporarily.",
+        "[UNSUPPORTED_FEATURE.TABLE_OPERATION] Table `t` does not support "
+        "MERGE INTO.",
+        "Table spark_catalog.default.t does not support row-level "
+        "operations",
+        "org.example.t is not a Delta table.",
+        "Cannot write: table does not support DELETE",
+    ]
+    passed_through = [
+        "[DATATYPE_MISMATCH] data type mismatch: map<string,int> does not "
+        "support ordering",
+        "[UNSUPPORTED_FEATURE.LITERAL_TYPE] The feature is not supported",
+        "Correlated scalar subqueries are not supported in UPDATE SET",
+        "java.lang.ArithmeticException: long overflow",
+    ]
+    for msg in caught:
+        assert _NO_ROW_LEVEL.search(msg), msg
+    for msg in passed_through:
+        assert not _NO_ROW_LEVEL.search(msg), msg
+
+
+def test_catalog_sink_creates_configured_namespace(spark):
+    """With catalog_target_namespace set but absent, bootstrap creates the
+    namespace (CREATE NAMESPACE IF NOT EXISTS) instead of dying on a raw
+    AnalysisException — the JDBC path's tolerant-DDL courtesy."""
+    from pyspark.sql import Row
+
+    batch = spark.createDataFrame(
+        [Row(pid=1, pname="a", op="c")], "pid long, pname string, op string"
+    )
+    ns = "cdc_ns_autocreate"
+    spark.sql(f"DROP NAMESPACE IF EXISTS {ns} CASCADE")
+    sink = CatalogMergeSink(provider="parquet", namespace=ns)
+    try:
+        # parquet still refuses the MERGE itself (typed gate), but the
+        # namespace and the bootstrap CTAS must both have landed first
+        with pytest.raises(TransactionalTableUnavailable):
+            sink.apply_batch(batch, table="tbl", keys=["pid"])
+        assert spark.catalog.databaseExists(ns)
+        assert spark.catalog.tableExists(f"{ns}.tbl")
+    finally:
+        spark.sql(f"DROP NAMESPACE IF EXISTS {ns} CASCADE")

@@ -416,3 +416,22 @@ def test_bulk_stage_csv_roundtrip_nasty_corpus(spark, tmp_path):
         else:
             assert got.v == want.v, (want.id, got.v, want.v)
         assert got.ts == want.ts, (want.id, got.ts, want.ts)
+
+
+def test_bulk_stage_csv_options_rejects_non_csv_tempformat():
+    """The fs staging twin is CSV-only; a JSON-configured job must get a
+    loud refusal, not silently-staged CSV (the connector path honors
+    JSON natively)."""
+    import pytest
+
+    from kafka_cdc_redshift_spark.streaming.sinks import (
+        BulkLoadOptions,
+        bulk_stage_csv_options,
+    )
+
+    for ok in ("CSV", "csv", "CSV GZIP"):
+        bulk_stage_csv_options(BulkLoadOptions(tempdir="/tmp/x", tempformat=ok))
+    with pytest.raises(ValueError, match="tempformat"):
+        bulk_stage_csv_options(
+            BulkLoadOptions(tempdir="/tmp/x", tempformat="JSON")
+        )
