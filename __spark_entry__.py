@@ -110,6 +110,18 @@ _DRIVER_CHECK_FIRST = [
     # -- the 2 r9-plan-changed r8-era rows (re-pin per r9 verdict) --
     "events_gapfill_locf",  # plan changed r9: LOCF leg moved onto running_agg
     "cdc_qsketch_current",  # plan changed r9: exact leg on range_partitioned_rank
+    # -- below the ~50 cut: the other rank-substrate consumers, whose
+    # plans changed this round with the O(log P) bucket-stamp tree
+    # (r9 verdict item #3). Exact bucket equivalence is pytest-pinned
+    # (test_stamp_range_bucket_tree_is_exact_count_below + the standing
+    # determinism/equivalence suite), so these ride on pytest until the
+    # r11 re-pin if the driver stops at 50; listed here so any extra
+    # cap checks them first --
+    "doc_len_quantiles",
+    "events_value_deciles",
+    "doc_ccnet_buckets",
+    "events_quantile_sketch_audit",
+    "events_series_moving_avg",
 ]
 
 

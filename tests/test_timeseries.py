@@ -262,3 +262,37 @@ def test_gapfill_locf_no_per_series_reducer(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "event_type" in spec and ("sv" in spec or "__locf" in spec):
             assert "pid" in spec.split("event_type")[0]
+
+
+def test_stamp_range_bucket_tree_is_exact_count_below(spark):
+    """The balanced comparison tree must stamp exactly the canonical
+    bucket id — the count of sampled boundary tuples strictly below the
+    row's key — at a boundary count far past the default P (the linear
+    when-chain it replaced grew per-row cost with P and could overflow
+    the JVM stack building the plan near P≈512). NULL key fields land
+    in bucket 0 (NULLS FIRST)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.util import (
+        _sampled_range_bounds,
+        stamp_range_bucket,
+    )
+
+    rows = [Row(k=i % 37, o=i) for i in range(4000)] + [
+        Row(k=None, o=-1), Row(k=None, o=99999)
+    ]
+    df = spark.createDataFrame(rows, "k int, o long")
+    P = 97
+    bounds = _sampled_range_bounds(df, ["k", "o"], P)
+    assert len(bounds) > 50  # the sample actually produced a wide ladder
+    got = {
+        (r.k, r.o): r["__pid"]
+        for r in stamp_range_bucket(df, ["k", "o"], P).collect()
+    }
+    for r in rows:
+        if r.k is None:
+            assert got[(r.k, r.o)] == 0
+        else:
+            want = sum(1 for b in bounds if (r.k, r.o) > b)
+            assert got[(r.k, r.o)] == want, (r, want, got[(r.k, r.o)])
