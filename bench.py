@@ -85,6 +85,42 @@ def main() -> None:
             noise[name] = round(ratio, 2)
 
     total = round(sum(timings.values()), 3)
+    # Full per-query record as a committed artifact (r9 verdict: the
+    # driver's 2000-byte tail capture truncates the stdout detail line
+    # mid-dict, and noise RATIOS sitting next to runtimes get misread as
+    # seconds). Round number = the next BENCH_r{N} the driver will write,
+    # overridable via SPARK_GRAFT_BENCH_DETAIL_PATH.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_PATH")
+    if detail_path is None:
+        import glob as _glob
+        import re as _re
+
+        nums = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        detail_path = os.path.join(
+            here, f"BENCH_DETAIL_r{(max(nums) + 1) if nums else 1:02d}.json"
+        )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "catalog_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": float(sf),
+                "runs_per_query": runs,
+                "queries_sec_min": timings,
+                "noise_max_over_min_ratio": noise,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
     # Two lines, detail first: the driver's tail capture is size-bounded and
     # r3's single ~3 KB line was truncated from the head (BENCH_r03 parsed:
     # null). The headline summary goes LAST and stays tiny (<200 bytes) so
