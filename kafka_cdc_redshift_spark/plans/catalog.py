@@ -635,23 +635,37 @@ def q_events_salted_agg(spark, sf_dir):
 
 @_spec(
     "events_asof_enrich",
-    "as-of join: each event enriched with the user's most recent order "
-    "at-or-before event time (point-in-time correct, no future leakage); "
-    "single hash shuffle via the union+window formulation",
+    "two-leg as-of join, one per key regime: each event enriched with "
+    "the user's most recent order at-or-before event time (user_id is "
+    "corpus-scaled -> the single-hash-shuffle union+window formulation) "
+    "AND with its type's last COMPLETED hour's mean value (event_type "
+    "is dimension-sized -> low_cardinality=True routes the carry "
+    "through the two-pass block prefix scan, no per-type reducer); "
+    "both legs point-in-time correct, no future leakage",
     """WITH day_orders AS (
          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
                 CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS day_total
-         FROM orders GROUP BY 1, 2)
-       SELECT l.event_id, l.user_id, l.ts, r.o_orderkey AS last_orderkey,
-              r.day_total
+         FROM orders GROUP BY 1, 2),
+       hr AS (
+         SELECT event_type,
+                date_trunc('hour', ts) + INTERVAL 1 HOUR AS visible_at,
+                CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) / count(value)
+                  AS type_hour_mean
+         FROM events GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, l.event_type, l.ts,
+              r.o_orderkey AS last_orderkey, r.day_total, h.type_hour_mean
        FROM events l
        ASOF LEFT JOIN day_orders r
-         ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate""",
+         ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
+       ASOF LEFT JOIN hr h
+         ON l.event_type = h.event_type AND l.ts >= h.visible_at""",
 )
 def q_events_asof_enrich(spark, sf_dir):
     from ..operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
     day_orders = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
@@ -660,8 +674,33 @@ def q_events_asof_enrich(spark, sf_dir):
             F.sum(_dec(F.col("o_totalprice"), 12, 2)).cast("double").alias("day_total"),
         )
     )
-    return asof_join(
+    # leg 1: user-level state — user_id scales with the corpus, so the
+    # default one-shuffle union+window plan is the right shape
+    enriched = asof_join(
         ev, day_orders, on=["user_id"], left_time="ts", right_time="o_orderdate"
+    )
+    # leg 2: type-level state — a completed-hour stat becomes visible at
+    # the hour's END (leak-free); event_type is a handful of values, so
+    # the default plan would funnel each type's full timeline through
+    # one task — low_cardinality=True runs the carry through the block
+    # prefix scan instead (r9 verdict item #5: this leg is the catalog's
+    # driver row for the running_agg-backed as-of path)
+    hr = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("__h"))
+        .agg(
+            (F.sum(_dec(F.col("value"), 18, 2)).cast("double")
+             / F.count("value")).alias("type_hour_mean")
+        )
+        .select(
+            "event_type",
+            (F.col("__h") + F.expr("INTERVAL 1 HOUR")).alias("visible_at"),
+            "type_hour_mean",
+        )
+    )
+    return asof_join(
+        enriched, hr, on=["event_type"], left_time="ts",
+        right_time="visible_at", low_cardinality=True,
     )
 
 
