@@ -156,7 +156,8 @@ class RetrievalIngest:
                     f"index {self.name!r} was built with positions="
                     f"{had}; re-opening it with positions="
                     f"{self.positions} would mix posting schemas — "
-                    "build a fresh index to change the layout"
+                    "run migrate_positions(corpus) to upgrade the "
+                    "standing layout in place, or build a fresh index"
                 )
         build = positional_postings if self.positions else term_freqs
         tf = stamp_seq(
@@ -258,6 +259,104 @@ class RetrievalIngest:
             "doc_id", F.explode("positions").alias("pos"), "term"
         )
         return phrase_match_from_postings(flat, phrases)
+
+    def migrate_positions(self, corpus: DataFrame) -> None:
+        """Upgrade a standing tf-only index to the positional layout IN
+        PLACE — the schema-evolution path for the engine's own state
+        tables (the target-table analog is D1–D6): committed batch ids,
+        per-row seq stamps, the dl/stats tables, and every standing
+        tombstone survive, so replay guards and churn accounting are
+        untouched and the upgraded index serves phrase queries next to
+        BM25 exactly like one built with positions=True from batch 0.
+
+        Positions are NOT recoverable from the stored (term, tf)
+        postings, and the index retains no raw text — so
+        REBUILD-FROM-SOURCE is the contract: the caller supplies the
+        raw corpus (`id_col`, `text_col`) covering every live doc, and
+        the migration re-tokenizes it with the SAME tokenizer the
+        ingest used. Fidelity is verified, not assumed: the rebuild
+        must reproduce the standing index's per-posting tf and per-doc
+        dl exactly (a drifted or wrong corpus raises before anything is
+        rewritten), which makes the attached positions consistent with
+        the postings they extend.
+
+        Mechanics ride the existing fold machinery: `compact_state`
+        first folds tombstones (so dead and superseded rows are
+        physically gone — an old row of a later-updated doc must not
+        pick up the NEW text's positions), then one
+        `AppendLog.compact(transform=...)` joins the rebuilt position
+        lists onto the live rows and swaps the merged segment
+        atomically — a crash mid-migration leaves the old manifest
+        standing, and the retry redoes the rewrite idempotently. Same
+        single-writer contract as compact_state: run it from the
+        maintenance cycle, not concurrently with process_batch."""
+        spark = corpus.sparkSession
+        existing = self.log.read(spark, self.tf_table)
+        if existing is None:
+            raise ValueError(f"index {self.name!r} has no ingested batches")
+        if "positions" in existing.columns:
+            self.positions = True  # already positional: no-op upgrade
+            return
+        # fold tombstones + merge segments so the rewrite sees exactly
+        # the live posting set (floor=1: even a single segment folds)
+        self.compact_state(spark, min_segments=1)
+        live = self.log.read(spark, self.tf_table)
+        live_ids = live.select("doc_id").distinct()
+        missing = live_ids.join(
+            corpus.select(F.col(self.id_col).alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).count()
+        if missing:
+            raise ValueError(
+                f"migrate_positions: corpus is missing {missing} live "
+                f"doc(s) of index {self.name!r} — rebuild-from-source "
+                "needs the full live corpus (the index retains no text)"
+            )
+        # live_ids is corpus-sized here (every live doc) — a plain equi
+        # join, NOT a broadcast; AQE picks the strategy at real scale
+        rebuilt = positional_postings(
+            corpus.join(
+                live_ids.withColumnRenamed("doc_id", self.id_col),
+                self.id_col,
+            ),
+            id_col=self.id_col,
+            text_col=self.text_col,
+        ).localCheckpoint()
+        drift = (
+            live.select("doc_id", "term", "tf", "dl")
+            .join(
+                rebuilt.select(
+                    "doc_id", "term",
+                    F.col("tf").alias("__rtf"), F.col("dl").alias("__rdl"),
+                ),
+                ["doc_id", "term"],
+                "full_outer",
+            )
+            .filter(
+                ~F.col("tf").eqNullSafe(F.col("__rtf"))
+                | ~F.col("dl").eqNullSafe(F.col("__rdl"))
+            )
+            .count()
+        )
+        if drift:
+            raise ValueError(
+                f"migrate_positions: the supplied corpus re-tokenizes "
+                f"to a different index ({drift} posting(s) disagree on "
+                f"tf/dl with the standing state of {self.name!r}) — it "
+                "is not the corpus this index indexed; positions from "
+                "drifted text would be silently wrong"
+            )
+        positions = rebuilt.select("doc_id", "term", "positions")
+        self.log.compact(
+            spark,
+            self.tf_table,
+            min_segments=1,
+            transform=lambda df: df.join(
+                positions, ["doc_id", "term"]
+            ).select("doc_id", "dl", "term", "tf", "positions", SEQ_COL),
+        )
+        self.positions = True
 
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8
