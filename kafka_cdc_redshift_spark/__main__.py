@@ -36,6 +36,10 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
   compact_every_n_batches / compact_target_mb
                             periodic store small-file compaction
                             (operators/layout.py); unset = off
+  keep_versions             version-chain retention: prune target-store
+                            version dirs to the newest N on the
+                            compaction cycle (the Delta-VACUUM analog);
+                            unset = keep all versions (replay audits)
   max_deltas_before_fold    cadence-independent cap on accrued per-batch
                             deltas (merge-on-read targets, delete-log /
                             quarantine append logs): any table reaching
@@ -158,6 +162,9 @@ def build_processor(
             int(props["max_deltas_before_fold"])
             if props.get("max_deltas_before_fold")
             else 32
+        ),
+        keep_versions=(
+            int(props["keep_versions"]) if props.get("keep_versions") else None
         ),
     )
 

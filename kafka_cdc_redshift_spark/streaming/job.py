@@ -114,6 +114,7 @@ class CdcBatchProcessor:
         compact_every_n_batches: int | None = None,
         compact_target_bytes: int = 128 * 1024 * 1024,
         max_deltas_before_fold: int | None = 32,
+        keep_versions: int | None = None,
     ):
         self.spark = spark
         self.rules = rules
@@ -148,6 +149,15 @@ class CdcBatchProcessor:
         # misconfigured large — otherwise read amplification (N delta
         # list-reads per query) grows unbounded between compactions
         self.max_deltas_before_fold = max_deltas_before_fold
+        # version-chain retention: every publish adds a full version dir
+        # (copy-on-write) or a folded base (merge-on-read) and the chain
+        # keeps ALL of them by default — deliberate for replay audits,
+        # but O(batches) full-corpus copies under sustained churn (the
+        # r10 CoW churn audit measures exactly this). keep_versions=N
+        # prunes to the newest N dirs on the compaction cycle
+        # (store.prune_versions — the Delta-VACUUM analog); None keeps
+        # the historical keep-everything behavior.
+        self.keep_versions = keep_versions
         self._batches_since_compact = 0
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
         self.compact_errors: list[tuple[str, str]] = []  # (table, error)
@@ -988,6 +998,10 @@ class CdcBatchProcessor:
                         target_bytes=self.compact_target_bytes,
                         zorder_cols=list(zcols) or None,
                     )
+                    if self.keep_versions is not None:
+                        self.store.prune_versions(
+                            t, keep=self.keep_versions
+                        )
                 except Exception as e:  # noqa: BLE001
                     self.compact_errors.append((t, repr(e)))
             if rule.ann_ingest:

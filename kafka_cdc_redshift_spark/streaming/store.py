@@ -202,6 +202,51 @@ class ParquetTargetStore:
     def _write_version(self, df: DataFrame, table: str, out: str, version: int) -> None:
         df.write.mode("overwrite").parquet(out)
 
+    def versions_on_disk(self, table: str) -> list[int]:
+        """Version directories currently backing `table`, oldest first —
+        the copy-on-write version-chain length the churn audit records."""
+        try:
+            names = os.listdir(os.path.join(self.root, table))
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in names
+            if n.startswith("version=") and n.split("=", 1)[1].isdigit()
+        )
+
+    def prune_versions(self, table: str, *, keep: int = 2) -> list[int]:
+        """Retention knob for the copy-on-write version chain: delete
+        version directories older than the newest `keep`, NEVER the
+        current pointer's version (keep >= 1 enforced). Without pruning
+        the chain keeps every published version — deliberate for replay
+        audits, but under sustained churn that is O(batches) full-corpus
+        copies, so the maintenance cycle calls this alongside the fold
+        (the analog of Delta VACUUM / Iceberg expire_snapshots).
+        Readers only ever open the pointer's version, so pruning behind
+        `keep >= 2` leaves the previous version for any reader that
+        resolved the pointer just before a publish (same single-writer
+        maintenance contract as the other folds). Directories NEWER than
+        the pointer (a crashed publish that never flipped) are left
+        alone — the next publish overwrites them. Returns the pruned
+        version numbers."""
+        import shutil
+
+        keep = max(1, keep)
+        cur = self.current_version(table)
+        if cur is None:
+            return []
+        floor = cur - keep + 1
+        pruned = [
+            v for v in self.versions_on_disk(table) if v < floor
+        ]
+        for v in pruned:
+            shutil.rmtree(
+                os.path.join(self.root, table, f"version={v}"),
+                ignore_errors=True,
+            )
+        return pruned
+
 
 class BucketedTargetStore(ParquetTargetStore):
     """Target store whose tables are hash-bucketed by primary key.
@@ -256,6 +301,18 @@ class BucketedTargetStore(ParquetTargetStore):
             spark.sql(
                 f"DROP TABLE IF EXISTS {self._catalog_name(table, prev)}"
             )
+
+    def prune_versions(self, table: str, *, keep: int = 2) -> list[int]:
+        pruned = super().prune_versions(table, keep=keep)
+        # publish already dropped the previous catalog entry; this only
+        # clears entries a crashed publish left behind for pruned dirs
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            for v in pruned:
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {self._catalog_name(table, v)}"
+                )
+        return pruned
 
 
 class AppendLog:

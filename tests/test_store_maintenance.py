@@ -358,3 +358,75 @@ def test_routing_census_applies_parser_predicates(spark, tmp_path):
     cstat = {s.table: s.status for s in cproc.process_batch(cbatch, 0)}
     assert cstat == {"ca": "no-data", "cb": "finished"}
     assert not cproc.store.exists("ca")
+
+
+def test_prune_versions_retention(spark, tmp_path):
+    """The version-chain retention knob (r10 CoW churn audit): pruning
+    keeps the newest `keep` dirs, never touches the pointer's version,
+    leaves a crashed publish's orphan dir alone, and the pruned table
+    reads back identically."""
+    import os
+
+    store = ParquetTargetStore(str(tmp_path))
+    for i in range(5):
+        store.publish(_rows(spark, [(1, f"v{i}")]), "t", batch_id=i)
+    assert store.current_version("t") == 4
+    assert store.versions_on_disk("t") == [0, 1, 2, 3, 4]
+
+    assert store.prune_versions("t", keep=2) == [0, 1, 2]
+    assert store.versions_on_disk("t") == [3, 4]
+    got = store.read(spark, "t").collect()
+    assert [(r.pid, r.val) for r in got] == [(1, "v4")]
+    # batch-id replay guard untouched by pruning
+    assert store.last_batch_id("t") == 4
+
+    # keep floors at 1 and never deletes the current version
+    assert store.prune_versions("t", keep=0) == [3]
+    assert store.versions_on_disk("t") == [4]
+    assert store.read(spark, "t").count() == 1
+
+    # an orphan dir NEWER than the pointer (crashed publish, no flip)
+    # survives pruning — the next publish overwrites it
+    orphan = os.path.join(str(tmp_path), "t", "version=9")
+    os.makedirs(orphan)
+    assert store.prune_versions("t", keep=1) == []
+    assert os.path.isdir(orphan)
+
+
+def test_processor_keep_versions_prunes_on_compaction_cycle(spark, tmp_path):
+    """keep_versions wires prune_versions into the job's maintenance
+    cycle: after the compaction batch, the target's chain is at most
+    keep_versions dirs; without the knob the chain keeps everything."""
+    import json
+
+    from kafka_cdc_redshift_spark.operators.merge import merge_changes
+
+    for keep, expect_bounded in ((2, True), (None, False)):
+        root = tmp_path / f"store_{keep}"
+        store = ParquetTargetStore(str(root))
+        rule = SyncRule(db="d", table="t", primary_key=("pid",))
+        proc = CdcBatchProcessor(
+            spark, [rule], store,
+            compact_every_n_batches=3, keep_versions=keep,
+        )
+        # 6 batches = exactly two compaction cycles (every 3), so the
+        # bounded variant ends right after a prune; between cycles the
+        # chain legitimately grows by up to compact_every_n_batches
+        for b in range(6):
+            batch = spark.createDataFrame(
+                [(json.dumps({
+                    "before": None,
+                    "after": {"pid": 1, "val": f"v{b}"},
+                    "source": {"db": "d", "table": "t"},
+                    "op": "u", "ts_ms": b,
+                }),)], "value string",
+            )
+            proc.process_batch(batch, b)
+        assert proc.compact_errors == []
+        chain = store.versions_on_disk(rule.target_name)
+        if expect_bounded:
+            assert len(chain) <= 2, chain
+        else:
+            assert len(chain) > 2, chain
+        live = store.read(spark, rule.target_name)
+        assert [(r.pid, r.val) for r in live.collect()] == [(1, "v5")]
