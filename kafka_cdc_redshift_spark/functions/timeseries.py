@@ -110,6 +110,7 @@ def running_agg(
     sums: dict[str, Column | str] | None = None,
     lasts: dict[str, Column | str] | None = None,
     n_partitions: int | None = None,
+    allow_double_sums: bool = False,
 ) -> DataFrame:
     """Running (UNBOUNDED PRECEDING .. CURRENT ROW) aggregates over each
     `part_cols` series ordered by `order_cols`, computed as a two-pass
@@ -139,7 +140,10 @@ def running_agg(
     Like any partial aggregation, a DOUBLE running sum is reassociated
     (block partial + intra sum), so it can differ from the sequential
     window fold in the last ulp — use decimal or integer types where
-    bit-exact window parity matters; `lasts` is always exact.
+    bit-exact window parity matters; `lasts` is always exact. Because
+    that drift is silent, a float/double `sums` column RAISES unless
+    `allow_double_sums=True` explicitly accepts the reassociation
+    (r9 verdict item #7 — no catalog query uses a double sums leg).
     The order key must be a total order for deterministic output (ties
     stay within one bucket, but tie order inside the window is
     arbitrary — same contract as the single-window spelling). Output:
@@ -155,6 +159,26 @@ def running_agg(
     }
     if not sums and not lasts:
         raise ValueError("running_agg: need at least one of sums/lasts")
+    if sums and not allow_double_sums:
+        from pyspark.sql.types import DoubleType, FloatType
+
+        kinds = {
+            name: df.select(c.alias("__probe")).schema[0].dataType
+            for name, c in sums.items()
+        }
+        floaty = [
+            n for n, t in kinds.items()
+            if isinstance(t, (DoubleType, FloatType))
+        ]
+        if floaty:
+            raise ValueError(
+                f"running_agg: sums column(s) {floaty} are float/double — "
+                "the block prefix scan reassociates partial sums, so the "
+                "result can differ from the sequential window fold in the "
+                "last ulp. Cast to decimal/integer for bit-exact running "
+                "sums, or pass allow_double_sums=True to accept the "
+                "reassociation"
+            )
     part_cols = list(part_cols)
     order_cols = list(order_cols)
     part = stamp_range_bucket(

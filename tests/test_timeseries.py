@@ -154,6 +154,7 @@ def test_running_agg_matches_window_on_multi_split_input(spark, sf_dir):
     got = running_agg(
         ev, ["event_type"], ["ts", "event_id"],
         sums={"run_sum": "v", "run_sum_dbl": "vd"}, lasts={"run_last": "v"},
+        allow_double_sums=True,
     )
     w = (
         Window.partitionBy("event_type")
@@ -296,3 +297,26 @@ def test_stamp_range_bucket_tree_is_exact_count_below(spark):
         else:
             want = sum(1 for b in bounds if (r.k, r.o) > b)
             assert got[(r.k, r.o)] == want, (r, want, got[(r.k, r.o)])
+
+
+def test_running_agg_refuses_silent_double_sums(spark):
+    """A float/double sums leg reassociates silently; it must be an
+    explicit opt-in (allow_double_sums=True), not a quiet default."""
+    import pytest
+
+    from kafka_cdc_redshift_spark.functions.timeseries import running_agg
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.5), (1, 2, 2.5)], "k int, t int, v double"
+    )
+    with pytest.raises(ValueError, match="allow_double_sums"):
+        running_agg(df, ["k"], ["t"], sums={"s": "v"})
+    # the opt-in works; decimal needs no flag
+    assert running_agg(
+        df, ["k"], ["t"], sums={"s": "v"}, allow_double_sums=True
+    ).count() == 2
+    from pyspark.sql import functions as F
+
+    assert running_agg(
+        df, ["k"], ["t"], sums={"s": F.col("v").cast("decimal(18,2)")}
+    ).count() == 2
