@@ -358,6 +358,30 @@ class RetrievalIngest:
         )
         self.positions = True
 
+    def drop_positions(self, spark: SparkSession) -> None:
+        """The downgrade twin of `migrate_positions`: rewrite a standing
+        positional index to the tf-only layout. Needs NO corpus — tf-only
+        postings are a pure projection of the positional ones — so it is
+        one tombstone fold plus one projecting `AppendLog.compact`
+        rewrite; batch ids, seq stamps, dl/stats and BM25 serving are
+        untouched, only phrase serving goes away (its refusal returns).
+        Use it to reclaim the positions column's storage when phrase
+        queries are retired. No-op on a tf-only index."""
+        existing = self.log.read(spark, self.tf_table)
+        if existing is None:
+            raise ValueError(f"index {self.name!r} has no ingested batches")
+        if "positions" not in existing.columns:
+            self.positions = False
+            return
+        self.compact_state(spark, min_segments=1)
+        self.log.compact(
+            spark,
+            self.tf_table,
+            min_segments=1,
+            transform=lambda df: df.drop("positions"),
+        )
+        self.positions = False
+
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8
     ) -> None:

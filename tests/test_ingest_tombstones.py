@@ -626,3 +626,39 @@ def test_positions_toggle_refusal_points_at_migration(spark, docs, tmp_path):
     flipped = RetrievalIngest(log, name="docs", positions=True)
     with pytest.raises(ValueError, match="migrate_positions"):
         flipped.process_batch(docs, 1)
+
+
+def test_retrieval_ingest_drop_positions_downgrade(spark, docs, tmp_path):
+    """The corpus-free downgrade: positional -> tf-only is a projection,
+    so BM25 serving is unchanged, phrase serving returns its refusal,
+    and batch ids survive for replay skipping."""
+    t = _texts(docs)
+    log = AppendLog(str(tmp_path / "state"))
+    ing = RetrievalIngest(log, name="docs", positions=True)
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    queries = spark.createDataFrame(
+        [(0, " ".join(t[11].split()[:3]))], "q_id int, q_text string"
+    )
+    want = {_topk_key(r) for r in ing.topk(queries, k=5).collect()}
+
+    ing.drop_positions(spark)
+    assert ing.positions is False
+    assert "positions" not in log.read(spark, ing.tf_table).columns
+    assert {_topk_key(r) for r in ing.topk(queries, k=5).collect()} == want
+    phrases = spark.createDataFrame(
+        [(0, "any phrase")], "phrase_id int, phrase string"
+    )
+    with pytest.raises(ValueError, match="positions"):
+        ing.phrase_match(phrases)
+    for b in (0, 1):
+        assert log.has_batch(ing.stats_table, b)
+    # tf-only ingest continues; a positional reopen gets the refusal
+    # that names the upgrade path
+    RetrievalIngest(log, name="docs").process_batch(
+        _mk(spark, [(200, "post downgrade doc")]), 2
+    )
+    with pytest.raises(ValueError, match="migrate_positions"):
+        RetrievalIngest(log, name="docs", positions=True).process_batch(
+            docs, 3
+        )
