@@ -141,6 +141,66 @@ class DedupIngest:
             threshold=self.threshold, max_bucket=self.max_bucket,
         )
 
+    # -- LSH-parameter manifest --------------------------------------------
+    # The band layout is VALUE-compatible only under identical parameters:
+    # a (doc_id, band, bkey) row is meaningless next to rows signed with a
+    # different num_hashes/band_size/n, and threshold/max_bucket changes
+    # silently break the streamed == one-shot pair contract. Unlike the
+    # positional postings (whose layout shows in the schema), nothing in
+    # the band schema betrays the parameters — so they are persisted at
+    # first ingest and a mismatched reopen refuses, pointing at
+    # migrate_lsh (the same no-silent-mix contract as RetrievalIngest's
+    # positions toggle and AnnIngest's centroid check).
+
+    def _params(self) -> dict:
+        return {
+            "n": self.n, "num_hashes": self.num_hashes,
+            "band_size": self.band_size, "threshold": self.threshold,
+            "max_bucket": self.max_bucket,
+        }
+
+    def _params_path(self) -> str:
+        import os
+
+        return os.path.join(self.log.root, f"{self.name}_lsh_params.json")
+
+    def _write_params(self) -> None:
+        import json
+        import os
+
+        tmp = self._params_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._params(), f)
+        os.replace(tmp, self._params_path())
+
+    def _check_or_adopt_params(self) -> None:
+        import json
+        import os
+
+        path = self._params_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+            if stored != self._params():
+                diffs = {
+                    k: (stored.get(k), self._params()[k])
+                    for k in self._params()
+                    if stored.get(k) != self._params()[k]
+                }
+                raise ValueError(
+                    f"dedup index {self.name!r} was built with different "
+                    f"LSH parameters (stored vs configured: {diffs}) — "
+                    "mixing layouts silently breaks candidate joins; run "
+                    "migrate_lsh(corpus, ...) to re-tune the standing "
+                    "index, or reopen with the stored parameters"
+                )
+        else:
+            # fresh state records its parameters; pre-manifest state
+            # (built before this guard existed) adopts the configured
+            # ones — the historical trust-the-caller behavior, made
+            # sticky from here on
+            self._write_params()
+
     def _corpus_view(self, spark: SparkSession, table: str, batch_id,
                      own_tombs: DataFrame | None):
         """The LIVE corpus state this batch dedups against, frozen to
@@ -176,6 +236,7 @@ class DedupIngest:
         """
         if self.log.has_batch(self.sketches_table, batch_id):
             return  # replayed batch: state already fully committed
+        self._check_or_adopt_params()
         spark = batch_df.sparkSession
         # several consumers (cross pairs, within pairs, bands, sketches)
         # — materialize the rate-limited batch once
@@ -307,6 +368,173 @@ class DedupIngest:
         return containment_pairs_from_sets(
             sk.drop(SEQ_COL), threshold=threshold, max_df=max_df
         )
+
+    _UNSET = object()
+
+    def migrate_lsh(
+        self,
+        corpus: DataFrame,
+        *,
+        n: int | None = None,
+        num_hashes: int | None = None,
+        band_size: int | None = None,
+        threshold: float | None = None,
+        max_bucket=_UNSET,
+    ) -> None:
+        """Re-tune a standing LSH index's parameters IN PLACE — the
+        DedupIngest member of the state-schema-migration family
+        (RetrievalIngest.migrate_positions is the retrieval twin):
+        committed batch ids, per-doc seq stamps, and the replay guards
+        survive, and afterwards the pairs table equals a one-shot
+        `minhash_lsh_pairs` over the live corpus under the NEW
+        parameters — the exact contract streaming ingest maintains
+        batch-by-batch, re-established for the new tuning.
+
+        Bands and sketches derive from text the state doesn't retain, so
+        REBUILD-FROM-SOURCE is the contract: the caller supplies the raw
+        corpus covering every live doc. Fidelity is verified where an
+        invariant exists — when the shingle width n is unchanged, the
+        rebuilt verification sketches must equal the standing ones
+        set-for-set (a drifted corpus raises before any rewrite); when n
+        itself changes there is no invariant to check against, so the
+        coverage check (exact live-id match) is the whole gate and the
+        corpus is trusted — stated here because silence would imply
+        otherwise.
+
+        Rebuilt rows keep each document's ORIGINAL ingest seq (joined
+        from the standing sketches), and each rebuilt pair carries
+        seq = max(its sides' seqs) — so post-migration tombstones
+        supersede exactly what they would have superseded in a stream
+        that had used the new parameters from batch 0. Same
+        single-writer maintenance contract as compact_state."""
+        spark = corpus.sparkSession
+        if self.log.read(spark, self.sketches_table) is None:
+            raise ValueError(
+                f"dedup state {self.name!r} has no ingested batches"
+            )
+        new = self._params()
+        if n is not None:
+            new["n"] = n
+        if num_hashes is not None:
+            new["num_hashes"] = num_hashes
+        if band_size is not None:
+            new["band_size"] = band_size
+        if threshold is not None:
+            new["threshold"] = threshold
+        if max_bucket is not self._UNSET:
+            new["max_bucket"] = max_bucket
+        # fold tombstones + segments so the rewrite sees live state only
+        self.compact_state(spark, min_segments=1)
+        live_sk = self.log.read(spark, self.sketches_table)
+        live_ids = live_sk.select("doc_id")
+        missing = live_ids.join(
+            corpus.select(F.col(self.id_col).alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).count()
+        if missing:
+            raise ValueError(
+                f"migrate_lsh: corpus is missing {missing} live doc(s) "
+                f"of dedup state {self.name!r} — rebuild-from-source "
+                "needs the full live corpus (the index retains no text)"
+            )
+        # corpus-sized join, NOT a broadcast (live set == whole corpus)
+        corpus_live = corpus.join(
+            live_ids.withColumnRenamed("doc_id", self.id_col), self.id_col
+        )
+        if new["n"] == self.n:
+            chk = shingle_sketches(
+                corpus_live, id_col=self.id_col, text_col=self.text_col,
+                n=self.n,
+            )
+            drift = (
+                live_sk.select("doc_id", "sh_set")
+                .join(
+                    chk.select("doc_id", F.col("sh_set").alias("__r")),
+                    "doc_id",
+                )
+                .filter(
+                    F.size(F.array_except("sh_set", "__r"))
+                    + F.size(F.array_except("__r", "sh_set"))
+                    > 0
+                )
+                .count()
+            )
+            if drift:
+                raise ValueError(
+                    f"migrate_lsh: the supplied corpus re-shingles to "
+                    f"different verification sketches for {drift} live "
+                    f"doc(s) of {self.name!r} — it is not the corpus "
+                    "this index indexed; bands from drifted text would "
+                    "be silently wrong"
+                )
+        seqmap = live_sk.select("doc_id", SEQ_COL)
+        kw = dict(
+            id_col=self.id_col, text_col=self.text_col, n=new["n"],
+            num_hashes=new["num_hashes"], band_size=new["band_size"],
+        )
+        # checkpoint all three rebuilds BEFORE any swap: their lineage
+        # reads the standing tables, whose old segment dirs are deleted
+        # as each compact commits
+        new_sk = (
+            shingle_sketches(
+                corpus_live, id_col=self.id_col, text_col=self.text_col,
+                n=new["n"],
+            )
+            .join(seqmap, "doc_id")
+            .localCheckpoint()
+        )
+        new_bands = (
+            lsh_band_index(
+                corpus_live, max_bucket=new["max_bucket"], **kw
+            )
+            .join(seqmap, "doc_id")
+            .localCheckpoint()
+        )
+        oneshot = minhash_lsh_pairs(
+            corpus_live, threshold=new["threshold"],
+            max_bucket=new["max_bucket"], **kw,
+        )
+        sa = seqmap.select(
+            F.col("doc_id").alias("doc_a"), F.col(SEQ_COL).alias("__sa")
+        )
+        sb = seqmap.select(
+            F.col("doc_id").alias("doc_b"), F.col(SEQ_COL).alias("__sb")
+        )
+        new_pairs = (
+            oneshot.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a", "doc_b", "jaccard",
+                # ingest writes found_by_batch as F.lit(batch_id) = INT;
+                # match it so mixed pre/post-migration segments scan
+                F.greatest("__sa", "__sb").cast("int")
+                .alias("found_by_batch"),
+                F.greatest("__sa", "__sb").alias(SEQ_COL),
+            )
+            .localCheckpoint()
+        )
+        for table, df in (
+            (self.sketches_table, new_sk),
+            (self.bands_table, new_bands),
+            (self.pairs_table, new_pairs),
+        ):
+            if self.log.segments(table):
+                self.log.compact(
+                    spark, table, min_segments=1,
+                    transform=lambda _old, repl=df: repl,
+                )
+            elif not df.isEmpty():
+                # a pairs table with no committed segments yet (no pair
+                # ever found) has nothing to compact-swap; the re-tuned
+                # parameters may now admit pairs, so append them
+                self.log.append(df, table, "lsh-migrate")
+        self.n = new["n"]
+        self.num_hashes = new["num_hashes"]
+        self.band_size = new["band_size"]
+        self.threshold = new["threshold"]
+        self.max_bucket = new["max_bucket"]
+        self._write_params()
 
     def compact_state(
         self, spark: SparkSession, *, min_segments: int = 8

@@ -662,3 +662,73 @@ def test_retrieval_ingest_drop_positions_downgrade(spark, docs, tmp_path):
         RetrievalIngest(log, name="docs", positions=True).process_batch(
             docs, 3
         )
+
+
+def test_dedup_ingest_refuses_param_mismatch(spark, docs, tmp_path):
+    """Nothing in the band schema betrays the LSH parameters, so a
+    mismatched reopen must refuse via the persisted params manifest
+    (silently mixing band layouts breaks the candidate join), pointing
+    at migrate_lsh."""
+    log = AppendLog(str(tmp_path / "state"))
+    DedupIngest(log, name="docs").process_batch(docs, 0)
+    retuned = DedupIngest(log, name="docs", num_hashes=24, band_size=3)
+    with pytest.raises(ValueError, match="migrate_lsh"):
+        retuned.process_batch(docs, 1)
+    # a replay of a committed batch stays a silent no-op either way
+    retuned.process_batch(docs, 0)
+    # matching parameters keep ingesting fine
+    DedupIngest(log, name="docs").process_batch(docs.limit(0), 1)
+
+
+def test_dedup_ingest_migrate_lsh_live(spark, docs, tmp_path):
+    """LSH re-tuning migration: build through churn with the default
+    parameters, migrate_lsh to a different (num_hashes, band_size,
+    threshold), and the standing pairs must equal a one-shot
+    minhash_lsh_pairs over the live corpus under the NEW parameters —
+    with batch ids, per-doc seqs, and subsequent churn all intact."""
+    t = _texts(docs)
+    log = AppendLog(str(tmp_path / "state"))
+    ing = DedupIngest(log, name="docs")
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    ing.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    ing.process_batch(
+        _mk(spark, [(2, t[11])]), 2, tombstones=_keys(spark, [2, 3])
+    )
+    live = {k: v for k, v in t.items() if k != 3}
+    live[2] = t[11]
+    live_df = _mk(spark, live.items())
+
+    with pytest.raises(ValueError, match="missing 1 live doc"):
+        ing.migrate_lsh(
+            _mk(spark, [(k, v) for k, v in live.items() if k != 7]),
+            num_hashes=18,
+        )
+    drifted = dict(live)
+    drifted[7] = live[7] + " drift token"
+    with pytest.raises(ValueError, match="re-shingles"):
+        ing.migrate_lsh(_mk(spark, drifted.items()), num_hashes=18)
+
+    new_kw = dict(num_hashes=18, band_size=3, threshold=0.4)
+    ing.migrate_lsh(live_df, **new_kw)
+    want = sorted(map(_pair_key,
+                      dedup_text.minhash_lsh_pairs(live_df, **new_kw)
+                      .collect()))
+    assert sorted(map(_pair_key, ing.pairs(spark).collect())) == want
+    # the manifest now records the new tuning: the OLD parameters refuse
+    with pytest.raises(ValueError, match="migrate_lsh"):
+        DedupIngest(log, name="docs").process_batch(docs, 3)
+    for b in (0, 1, 2):
+        assert log.has_batch(ing.sketches_table, b)
+
+    # churn continues under the new parameters: streamed == one-shot
+    reopened = DedupIngest(log, name="docs", **new_kw)
+    reopened.process_batch(
+        _mk(spark, [(5, t[20])]), 3, tombstones=_keys(spark, [5])
+    )
+    final = dict(live)
+    final[5] = t[20]
+    want2 = sorted(map(_pair_key,
+                       dedup_text.minhash_lsh_pairs(
+                           _mk(spark, final.items()), **new_kw)
+                       .collect()))
+    assert sorted(map(_pair_key, reopened.pairs(spark).collect())) == want2
