@@ -230,6 +230,34 @@ class CdcBatchProcessor:
             self._bm25_ingestors[rule.target_name] = ing
         return ing
 
+    def migrate_bm25_positions(self, target_name: str) -> None:
+        """Upgrade a rule's standing BM25 index to the positional layout
+        in place. The shell retains exactly what the index-level
+        migration needs — the live corpus IS the rule's published target
+        table — so the config-flip workflow is: set `bm25_positions`
+        true on the rule, run this once (offline, same single-writer
+        window as the maintenance cycle), and the stream continues
+        positional; without it the next batch refuses with the
+        layout-mix error that names this path. Fidelity is verified by
+        the index-level migration (the target's text must re-tokenize
+        to the standing postings exactly), so a target whose text
+        column drifted from what was indexed raises instead of serving
+        silently wrong phrase positions."""
+        rule = next(
+            (r for r in self.rules if r.target_name == target_name), None
+        )
+        if rule is None:
+            raise ValueError(f"no sync rule targets {target_name!r}")
+        corpus = self.store.read(self.spark, target_name)
+        if corpus is None:
+            raise ValueError(
+                f"target {target_name!r} has no published rows to "
+                "rebuild positions from"
+            )
+        self._bm25_ingestor(rule).migrate_positions(
+            corpus.select(rule.primary_key[0], rule.bm25_text_column)
+        )
+
     def _apply_quality_gate(
         self, parsed: DataFrame, rule: SyncRule, batch_id
     ) -> DataFrame:

@@ -385,3 +385,100 @@ def test_ranking_metrics_edges(spark):
     assert rows[1].n_hits == 0 and rows[1].mrr == 0.0
     assert rows[2].n_hits == 0 and rows[2].recall_at_k == 0.0
     assert set(rows) == {0, 1, 2}
+
+
+def test_shell_migrate_bm25_positions_config_flip(spark, sf_dir, tmp_path):
+    """The config-flip workflow through the CDC shell: stream with
+    bm25_positions=false, restart with the flag flipped (the next batch
+    would refuse), run migrate_bm25_positions — the shell rebuilds from
+    the live TARGET TABLE it already publishes — and phrase serving
+    plus continued positional ingest both work."""
+    import pytest
+
+    from kafka_cdc_redshift_spark.config import SyncRule
+    from kafka_cdc_redshift_spark.sources import load_table
+    from kafka_cdc_redshift_spark.streaming import (
+        CdcBatchProcessor,
+        ParquetTargetStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 30
+    )
+
+    def env_batch(df, op="c"):
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.lit(None).cast("string").alias("before"),
+                    F.struct(
+                        "doc_id", "text", "lang", "source", "n_chars"
+                    ).alias("after"),
+                    F.struct(
+                        F.lit("corpus").alias("db"),
+                        F.lit("documents").alias("table"),
+                        (F.col("doc_id") + 1000).alias("ts_ms"),
+                    ).alias("source"),
+                    F.lit(op).alias("op"),
+                    (F.col("doc_id") + 1000).alias("ts_ms"),
+                )
+            ).alias("value")
+        )
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    flat_rule = SyncRule(
+        db="corpus", table="documents", primary_key=("doc_id",),
+        bm25_ingest=True,
+    )
+    proc = CdcBatchProcessor(
+        spark, [flat_rule], store, payload_schemas={"documents": docs.schema}
+    )
+    proc.process_batch(env_batch(docs.filter(F.col("doc_id") % 2 == 0)), 0)
+    proc.process_batch(env_batch(docs.filter(F.col("doc_id") % 2 == 1)), 1)
+
+    # restart with the flag flipped: ingest refuses, naming the path
+    pos_rule = SyncRule(
+        db="corpus", table="documents", primary_key=("doc_id",),
+        bm25_ingest=True, bm25_positions=True,
+    )
+    proc2 = CdcBatchProcessor(
+        spark, [pos_rule], store, payload_schemas={"documents": docs.schema}
+    )
+    extra = docs.limit(1).select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.lit("wholly new migrated document").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    with pytest.raises(Exception, match="migrate_positions"):
+        proc2._bm25_ingestor(pos_rule).process_batch(
+            store.read(spark, "documents").limit(0), 99
+        )
+    proc2.migrate_bm25_positions("documents")
+
+    t = {r.doc_id: r.text for r in docs.collect()}
+    phrases = spark.createDataFrame(
+        [(0, " ".join(t[11].split()[:2]))], "phrase_id int, phrase string"
+    )
+    ing = proc2._bm25_ingestor(pos_rule)
+    want = {
+        (r.phrase_id, r.doc_id, r.n_occurrences)
+        for r in retrieval.phrase_match(
+            docs.select("doc_id", "text"), phrases
+        ).collect()
+    }
+    assert {
+        (r.phrase_id, r.doc_id, r.n_occurrences)
+        for r in ing.phrase_match(phrases).collect()
+    } == want and want
+    # the stream continues positional through the shell
+    proc2.process_batch(env_batch(extra), 2)
+    newp = spark.createDataFrame(
+        [(9, "new migrated document")], "phrase_id int, phrase string"
+    )
+    assert {
+        (r.phrase_id, r.doc_id)
+        for r in ing.phrase_match(newp).collect()
+    } == {(9, 500)}
+    # unknown target refuses loudly
+    with pytest.raises(ValueError, match="no sync rule"):
+        proc2.migrate_bm25_positions("nope")
