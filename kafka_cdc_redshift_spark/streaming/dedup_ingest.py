@@ -442,6 +442,16 @@ class DedupIngest:
         corpus_live = corpus.join(
             live_ids.withColumnRenamed("doc_id", self.id_col), self.id_col
         )
+        extra = corpus_live.count() - live_sk.count()
+        if extra:
+            # when n changes there is no sketch invariant to catch a
+            # duplicated-id corpus, so gate cardinality explicitly: one
+            # text per live doc (the ingest's LWW-latest contract)
+            raise ValueError(
+                f"migrate_lsh: corpus carries {extra} duplicate row(s) "
+                f"for live doc ids of {self.name!r} — supply exactly one "
+                "(latest) text per document"
+            )
         if new["n"] == self.n:
             chk = shingle_sketches(
                 corpus_live, id_col=self.id_col, text_col=self.text_col,

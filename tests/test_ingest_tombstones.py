@@ -732,3 +732,13 @@ def test_dedup_ingest_migrate_lsh_live(spark, docs, tmp_path):
                            _mk(spark, final.items()), **new_kw)
                        .collect()))
     assert sorted(map(_pair_key, reopened.pairs(spark).collect())) == want2
+
+
+def test_dedup_migrate_lsh_rejects_duplicate_corpus_rows(spark, docs, tmp_path):
+    log = AppendLog(str(tmp_path / "state"))
+    ing = DedupIngest(log, name="docs")
+    ing.process_batch(docs, 0)
+    t = _texts(docs)
+    duped = _mk(spark, list(t.items()) + [(1, t[1])])
+    with pytest.raises(ValueError, match="duplicate row"):
+        ing.migrate_lsh(duped, n=4)  # n change: no sketch invariant
