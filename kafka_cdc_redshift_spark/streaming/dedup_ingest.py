@@ -406,7 +406,14 @@ class DedupIngest:
         seq = max(its sides' seqs) — so post-migration tombstones
         supersede exactly what they would have superseded in a stream
         that had used the new parameters from batch 0. Same
-        single-writer maintenance contract as compact_state."""
+        single-writer maintenance contract as compact_state.
+
+        Crash contract: every step is rebuild-from-corpus followed by
+        an atomic segment swap, and the params manifest is written
+        LAST — a crash anywhere mid-migration heals by RE-RUNNING with
+        the same arguments (the retry re-derives identical replacement
+        state and re-swaps), and a reopen inside the crash window
+        refuses on the stale manifest — the safe direction."""
         spark = corpus.sparkSession
         if self.log.read(spark, self.sketches_table) is None:
             raise ValueError(

@@ -742,3 +742,41 @@ def test_dedup_migrate_lsh_rejects_duplicate_corpus_rows(spark, docs, tmp_path):
     duped = _mk(spark, list(t.items()) + [(1, t[1])])
     with pytest.raises(ValueError, match="duplicate row"):
         ing.migrate_lsh(duped, n=4)  # n change: no sketch invariant
+
+
+def test_dedup_migrate_lsh_retry_heals_crash_window(spark, docs, tmp_path):
+    """Every migration step is rebuild + atomic swap with the params
+    manifest written LAST, so (a) re-running with the same arguments is
+    idempotent and (b) a crash that swapped the tables but never landed
+    the manifest heals the same way — while a reopen inside that window
+    refuses on the stale manifest (the safe direction)."""
+    import os
+
+    log = AppendLog(str(tmp_path / "state"))
+    ing = DedupIngest(log, name="docs")
+    ing.process_batch(docs, 0)
+    t = _texts(docs)
+    live_df = _mk(spark, t.items())
+    new_kw = dict(num_hashes=18, band_size=3, threshold=0.4)
+
+    ing.migrate_lsh(live_df, **new_kw)
+    want = sorted(map(_pair_key, ing.pairs(spark).collect()))
+
+    # (b) crash window: tables swapped, manifest not written — replica
+    # by deleting the manifest the completed migration wrote
+    os.remove(ing._params_path())
+    with pytest.raises(ValueError, match="migrate_lsh"):
+        # a reopen adopts... no: state predates manifest here, so the
+        # adopt path writes the OLD defaults, then the retuned reopen
+        # must refuse against them
+        DedupIngest(log, name="docs").process_batch(docs.limit(0), 1)
+        DedupIngest(log, name="docs", **new_kw).process_batch(docs, 2)
+
+    # the retry with the same arguments heals: same pairs, manifest back
+    retry = DedupIngest(log, name="docs")
+    retry.migrate_lsh(live_df, **new_kw)
+    assert sorted(map(_pair_key, retry.pairs(spark).collect())) == want
+    assert os.path.exists(retry._params_path())
+    # (a) and a further identical re-run is a no-op on the results
+    retry.migrate_lsh(live_df, **new_kw)
+    assert sorted(map(_pair_key, retry.pairs(spark).collect())) == want
