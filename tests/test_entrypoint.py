@@ -186,17 +186,21 @@ def test_compaction_knobs_parsed_from_properties(spark, tmp_path):
         "sync_table_list=[{\"db\":\"d\",\"table\":\"t\",\"primary_key\":\"pid\"}]\n"
         "compact_every_n_batches=5\n"
         "compact_target_mb=64\n"
+        "keep_versions=3\n"
         f"target_store_path={tmp_path / 'store'}\n"
     )
     proc = build_processor(spark, props)
     assert proc.compact_every_n_batches == 5
     assert proc.compact_target_bytes == 64 * 1024 * 1024
+    assert proc.keep_versions == 3
 
     props2 = load_properties(
         "sync_table_list=[{\"db\":\"d\",\"table\":\"t\",\"primary_key\":\"pid\"}]\n"
         f"target_store_path={tmp_path / 'store2'}\n"
     )
-    assert build_processor(spark, props2).compact_every_n_batches is None
+    proc2 = build_processor(spark, props2)
+    assert proc2.compact_every_n_batches is None
+    assert proc2.keep_versions is None  # default: keep every version
 
 
 def test_target_store_mode_selection(spark, tmp_path):
