@@ -121,20 +121,11 @@ def main() -> None:
             sort_keys=True,
         )
         f.write("\n")
-    # Two lines, detail first: the driver's tail capture is size-bounded and
-    # r3's single ~3 KB line was truncated from the head (BENCH_r03 parsed:
-    # null). The headline summary goes LAST and stays tiny (<200 bytes) so
-    # truncation can only ever eat per-query detail, never the record.
-    print(
-        json.dumps(
-            {
-                "detail": "per_query_sec",
-                "queries": timings,
-                "noise": noise,
-                "sf": float(sf),
-            }
-        )
-    )
+    # stdout carries ONLY the tiny summary line (the driver contract —
+    # and the r9 verdict's artifact item: the driver's 2000-byte tail
+    # capture used to truncate a stdout detail line mid-dict, leaving
+    # noise RATIOS readable as seconds; the full per-query record now
+    # lives in the committed BENCH_DETAIL artifact above instead)
     print(
         json.dumps(
             {
@@ -143,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": float(sf),
+                "detail_file": os.path.basename(detail_path),
             }
         )
     )
