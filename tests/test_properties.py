@@ -818,3 +818,52 @@ def test_group_quantile_sketch_cdc_fold_matches_live_sketch(spark, ops, cut):
         ).collect()
     } if live else {}
     assert got == want
+
+
+# -- rank-substrate stamp (util.stamp_range_bucket, r10 tree spelling) -----
+# rows: (k possibly-null small int, o int) with duplicates allowed — ties
+# and nulls are exactly where a bucketing bug would hide
+stamp_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=stamp_rows, p=st.integers(min_value=1, max_value=23))
+@settings(**SETTINGS)
+def test_stamp_range_bucket_properties(spark, rows, p):
+    """For ANY key set (ties, negatives, NULLs) and ANY partition count:
+    the balanced-tree stamp equals the canonical count-of-bounds-below,
+    rows with a NULL key land in bucket 0, and bucket ids are monotone
+    in (k NULLS FIRST, o) order — the three facts every substrate
+    consumer (rank, ntile, prefix scan) relies on."""
+    from kafka_cdc_redshift_spark.util import (
+        _sampled_range_bounds,
+        stamp_range_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(k, o, i) for i, (k, o) in enumerate(rows)], "k int, o int, id int"
+    )
+    bounds = _sampled_range_bounds(df, ["k", "o"], p)
+    got = {
+        r.id: r["__pid"]
+        for r in stamp_range_bucket(df, ["k", "o"], p).collect()
+    }
+    def below(k, o):
+        if k is None:
+            return 0
+        return sum(1 for b in bounds if (k, o) > b)
+    for i, (k, o) in enumerate(rows):
+        assert got[i] == below(k, o), (rows[i], bounds)
+    # monotone in NULLS FIRST key order
+    ordered = sorted(
+        range(len(rows)),
+        key=lambda i: (rows[i][0] is not None, rows[i][0] or 0, rows[i][1]),
+    )
+    pids = [got[i] for i in ordered]
+    assert pids == sorted(pids), (rows, bounds)
