@@ -48,80 +48,75 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 10 priority: another freshness-protection round by
-    # arithmetic — the 48 queries whose newest green driver row is
-    # r7-era hit the VERDICT's 2-round staleness limit at r10, and the
-    # two r8-era rows whose plans changed in r9 (events_gapfill_locf
-    # moved onto running_agg; cdc_qsketch_current's exact leg moved
-    # onto range_partitioned_rank) must be re-hashed on their current
-    # plans. 48 + 2 = exactly the ~50-row driver cap, so this round
-    # budgets ZERO new catalog queries (r9 verdict item #1).
+    # round 11 priority: the zero-slack freshness round the r10 verdict
+    # predicted — the 46 queries whose newest green driver row is
+    # r8-era hit the 2-round staleness limit at r11, and the two
+    # r9-era rows whose plans changed in r10 (the O(log P) balanced
+    # bucket-stamp tree, util.py stamp_range_bucket) must be re-hashed
+    # on their current plans. 46 + 2 = 48, and the driver's window has
+    # been exactly 50 rows in both r9 and r10, leaving ~2 free slots;
+    # those go to the two r10 bench watch items (r9-era rows anyway),
+    # which both refreshes their hashes and shrinks r12's arithmetic
+    # to 46. This round budgets ZERO new catalog queries.
+    # The five tree-stamp consumers lead the list so a shorter-than-50
+    # window still hashes every plan-changed row first.
     # Everything after this list is ordered stalest-driver-row-first
     # (see _stale_first).
-    # -- the 48 r7-era rows (2-round staleness limit at r10) --
-    "cdc_ann_tombstones",
-    "cdc_bm25_tombstones",
-    "cdc_dedup_tombstones",
-    "cdc_lww_dedup",
-    "cdc_merge_into",
-    "cdc_scd2_history",
-    "corpus_ndv_incremental",
-    "corpus_stats_approx_audit",
-    "curation_pipeline_v2",
-    "customers_lapsed",
-    "dedup_containment",
-    "dedup_keep_best",
-    "dedup_keep_one",
-    "dedup_minhash_eval",
-    "dedup_semantic",
-    "doc_chunk_dedup",
-    "doc_pack_sequences",
-    "doc_sample_stratified",
-    "doc_source_mix",
-    "doc_temperature_mix",
-    "events_anomaly_zscore",
-    "events_approx_distinct",
-    "events_asof_enrich",
-    "events_funnel",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_last_state",
-    "events_range_join",
-    "events_retention_cohort",
-    "events_rollup_totals",
-    "events_salted_agg",
-    "events_salted_join",
-    "events_sessionize",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "sim_hybrid_rrf_ann",
-    "source_lm_crossscore",
-    "text_kneser_ney3",
-    "text_lm_surprisal",
-    "text_rrf_three_way",
-    "text_tfidf_topk",
-    # -- the 2 r9-plan-changed r8-era rows (re-pin per r9 verdict) --
-    "events_gapfill_locf",  # plan changed r9: LOCF leg moved onto running_agg
-    "cdc_qsketch_current",  # plan changed r9: exact leg on range_partitioned_rank
-    # -- below the ~50 cut: the other rank-substrate consumers, whose
-    # plans changed this round with the O(log P) bucket-stamp tree
-    # (r9 verdict item #3). Exact bucket equivalence is pytest-pinned
-    # (test_stamp_range_bucket_tree_is_exact_count_below + the standing
-    # determinism/equivalence suite), so these ride on pytest until the
-    # r11 re-pin if the driver stops at 50; listed here so any extra
-    # cap checks them first --
+    # -- tree-stamp consumers first: the 3 r8-era + 2 r9-era rows whose
+    # plans changed in r10 and which the r10 window cut --
     "doc_len_quantiles",
     "events_value_deciles",
     "doc_ccnet_buckets",
-    "events_quantile_sketch_audit",
-    "events_series_moving_avg",
+    "events_quantile_sketch_audit",  # r9-era, r10-plan-changed
+    "events_series_moving_avg",  # r9-era, r10-plan-changed
+    # -- the remaining 43 r8-era rows (2-round staleness limit) --
+    "cdc_canal_explode",
+    "cdc_canal_json",
+    "cdc_cms_current",
+    "cdc_containment_tombstones",
+    "cdc_phrase_tombstones",
+    "cdc_semdedup_tombstones",
+    "cdc_stats_current",
+    "doc_chunks",
+    "doc_contamination",
+    "doc_sample_k_per_source",
+    "emb_normalize",
+    "emb_quantize",
+    "events_moving_avg",
+    "events_pivot_counts",
+    "events_sliding_rollup",
+    "events_value_hour_corr",
+    "events_value_percentiles",
+    "events_winsorize_bounds",
+    "multimodal_feature_extract",
+    "orders_cube",
+    "profile_documents",
+    "q12_late_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "sim_cosine_topk",
+    "sim_eval_metrics",
+    "sim_hybrid_served",
+    "sim_ivf_topk",
+    "sim_lsh_bucket",
+    "text_curation_pipeline",
+    "text_fingerprint",
+    "text_langid",
+    "text_pretoken_stats",
+    "text_quality",
+    "text_repeated_spans",
+    "text_token_stats",
+    "text_winnow_pairs",
+    "top_customers_per_segment",
+    # -- the ~2 free slots: the r10 bench watch items (r9-era rows);
+    # re-hashing them pairs with the r11 quiet-window timing check --
+    "curation_pipeline_v3",
+    "sim_rrf_three_way_served",
 ]
 
 
