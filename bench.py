@@ -88,8 +88,13 @@ def main() -> None:
     # Full per-query record as a committed artifact (r9 verdict: the
     # driver's 2000-byte tail capture truncates the stdout detail line
     # mid-dict, and noise RATIOS sitting next to runtimes get misread as
-    # seconds). Round number = the next BENCH_r{N} the driver will write,
-    # overridable via SPARK_GRAFT_BENCH_DETAIL_PATH.
+    # seconds). Round number = max(CORRECTNESS_r*) + 1 — the driver
+    # commits CORRECTNESS at round CLOSE, so this stays stable for the
+    # whole build round even after the driver drops this round's
+    # BENCH_r{N}.json into the tree mid-round (inferring from BENCH_r*
+    # desynchronized a post-drop re-run by one round: r10 ADVICE).
+    # Override with SPARK_GRAFT_BENCH_DETAIL_PATH for ad-hoc samples
+    # that must not overwrite the round's official detail artifact.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_PATH")
     if detail_path is None:
@@ -98,8 +103,8 @@ def main() -> None:
 
         nums = [
             int(m.group(1))
-            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+            for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
         ]
         detail_path = os.path.join(
             here, f"BENCH_DETAIL_r{(max(nums) + 1) if nums else 1:02d}.json"

@@ -409,16 +409,28 @@ class DedupIngest:
         single-writer maintenance contract as compact_state.
 
         Crash contract: every step is rebuild-from-corpus followed by
-        an atomic segment swap, and the params manifest is written
+        an atomic segment swap, and the NEW params manifest is written
         LAST — a crash anywhere mid-migration heals by RE-RUNNING with
         the same arguments (the retry re-derives identical replacement
         state and re-swaps), and a reopen inside the crash window
-        refuses on the stale manifest — the safe direction."""
+        refuses on the stale manifest — the safe direction. For that
+        refusal to hold on a pre-manifest index (built before the
+        params guard existed), the CURRENT params are manifested FIRST
+        below — otherwise a crash after the first swap but before the
+        final write would leave migrated state with no manifest at all,
+        and the next reopen would silently adopt whatever parameters it
+        was configured with (_check_or_adopt_params's adoption branch):
+        the exact silent layout mix the guard exists to prevent."""
         spark = corpus.sparkSession
         if self.log.read(spark, self.sketches_table) is None:
             raise ValueError(
                 f"dedup state {self.name!r} has no ingested batches"
             )
+        # manifest the PRE-migration params before anything swaps (also
+        # refuses if this instance was somehow reopened with params that
+        # don't match an existing manifest — migrate from the stored
+        # layout, not a misdeclared one)
+        self._check_or_adopt_params()
         new = self._params()
         if n is not None:
             new["n"] = n

@@ -763,13 +763,15 @@ def test_dedup_migrate_lsh_retry_heals_crash_window(spark, docs, tmp_path):
     want = sorted(map(_pair_key, ing.pairs(spark).collect()))
 
     # (b) crash window: tables swapped, manifest not written — replica
-    # by deleting the manifest the completed migration wrote
+    # by deleting the manifest the completed migration wrote. A
+    # default-params reopen of the manifest-less state ADOPTS the
+    # defaults (writes a defaults manifest); that step must SUCCEED —
+    # it is the adoption the subsequent refusal is checked against.
     os.remove(ing._params_path())
+    DedupIngest(log, name="docs").process_batch(docs.limit(0), 1)
+    assert os.path.exists(ing._params_path())
+    # ...and only the retuned reopen refuses, against that manifest
     with pytest.raises(ValueError, match="migrate_lsh"):
-        # a reopen adopts... no: state predates manifest here, so the
-        # adopt path writes the OLD defaults, then the retuned reopen
-        # must refuse against them
-        DedupIngest(log, name="docs").process_batch(docs.limit(0), 1)
         DedupIngest(log, name="docs", **new_kw).process_batch(docs, 2)
 
     # the retry with the same arguments heals: same pairs, manifest back
@@ -780,3 +782,43 @@ def test_dedup_migrate_lsh_retry_heals_crash_window(spark, docs, tmp_path):
     # (a) and a further identical re-run is a no-op on the results
     retry.migrate_lsh(live_df, **new_kw)
     assert sorted(map(_pair_key, retry.pairs(spark).collect())) == want
+
+
+def test_dedup_migrate_lsh_manifests_old_params_before_any_swap(
+    spark, docs, tmp_path
+):
+    """A PRE-manifest index (built before the params guard existed) must
+    get a manifest of its CURRENT params at the TOP of migrate_lsh — a
+    crash after the first table swap but before the final params write
+    would otherwise leave migrated state with no manifest at all, and
+    the next reopen would silently ADOPT whatever parameters it was
+    configured with: the exact layout mix the guard exists to prevent."""
+    import json
+    import os
+
+    log = AppendLog(str(tmp_path / "state"))
+    ing = DedupIngest(log, name="docs")
+    ing.process_batch(docs, 0)
+    old_params = ing._params()
+    t = _texts(docs)
+    # simulate the legacy pre-manifest index
+    os.remove(ing._params_path())
+
+    # a migration that refuses AFTER the manifest step but BEFORE any
+    # swap (corpus missing a live doc) must leave the OLD params
+    # manifested — the crash window now refuses instead of adopting
+    drop = next(iter(t))
+    partial = _mk(spark, [(k, v) for k, v in t.items() if k != drop])
+    with pytest.raises(ValueError, match="missing"):
+        ing.migrate_lsh(partial, num_hashes=18)
+    assert os.path.exists(ing._params_path())
+    with open(ing._params_path()) as f:
+        assert json.load(f) == old_params
+    with pytest.raises(ValueError, match="migrate_lsh"):
+        DedupIngest(log, name="docs", num_hashes=18).process_batch(docs, 1)
+
+    # the migration itself still completes from here and flips the
+    # manifest to the new tuning
+    ing.migrate_lsh(_mk(spark, t.items()), num_hashes=18)
+    with open(ing._params_path()) as f:
+        assert json.load(f)["num_hashes"] == 18
