@@ -37,9 +37,12 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
                             periodic store small-file compaction
                             (operators/layout.py); unset = off
   keep_versions             version-chain retention: prune target-store
-                            version dirs to the newest N on the
-                            compaction cycle (the Delta-VACUUM analog);
-                            unset = keep all versions (replay audits)
+                            version dirs to the newest N after every
+                            batch (the Delta-VACUUM analog). DEFAULT 2
+                            — under copy-on-write every publish is a
+                            full corpus copy, so keep-all is O(batches)
+                            storage; opt out EXPLICITLY with
+                            keep_versions=all (or 0) for replay audits
   max_deltas_before_fold    cadence-independent cap on accrued per-batch
                             deltas (merge-on-read targets, delete-log /
                             quarantine append logs): any table reaching
@@ -163,8 +166,13 @@ def build_processor(
             if props.get("max_deltas_before_fold")
             else 32
         ),
-        keep_versions=(
-            int(props["keep_versions"]) if props.get("keep_versions") else None
+        # pass the raw property through: the processor normalizes
+        # "all"/"0" to keep-everything and digits to int; an ABSENT key
+        # gets the processor's bounded default (keep the newest 2)
+        **(
+            {"keep_versions": props["keep_versions"]}
+            if props.get("keep_versions")
+            else {}
         ),
     )
 

@@ -114,7 +114,7 @@ class CdcBatchProcessor:
         compact_every_n_batches: int | None = None,
         compact_target_bytes: int = 128 * 1024 * 1024,
         max_deltas_before_fold: int | None = 32,
-        keep_versions: int | None = None,
+        keep_versions: int | str | None = 2,
     ):
         self.spark = spark
         self.rules = rules
@@ -150,13 +150,27 @@ class CdcBatchProcessor:
         # list-reads per query) grows unbounded between compactions
         self.max_deltas_before_fold = max_deltas_before_fold
         # version-chain retention: every publish adds a full version dir
-        # (copy-on-write) or a folded base (merge-on-read) and the chain
-        # keeps ALL of them by default — deliberate for replay audits,
-        # but O(batches) full-corpus copies under sustained churn (the
-        # r10 CoW churn audit measures exactly this). keep_versions=N
-        # prunes to the newest N dirs on the compaction cycle
-        # (store.prune_versions — the Delta-VACUUM analog); None keeps
-        # the historical keep-everything behavior.
+        # (copy-on-write) or a folded base (merge-on-read). keep_versions=N
+        # prunes to the newest N dirs after every batch
+        # (store.prune_versions — the Delta-VACUUM analog). DEFAULT 2:
+        # under copy-on-write, keep-all is O(batches) FULL-CORPUS copies
+        # (the r10 churn audit measures the growth line — 25 dirs /
+        # 14.59 MB in 24 toy batches; at 100 TB that default would be
+        # petabytes in hours), so a long-running job must opt INTO
+        # unbounded history, never fall into it. None / "all" / 0 is the
+        # explicit keep-everything opt-out for replay audits.
+        if isinstance(keep_versions, str):
+            keep_versions = (
+                None if keep_versions.strip().lower() in ("all", "none")
+                else int(keep_versions)
+            )
+        if keep_versions == 0:
+            keep_versions = None
+        if keep_versions is not None and keep_versions < 1:
+            raise ValueError(
+                f"keep_versions={keep_versions!r}: use a positive count, "
+                "or 0/'all' to keep every version"
+            )
         self.keep_versions = keep_versions
         self._batches_since_compact = 0
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
@@ -959,7 +973,32 @@ class CdcBatchProcessor:
             raise RuntimeError(f"batch {batch_id} failed: {errors}")
         self._maybe_compact()
         self._maybe_fold_backstop()
+        self._maybe_prune_versions()
         return statuses
+
+    def _maybe_prune_versions(self) -> None:
+        """Version-chain retention, enforced after EVERY successful batch
+        (not just the compaction cycle — a job with no compaction cadence
+        configured must still not grow a full-corpus copy per publish).
+        The prune itself is a driver-side listdir + rmtree of at most the
+        few directories the last batch added, so per-batch cost is
+        negligible next to the publish it trails; keep >= 2 leaves the
+        previous version for any reader that resolved the pointer just
+        before the flip (store.prune_versions' contract). A prune error
+        is maintenance, not data loss: recorded and retried next batch."""
+        if self.keep_versions is None:
+            return
+        for rule in self.rules:
+            for t in (
+                rule.target_name,
+                f"{rule.target_name}_delete",
+                f"{rule.target_name}_history",
+                f"{rule.target_name}_rejected",
+            ):
+                try:
+                    self.store.prune_versions(t, keep=self.keep_versions)
+                except Exception as e:  # noqa: BLE001 - maintenance only
+                    self.compact_errors.append((t, repr(e)))
 
     def _maybe_fold_backstop(self) -> None:
         """Fold any table whose unfolded delta count reached
@@ -1026,10 +1065,6 @@ class CdcBatchProcessor:
                         target_bytes=self.compact_target_bytes,
                         zorder_cols=list(zcols) or None,
                     )
-                    if self.keep_versions is not None:
-                        self.store.prune_versions(
-                            t, keep=self.keep_versions
-                        )
                 except Exception as e:  # noqa: BLE001
                     self.compact_errors.append((t, repr(e)))
             if rule.ann_ingest:

@@ -200,7 +200,19 @@ def test_compaction_knobs_parsed_from_properties(spark, tmp_path):
     )
     proc2 = build_processor(spark, props2)
     assert proc2.compact_every_n_batches is None
-    assert proc2.keep_versions is None  # default: keep every version
+    # r11: retention default flipped — an UNSET keep_versions now keeps
+    # the newest 2 versions (under copy-on-write every publish is a full
+    # corpus copy, so keep-all must be an explicit choice, never a default)
+    assert proc2.keep_versions == 2
+
+    # the explicit keep-everything opt-out, both spellings
+    for spelling in ("all", "0"):
+        props3 = load_properties(
+            "sync_table_list=[{\"db\":\"d\",\"table\":\"t\",\"primary_key\":\"pid\"}]\n"
+            f"keep_versions={spelling}\n"
+            f"target_store_path={tmp_path / 'store3'}\n"
+        )
+        assert build_processor(spark, props3).keep_versions is None
 
 
 def test_target_store_mode_selection(spark, tmp_path):

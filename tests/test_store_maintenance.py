@@ -16,6 +16,7 @@ not erase the replay guards the streaming paths rely on:
     fold heals the manifest).
 """
 
+import pytest
 from pyspark.sql import Row
 
 from kafka_cdc_redshift_spark.config import SyncRule
@@ -393,6 +394,46 @@ def test_prune_versions_retention(spark, tmp_path):
     assert os.path.isdir(orphan)
 
 
+def test_processor_retention_defaults_bounded_without_compaction(spark, tmp_path):
+    """r11 default flip: a processor with NO compaction cadence and NO
+    explicit keep_versions still bounds the copy-on-write version chain
+    (newest 2) after every batch — a long-running job must opt INTO
+    unbounded history (keep_versions=None/'all'/0), never fall into it."""
+    import json
+
+    root = tmp_path / "store_default"
+    store = ParquetTargetStore(str(root))
+    rule = SyncRule(db="d", table="t", primary_key=("pid",))
+    proc = CdcBatchProcessor(spark, [rule], store)
+    assert proc.keep_versions == 2
+    for b in range(5):
+        batch = spark.createDataFrame(
+            [(json.dumps({
+                "before": None,
+                "after": {"pid": 1, "val": f"v{b}"},
+                "source": {"db": "d", "table": "t"},
+                "op": "u", "ts_ms": b,
+            }),)], "value string",
+        )
+        proc.process_batch(batch, b)
+        assert len(store.versions_on_disk(rule.target_name)) <= 2
+    assert proc.compact_errors == []
+    live = store.read(spark, rule.target_name)
+    assert [(r.pid, r.val) for r in live.collect()] == [(1, "v4")]
+    # string and zero spellings of the opt-out normalize to keep-all
+    assert CdcBatchProcessor(
+        spark, [rule], store, keep_versions="all"
+    ).keep_versions is None
+    assert CdcBatchProcessor(
+        spark, [rule], store, keep_versions=0
+    ).keep_versions is None
+    assert CdcBatchProcessor(
+        spark, [rule], store, keep_versions="3"
+    ).keep_versions == 3
+    with pytest.raises(ValueError, match="keep_versions"):
+        CdcBatchProcessor(spark, [rule], store, keep_versions=-1)
+
+
 def test_processor_keep_versions_prunes_on_compaction_cycle(spark, tmp_path):
     """keep_versions wires prune_versions into the job's maintenance
     cycle: after the compaction batch, the target's chain is at most
@@ -409,9 +450,9 @@ def test_processor_keep_versions_prunes_on_compaction_cycle(spark, tmp_path):
             spark, [rule], store,
             compact_every_n_batches=3, keep_versions=keep,
         )
-        # 6 batches = exactly two compaction cycles (every 3), so the
-        # bounded variant ends right after a prune; between cycles the
-        # chain legitimately grows by up to compact_every_n_batches
+        # 6 batches = exactly two compaction cycles (every 3); since r11
+        # retention is also enforced per batch, the bounded variant's
+        # chain never exceeds keep_versions even between cycles
         for b in range(6):
             batch = spark.createDataFrame(
                 [(json.dumps({
