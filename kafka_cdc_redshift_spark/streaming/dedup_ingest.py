@@ -236,6 +236,10 @@ class DedupIngest:
         """
         if self.log.has_batch(self.sketches_table, batch_id):
             return  # replayed batch: state already fully committed
+        # single-writer fence: a batch committed between a migration's
+        # state read and its atomic swap would be clobbered by the swap
+        # (data AND replay-guard id) — refuse while one is in flight
+        self.log.check_no_maintenance(self.name)
         self._check_or_adopt_params()
         spark = batch_df.sparkSession
         # several consumers (cross pairs, within pairs, bands, sketches)
@@ -442,8 +446,35 @@ class DedupIngest:
             new["threshold"] = threshold
         if max_bucket is not self._UNSET:
             new["max_bucket"] = max_bucket
+        # single-writer marker: concurrent process_batch refuses from
+        # here on (r10 verdict item #4). A crash INSIDE the swap region
+        # leaves the marker standing — the safe direction, ingest stays
+        # refused until the idempotent re-run completes — while a
+        # pre-swap validation failure removes it (state unchanged).
+        self._migrate_swap_started = False
+        self.log.begin_maintenance(self.name, "migrate_lsh")
+        try:
+            self._migrate_lsh_body(corpus, new)
+        except BaseException:
+            if not self._migrate_swap_started:
+                self.log.end_maintenance(self.name)
+            raise
+        self.log.end_maintenance(self.name)
+
+    def _migrate_lsh_body(self, corpus: DataFrame, new: dict) -> None:
+        spark = corpus.sparkSession
+        self._migrate_swap_started = False
         # fold tombstones + segments so the rewrite sees live state only
         self.compact_state(spark, min_segments=1)
+        # single-writer fence: freeze the committed-batch ids of every
+        # table the swap will replace, BEFORE reading the live state the
+        # rebuild derives from — any batch committed after this point
+        # fails the pre-swap verification instead of being clobbered
+        fence = {
+            t: list(self.log.committed(t))
+            for t in (self.sketches_table, self.bands_table,
+                      self.pairs_table)
+        }
         live_sk = self.log.read(spark, self.sketches_table)
         live_ids = live_sk.select("doc_id")
         missing = live_ids.join(
@@ -543,6 +574,19 @@ class DedupIngest:
             )
             .localCheckpoint()
         )
+        # verify EVERY fence before the FIRST swap, so a concurrent
+        # append (a writer that ignored the maintenance marker) aborts
+        # the migration with ZERO tables swapped — no mixed-params
+        # window — then fence each individual swap too (expect_batches)
+        # to narrow the residual race to the swap itself
+        for table in fence:
+            if self.log.committed(table) != fence[table]:
+                raise RuntimeError(
+                    f"migrate_lsh: a concurrent batch committed to "
+                    f"{table!r} during the rebuild — state is unchanged; "
+                    "stop the ingest and re-run the migration"
+                )
+        self._migrate_swap_started = True
         for table, df in (
             (self.sketches_table, new_sk),
             (self.bands_table, new_bands),
@@ -552,6 +596,7 @@ class DedupIngest:
                 self.log.compact(
                     spark, table, min_segments=1,
                     transform=lambda _old, repl=df: repl,
+                    expect_batches=fence[table],
                 )
             elif not df.isEmpty():
                 # a pairs table with no committed segments yet (no pair

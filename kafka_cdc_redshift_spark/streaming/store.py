@@ -359,6 +359,67 @@ class AppendLog:
     def committed(self, table: str) -> list:
         return self._manifest(table)["batches"]
 
+    # -- single-writer maintenance marker (r10 verdict item #4) --------
+    # Migrations and other swap-based maintenance document "run from the
+    # maintenance cycle, not concurrently with process_batch"; these
+    # three methods turn that contract from prose into a refusal. The
+    # marker is a file so it fences SEPARATE PROCESSES too, and it is
+    # deliberately left behind by a crash: the safe direction is "ingest
+    # refuses until the migration is re-run to completion" (the retry
+    # takes the marker over and removes it on success), never "ingest
+    # silently races a half-swapped layout".
+
+    def _maintenance_path(self, scope: str) -> str:
+        return os.path.join(self.root, f"{scope}__MAINTENANCE")
+
+    def active_maintenance(self, scope: str) -> str | None:
+        """The operation name of an in-flight (or crashed) maintenance
+        run for `scope`, or None."""
+        try:
+            with open(self._maintenance_path(scope)) as f:
+                return json.load(f).get("op") or "unknown"
+        except FileNotFoundError:
+            return None
+        except (json.JSONDecodeError, OSError):
+            return "unknown"
+
+    def begin_maintenance(self, scope: str, op: str) -> None:
+        """Take the maintenance marker for `scope`. A retry of the SAME
+        operation takes an existing marker over (the crash-heals-by-
+        re-running contract); a DIFFERENT in-flight operation refuses."""
+        current = self.active_maintenance(scope)
+        if current is not None and current != op:
+            raise RuntimeError(
+                f"maintenance {current!r} is already in flight (or "
+                f"crashed mid-run) on {scope!r}; re-run it to completion "
+                f"before starting {op!r}"
+            )
+        tmp = self._maintenance_path(scope) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"op": op}, f)
+        os.replace(tmp, self._maintenance_path(scope))
+
+    def end_maintenance(self, scope: str) -> None:
+        try:
+            os.remove(self._maintenance_path(scope))
+        except FileNotFoundError:
+            pass
+
+    def check_no_maintenance(self, scope: str) -> None:
+        """Ingest-side guard: refuse to append state while a maintenance
+        marker stands — a batch committed between a migration's state
+        read and its atomic swap would be silently clobbered by the
+        swap (data AND replay-guard id), the worst kind of loss."""
+        op = self.active_maintenance(scope)
+        if op is not None:
+            raise RuntimeError(
+                f"state {scope!r} has maintenance {op!r} in flight (or "
+                "crashed mid-run): ingest would race its atomic swap and "
+                "lose this batch. Re-run the migration to completion "
+                "(its retry is idempotent and clears the marker), then "
+                "retry the batch."
+            )
+
     def segments(self, table: str) -> list:
         """Storage directory names backing the table. Distinct from
         `committed`: compaction merges segments but NEVER forgets batch
@@ -396,7 +457,7 @@ class AppendLog:
 
     def compact(
         self, spark: SparkSession, table: str, *, min_segments: int = 8,
-        transform=None,
+        transform=None, expect_batches=None,
     ) -> int | None:
         """Merge all storage segments into one, WITHOUT forgetting batch
         ids — `has_batch` answers identically before and after, so
@@ -416,11 +477,25 @@ class AppendLog:
         one os.replace; a crash in between leaves an orphan directory
         that is invisible to readers and overwritten by the retry (the
         seg counter only advances on commit). Old directories are
-        deleted best-effort after the swap."""
+        deleted best-effort after the swap.
+
+        `expect_batches` is the single-writer fence for REPLACEMENT
+        rewrites (a migration computed `transform`'s output from state
+        it read earlier): the swap refuses if the committed batch ids no
+        longer match, because writing the replacement would silently
+        clobber the concurrently-appended batch — its data reference
+        AND its replay-guard id."""
         import shutil
 
         m = self._manifest(table)
         segs = self.segments(table)
+        if expect_batches is not None and m["batches"] != list(expect_batches):
+            raise RuntimeError(
+                f"compact({table!r}): committed batches changed since the "
+                f"rewrite was derived (expected {list(expect_batches)}, "
+                f"found {m['batches']}) — a concurrent append raced this "
+                "swap; state is unchanged, re-run the maintenance"
+            )
         # floor of 2: a single segment is already compact — re-merging it
         # every maintenance cycle would be pure rewrite churn
         floor = 1 if transform is not None else 2
@@ -432,6 +507,22 @@ class AppendLog:
         if transform is not None:
             df = transform(df)
         df.write.mode("overwrite").parquet(out)
+        # pre-swap recheck: the union/rewrite above can run for minutes;
+        # an append that committed meanwhile is in neither the merged
+        # segment nor the manifest this swap would install — refuse
+        # rather than clobber it (the marker API makes well-behaved
+        # writers refuse first; this catches the rest up to the final
+        # os.replace). State is unchanged on refusal: re-run.
+        cur = self._manifest(table)
+        cur_segs = cur.get(
+            "segments", [f"batch={b}" for b in cur["batches"]]
+        )
+        if cur["batches"] != m["batches"] or cur_segs != segs:
+            raise RuntimeError(
+                f"compact({table!r}): a concurrent append committed "
+                "during the rewrite (manifest changed under the swap); "
+                "state is unchanged — re-run the maintenance"
+            )
         m["segments"] = [f"seg={n}"]
         m["next_seg"] = n + 1
         self._write_manifest(table, m)

@@ -822,3 +822,150 @@ def test_dedup_migrate_lsh_manifests_old_params_before_any_swap(
     ing.migrate_lsh(_mk(spark, t.items()), num_hashes=18)
     with open(ing._params_path()) as f:
         assert json.load(f)["num_hashes"] == 18
+
+
+def test_migration_single_writer_guard_dedup(spark, docs, tmp_path, monkeypatch):
+    """r10 verdict item #4, live: interleave ingest mid-migration.
+
+    (a) A marker-honoring process_batch REFUSES while migrate_lsh is in
+    flight (the maintenance marker), so well-behaved concurrency
+    serializes by failing loudly. (b) A writer that ignores the marker
+    and lands a real batch mid-rebuild makes the migration ABORT before
+    ANY swap (the committed-batch fence): the interleaved batch keeps
+    its data AND its replay-guard id, the params manifest stays old (no
+    mixed-params window), and re-running the migration over the now-
+    complete corpus heals — streamed pairs == one-shot under the new
+    tuning, interleaved doc included."""
+    import json
+    import os
+
+    import kafka_cdc_redshift_spark.streaming.dedup_ingest as di
+
+    log = AppendLog(str(tmp_path / "state"))
+    ing = DedupIngest(log, name="docs")
+    ing.process_batch(docs, 0)
+    t = _texts(docs)
+    rogue_text = t[next(iter(t))] + " interleaved mid-migration"
+    new_kw = dict(num_hashes=18, band_size=3, threshold=0.4)
+
+    real = dedup_text.lsh_band_index
+    seen = {}
+
+    def hooked(*a, **k):
+        # one-shot: fire only on the migration's own rebuild call
+        if not seen:
+            seen["fired"] = True
+            # (a) a marker-honoring writer refuses mid-migration
+            with pytest.raises(RuntimeError, match="maintenance"):
+                DedupIngest(log, name="docs").process_batch(
+                    _mk(spark, [(98, "honors the marker")]), 9
+                )
+            # (b) a marker-IGNORING writer lands a real batch: simulate
+            # by lifting the marker around a genuine process_batch (the
+            # race window where the append began before the marker)
+            log.end_maintenance("docs")
+            DedupIngest(log, name="docs").process_batch(
+                _mk(spark, [(99, rogue_text)]), 5
+            )
+            log.begin_maintenance("docs", "migrate_lsh")
+        return real(*a, **k)
+
+    monkeypatch.setattr(di, "lsh_band_index", hooked)
+    with pytest.raises(RuntimeError, match="concurrent batch"):
+        ing.migrate_lsh(_mk(spark, t.items()), **new_kw)
+    monkeypatch.setattr(di, "lsh_band_index", real)
+
+    # no lost batch: data and replay-guard id both survive the abort
+    assert log.has_batch(ing.sketches_table, 5)
+    assert any(
+        r.doc_id == 99 for r in log.read(spark, ing.sketches_table).collect()
+    )
+    # no mixed-params window: manifest still records the OLD tuning, the
+    # marker is cleared (zero tables swapped), and old-params ingest
+    # continues
+    with open(ing._params_path()) as f:
+        assert json.load(f)["num_hashes"] == DedupIngest(log, name="x").num_hashes
+    assert log.active_maintenance("docs") is None
+    DedupIngest(log, name="docs").process_batch(
+        _mk(spark, [(98, "post-abort ingest works")]), 6
+    )
+
+    # heal: re-run over the now-complete corpus under the new tuning
+    final = dict(t)
+    final[99] = rogue_text
+    final[98] = "post-abort ingest works"
+    healed = DedupIngest(log, name="docs")
+    healed.migrate_lsh(_mk(spark, final.items()), **new_kw)
+    want = sorted(map(_pair_key,
+                      dedup_text.minhash_lsh_pairs(
+                          _mk(spark, final.items()), **new_kw).collect()))
+    assert sorted(map(_pair_key, healed.pairs(spark).collect())) == want
+    assert log.active_maintenance("docs") is None
+
+
+def test_migration_single_writer_guard_retrieval(spark, docs, tmp_path, monkeypatch):
+    """The retrieval twin of the dedup interleave test: a batch landing
+    mid-migrate_positions aborts the swap with state unchanged (still
+    tf-only, still serving), the interleaved batch survives, and the
+    re-run over the complete corpus upgrades to positional serving."""
+    import kafka_cdc_redshift_spark.streaming.retrieval_ingest as ri
+
+    log = AppendLog(str(tmp_path / "state"))
+    ing = RetrievalIngest(log, name="docs")  # tf-only
+    ing.process_batch(docs, 0)
+    t = _texts(docs)
+    rogue_text = "brand new interleaved document text"
+
+    real = ri.positional_postings
+    seen = {}
+
+    def hooked(*a, **k):
+        if not seen:
+            seen["fired"] = True
+            with pytest.raises(RuntimeError, match="maintenance"):
+                RetrievalIngest(log, name="docs").process_batch(
+                    _mk(spark, [(98, "honors the marker")]), 9
+                )
+            log.end_maintenance("docs")
+            RetrievalIngest(log, name="docs").process_batch(
+                _mk(spark, [(99, rogue_text)]), 5
+            )
+            log.begin_maintenance("docs", "migrate_positions")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ri, "positional_postings", hooked)
+    with pytest.raises(RuntimeError, match="concurrent batch"):
+        ing.migrate_positions(_mk(spark, t.items()))
+    monkeypatch.setattr(ri, "positional_postings", real)
+
+    # the interleaved batch survives with its replay guard; the index is
+    # still tf-only (no partial positional segment) and still serves
+    assert log.has_batch(ing.tf_table, 5)
+    assert ing.positions is False
+    assert "positions" not in log.read(spark, ing.tf_table).columns
+    assert log.active_maintenance("docs") is None
+    queries = spark.createDataFrame(
+        [(0, "interleaved document text")], "q_id int, q_text string"
+    )
+    assert ing.topk(queries, k=3).count() > 0
+
+    # heal: re-run over the corpus incl. the interleaved doc
+    final = dict(t)
+    final[99] = rogue_text
+    final_df = _mk(spark, final.items())
+    healed = RetrievalIngest(log, name="docs")
+    healed.migrate_positions(final_df)
+    assert healed.positions is True
+    phrases = spark.createDataFrame(
+        [(0, "interleaved document"), (1, " ".join(t[next(iter(t))].split()[:2]))],
+        "phrase_id int, phrase string",
+    )
+    served = {
+        (r.phrase_id, r.doc_id, r.n_occurrences)
+        for r in healed.phrase_match(phrases).collect()
+    }
+    batch = {
+        (r.phrase_id, r.doc_id, r.n_occurrences)
+        for r in retrieval.phrase_match(final_df, phrases).collect()
+    }
+    assert served == batch and any(d == 99 for _, d, _n in served)
