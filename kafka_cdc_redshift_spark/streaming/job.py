@@ -988,17 +988,29 @@ class CdcBatchProcessor:
         is maintenance, not data loss: recorded and retried next batch."""
         if self.keep_versions is None:
             return
-        for rule in self.rules:
-            for t in (
-                rule.target_name,
-                f"{rule.target_name}_delete",
-                f"{rule.target_name}_history",
-                f"{rule.target_name}_rejected",
-            ):
-                try:
-                    self.store.prune_versions(t, keep=self.keep_versions)
-                except Exception as e:  # noqa: BLE001 - maintenance only
-                    self.compact_errors.append((t, repr(e)))
+
+        def prune(t: str) -> None:
+            try:
+                self.store.prune_versions(t, keep=self.keep_versions)
+            except Exception as e:  # noqa: BLE001 - maintenance only
+                self.compact_errors.append((t, repr(e)))
+
+        # concurrent like the other maintenance: at wide fan-outs the
+        # rmtree of a full copy-on-write version dir per table is the
+        # cost, and the dirs are disjoint
+        self._for_each_table(
+            prune,
+            [
+                t
+                for rule in self.rules
+                for t in (
+                    rule.target_name,
+                    f"{rule.target_name}_delete",
+                    f"{rule.target_name}_history",
+                    f"{rule.target_name}_rejected",
+                )
+            ],
+        )
 
     def _maybe_fold_backstop(self) -> None:
         """Fold any table whose unfolded delta count reached
@@ -1009,18 +1021,48 @@ class CdcBatchProcessor:
         cap = self.max_deltas_before_fold
         if not cap or not hasattr(self.store, "delta_count"):
             return
-        for rule in self.rules:
-            for t in (
-                rule.target_name,
-                f"{rule.target_name}_delete",
-                f"{rule.target_name}_history",
-                f"{rule.target_name}_rejected",
-            ):
-                try:
-                    if self.store.delta_count(t) >= cap:
-                        self.store.fold_deltas(self.spark, t)
-                except Exception as e:  # noqa: BLE001 - maintenance only
-                    self.compact_errors.append((t, repr(e)))
+
+        def fold(t: str) -> None:
+            try:
+                if self.store.delta_count(t) >= cap:
+                    self.store.fold_deltas(self.spark, t)
+            except Exception as e:  # noqa: BLE001 - maintenance only
+                self.compact_errors.append((t, repr(e)))
+
+        self._for_each_table(
+            fold,
+            [
+                t
+                for rule in self.rules
+                for t in (
+                    rule.target_name,
+                    f"{rule.target_name}_delete",
+                    f"{rule.target_name}_history",
+                    f"{rule.target_name}_rejected",
+                )
+            ],
+        )
+
+    def _for_each_table(self, fn, tables) -> None:
+        """Run independent per-table maintenance CONCURRENTLY on the
+        processor's pool width. The r11 fan-out probe measured the
+        serial per-table fold tail at 18.5 s of a 45.6 s wall (40%)
+        for 30 merge-on-read tables — at the reference's ~100-rule
+        shape a serial maintenance loop walls O(tables), while each
+        table's fold/compact is an independent Spark job that local[*]
+        (or a cluster) overlaps fine. Distinct tables touch disjoint
+        directories/manifests, so concurrency is safe by construction;
+        `fn` must record its own errors (maintenance never fails the
+        batch)."""
+        tables = list(tables)
+        if len(tables) <= 1:
+            for t in tables:
+                fn(t)
+            return
+        with cf.ThreadPoolExecutor(
+            max_workers=min(self.max_workers, len(tables))
+        ) as pool:
+            list(pool.map(fn, tables))
 
     def _maybe_compact(self) -> None:
         if not self.compact_every_n_batches:
@@ -1031,42 +1073,52 @@ class CdcBatchProcessor:
         self._batches_since_compact = 0
         from ..operators.layout import compact_table
 
+        # gather every rule's maintainable tables first, then fold/compact
+        # them CONCURRENTLY (pool-wide): each is an independent Spark job
+        # over its own directories, and the r11 fan-out probe showed the
+        # serial loop dominating maintenance wall at wide fan-outs
+        all_tables: list[tuple[str, tuple]] = []
         for rule in self.rules:
             # (table, clustering): the delete log is append-only event data
             # — size-compact it, but only the keyed target gets the rule's
             # z-order clustering restored
-            tables = [(rule.target_name, tuple(rule.zorder_columns))]
+            all_tables.append((rule.target_name, tuple(rule.zorder_columns)))
             if rule.save_delete or rule.only_save_delete:
-                tables.append((f"{rule.target_name}_delete", ()))
+                all_tables.append((f"{rule.target_name}_delete", ()))
             if rule.scd2_history:
                 # the history accrues per-batch state too (file-sets under
                 # copy-on-write, deltas under merge-on-read) — same cycle
-                tables.append((f"{rule.target_name}_history", ()))
+                all_tables.append((f"{rule.target_name}_history", ()))
             if rule.quality_gate:
                 # the quarantine appends one delta per batch under both
                 # store modes — without a fold its read cost grows without
                 # bound, exactly like the delete log
-                tables.append((f"{rule.target_name}_rejected", ()))
-            for t, zcols in tables:
-                # maintenance must not fail a batch whose data work already
-                # committed: a transient compaction error is recorded, not
-                # raised (the next cycle retries it). Non-transient
-                # zorder_columns misconfiguration never lands here:
-                # compact_table degrades it to size-only compaction with a
-                # warning, so small files cannot accrue indefinitely.
-                try:
-                    if hasattr(self.store, "fold_deltas"):
-                        # merge-on-read: materialize base from the
-                        # accumulated deltas first, then size/cluster-
-                        # compact the fresh base like any other table
-                        self.store.fold_deltas(self.spark, t)
-                    compact_table(
-                        self.store, self.spark, t,
-                        target_bytes=self.compact_target_bytes,
-                        zorder_cols=list(zcols) or None,
-                    )
-                except Exception as e:  # noqa: BLE001
-                    self.compact_errors.append((t, repr(e)))
+                all_tables.append((f"{rule.target_name}_rejected", ()))
+
+        def maintain(item: tuple[str, tuple]) -> None:
+            t, zcols = item
+            # maintenance must not fail a batch whose data work already
+            # committed: a transient compaction error is recorded, not
+            # raised (the next cycle retries it). Non-transient
+            # zorder_columns misconfiguration never lands here:
+            # compact_table degrades it to size-only compaction with a
+            # warning, so small files cannot accrue indefinitely.
+            try:
+                if hasattr(self.store, "fold_deltas"):
+                    # merge-on-read: materialize base from the
+                    # accumulated deltas first, then size/cluster-
+                    # compact the fresh base like any other table
+                    self.store.fold_deltas(self.spark, t)
+                compact_table(
+                    self.store, self.spark, t,
+                    target_bytes=self.compact_target_bytes,
+                    zorder_cols=list(zcols) or None,
+                )
+            except Exception as e:  # noqa: BLE001
+                self.compact_errors.append((t, repr(e)))
+
+        self._for_each_table(maintain, all_tables)
+        for rule in self.rules:
             if rule.ann_ingest:
                 # the drift loop rides the same maintenance economics as
                 # re-clustering: measure, and rebuild+swap only when the

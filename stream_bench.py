@@ -115,9 +115,14 @@ def _timed_run(spark, work, topic_dir, rules, schemas, store, tag,
     q.awaitTermination()
     if fold_after:
         # include one final fold so the merge-on-read number covers the
-        # full (amortized) cost of materializing the same final tables
-        for r in rules:
-            store.fold_deltas(spark, r.target_name)
+        # full (amortized) cost of materializing the same final tables —
+        # concurrently across tables, exactly like the processor's own
+        # maintenance cycle (the r11 fan-out probe measured the SERIAL
+        # tail at 18.5 s of a 45.6 s wall for 30 tables)
+        proc._for_each_table(
+            lambda t: store.fold_deltas(spark, t),
+            [r.target_name for r in rules],
+        )
     wall = time.perf_counter() - t0
     batches = len([b for b in proc.batch_statuses if b])
     err = [s for b in proc.batch_statuses for s in b if s.status == "error"]
