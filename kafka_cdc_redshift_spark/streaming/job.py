@@ -1054,7 +1054,9 @@ class CdcBatchProcessor:
         directories/manifests, so concurrency is safe by construction;
         `fn` must record its own errors (maintenance never fails the
         batch)."""
-        tables = list(tables)
+        # dedupe (two rules sharing a target must not maintain the same
+        # table concurrently) while preserving order
+        tables = list(dict.fromkeys(tables))
         if len(tables) <= 1:
             for t in tables:
                 fn(t)
