@@ -510,6 +510,13 @@ class VersionedAnnIndex:
         self, batch_df: DataFrame, batch_id, *,
         tombstones: DataFrame | None = None,
     ) -> None:
+        # single-writer fence (same contract as the dedup/retrieval
+        # ingestors): a batch appended to the OLD version between a
+        # rebuild's id capture and its pointer flip would be absent
+        # from the new version's snapshot AND below its watermark — the
+        # stream's checkpoint has committed it, so it would silently
+        # vanish from serving. Refuse while a rebuild is in flight.
+        self.log.check_no_maintenance(self.name)
         ptr = self._pointer()
         if ptr is None:
             idx = self._bootstrap_or_recover(0, batch_df)
@@ -576,36 +583,66 @@ class VersionedAnnIndex:
         the interim vectors — and the stale snapshot (a strict subset of
         the fresh corpus) is retired first so the new version never holds
         both. The absorbed ids are captured BEFORE the corpus read, so
-        the watermark can never cover a batch the snapshot missed."""
+        the watermark can never cover a batch the snapshot missed.
+
+        CONCURRENT interleavings (vs the sequential retry above) are
+        enforced out, not reasoned away (r11, same contract as
+        migrate_lsh/migrate_positions): a maintenance marker makes a
+        concurrent `process_batch` refuse for the rebuild's duration,
+        and the pointer flip is fenced on the committed ids captured at
+        the start — a marker-ignoring writer's batch aborts the flip
+        (its batch and the old version stay fully live; the retry
+        re-snapshots and absorbs it) instead of vanishing from serving
+        below the new watermark. Every pre-flip step is invisible to
+        readers, so any abort leaves state unchanged and clears the
+        marker; only a process death leaves it standing — the safe
+        direction (ingest refuses until the idempotent re-run)."""
         ptr = self._pointer()
         if ptr is None:
             raise ValueError(f"index {self.name!r} has no published version")
-        cur = self._index(ptr["version"])
-        old_ids = [
-            b for b in self.log.committed(cur.cells_table)
-            if isinstance(b, int)
-        ]
-        # snapshot the LIVE corpus: tombstoned (updated/deleted) vectors
-        # must not be resurrected into the new version
-        corpus = cur.live_cells(spark)
-        if corpus is None:
-            raise ValueError(f"index {self.name!r} is empty")
-        corpus = corpus.select(self.id_col, self.vec_col)
-        new_version = ptr["version"] + 1
-        wm_parts = list(old_ids)
-        if ptr.get("watermark") is not None:
-            wm_parts.append(ptr["watermark"])
-        new_wm = max(wm_parts) if wm_parts else None
-        snap_id = f"{self._SNAPSHOT}:{new_wm}"
-        idx = self._bootstrap_or_recover(new_version, corpus)
-        for table in (idx.cells_table, idx.codes_table):
-            stale = [
-                b for b in self.log.committed(table)
-                if isinstance(b, str) and b.startswith(self._SNAPSHOT)
-                and b != snap_id
+        self.log.begin_maintenance(self.name, "ann_rebuild")
+        try:
+            cur = self._index(ptr["version"])
+            old_ids = [
+                b for b in self.log.committed(cur.cells_table)
+                if isinstance(b, int)
             ]
-            if stale:
-                self.log.retire(table, stale)
-        idx.process_batch(corpus, snap_id, seq=new_wm if new_wm else 0)
-        self._flip(new_version, new_wm)
+            fence = {
+                t: [b for b in self.log.committed(t) if isinstance(b, int)]
+                for t in (cur.cells_table, cur.codes_table)
+            }
+            # snapshot the LIVE corpus: tombstoned (updated/deleted)
+            # vectors must not be resurrected into the new version
+            corpus = cur.live_cells(spark)
+            if corpus is None:
+                raise ValueError(f"index {self.name!r} is empty")
+            corpus = corpus.select(self.id_col, self.vec_col)
+            new_version = ptr["version"] + 1
+            wm_parts = list(old_ids)
+            if ptr.get("watermark") is not None:
+                wm_parts.append(ptr["watermark"])
+            new_wm = max(wm_parts) if wm_parts else None
+            snap_id = f"{self._SNAPSHOT}:{new_wm}"
+            idx = self._bootstrap_or_recover(new_version, corpus)
+            for table in (idx.cells_table, idx.codes_table):
+                stale = [
+                    b for b in self.log.committed(table)
+                    if isinstance(b, str) and b.startswith(self._SNAPSHOT)
+                    and b != snap_id
+                ]
+                if stale:
+                    self.log.retire(table, stale)
+            idx.process_batch(corpus, snap_id, seq=new_wm if new_wm else 0)
+            for t, ids in fence.items():
+                if [b for b in self.log.committed(t)
+                        if isinstance(b, int)] != ids:
+                    raise RuntimeError(
+                        f"ann rebuild: a concurrent batch committed to "
+                        f"{t!r} during the snapshot — the pointer was NOT "
+                        "flipped (old version fully live); stop the "
+                        "ingest and re-run the rebuild"
+                    )
+            self._flip(new_version, new_wm)
+        finally:
+            self.log.end_maintenance(self.name)
         return new_version

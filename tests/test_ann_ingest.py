@@ -428,3 +428,68 @@ def test_versioned_index_rebuild_retry_after_crash_keeps_interim_batches(
     idx.process_batch(b0.limit(0), 3)  # empty new batch commits fine
     idx.process_batch(emb.filter(F.col("vec_id") % 50 == 7), 4)
     assert idx.log.read(spark, idx.current().cells_table).count() > n
+
+
+def test_versioned_index_rebuild_single_writer_guard(
+    spark, emb, queries, tmp_path
+):
+    """r11: concurrent interleavings are enforced out, like the other
+    ingestors' migrations. (a) A marker-honoring process_batch REFUSES
+    while a rebuild is in flight. (b) A writer that ignores the marker
+    and lands a real batch mid-snapshot makes the rebuild ABORT before
+    the pointer flip — the batch stays fully live in the old (still
+    serving) version with its replay guard, and the retried rebuild
+    absorbs it into the new version."""
+    from kafka_cdc_redshift_spark.streaming.ann_ingest import VersionedAnnIndex
+
+    log = AppendLog(str(tmp_path / "state"))
+    idx = VersionedAnnIndex(log, name="vg", n_centroids=4, drift_floor=1.1)
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    rogue = emb.filter(F.col("vec_id") % 3 == 2)
+    idx.process_batch(b0, 0)  # bootstraps v0
+    idx.process_batch(b1, 1)
+
+    orig_boot = idx._bootstrap_or_recover
+    fired = {}
+
+    def hooked(version, train_df):
+        if not fired:
+            fired["x"] = True
+            # (a) a marker-honoring writer refuses mid-rebuild
+            other = VersionedAnnIndex(log, name="vg", n_centroids=4)
+            with pytest.raises(RuntimeError, match="maintenance"):
+                other.process_batch(rogue, 2)
+            # (b) the race window: an append that began before the
+            # marker — lift it around a genuine process_batch
+            log.end_maintenance("vg")
+            other.process_batch(rogue, 2)
+            log.begin_maintenance("vg", "ann_rebuild")
+        return orig_boot(version, train_df)
+
+    idx._bootstrap_or_recover = hooked
+    with pytest.raises(RuntimeError, match="concurrent batch"):
+        idx.rebuild(spark)
+    idx._bootstrap_or_recover = orig_boot
+
+    # pointer never flipped: old version serves, incl. the interleaved
+    # batch, and its replay guard stands
+    assert idx.current_version() == 0
+    assert log.active_maintenance("vg") is None
+    v0_ids = {r.vec_id for r in
+              log.read(spark, idx.current().cells_table)
+              .select("vec_id").collect()}
+    assert {r.vec_id for r in rogue.collect()} <= v0_ids
+    n0 = log.read(spark, idx.current().cells_table).count()
+    idx.process_batch(rogue, 2)  # replay: no-op
+    assert log.read(spark, idx.current().cells_table).count() == n0
+
+    # the retried rebuild absorbs the interleaved batch
+    assert idx.rebuild(spark) == 1
+    cells = log.read(spark, idx.current().cells_table)
+    got = sorted(r.vec_id for r in cells.select("vec_id").collect())
+    want = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert got == want  # nothing lost, nothing duplicated
+    # watermark covers the interleaved batch post-flip
+    idx.process_batch(rogue, 2)
+    assert log.read(spark, idx.current().cells_table).count() == len(want)
