@@ -74,7 +74,7 @@ def cow_audit(spark, docs, args):
     same sustained-churn protocol through the TARGET store path
     (merge_changes + versioned publish), recording the per-fold
     version-chain length and on-disk store size. Two variants: the
-    keep-everything default (documents the O(batches) full-corpus chain
+    keep-everything opt-out (documents the O(batches) full-corpus chain
     — every publish is a complete copy under copy-on-write) and the
     `keep_versions` retention knob (store.prune_versions on the
     maintenance cycle), which must hold both chain length and bytes

@@ -410,7 +410,11 @@ class DedupIngest:
         seq = max(its sides' seqs) — so post-migration tombstones
         supersede exactly what they would have superseded in a stream
         that had used the new parameters from batch 0. Same
-        single-writer maintenance contract as compact_state.
+        single-writer maintenance contract as compact_state — ENFORCED
+        here (r11): the maintenance marker below makes a concurrent
+        process_batch refuse, and the committed-batch fence aborts the
+        migration with zero tables swapped if a marker-ignoring writer
+        lands a batch mid-rebuild.
 
         Crash contract: every step is rebuild-from-corpus followed by
         an atomic segment swap, and the NEW params manifest is written
