@@ -471,3 +471,78 @@ def test_processor_keep_versions_prunes_on_compaction_cycle(spark, tmp_path):
             assert len(chain) > 2, chain
         live = store.read(spark, rule.target_name)
         assert [(r.pid, r.val) for r in live.collect()] == [(1, "v5")]
+
+
+def test_append_log_compact_refuses_concurrent_append(spark, tmp_path):
+    """The r11 universal pre-swap recheck, unit-level: a batch that
+    commits to the manifest WHILE compact's rewrite is running (here:
+    injected from inside the transform, exactly the window between the
+    entry read and the swap) makes the swap REFUSE with state unchanged
+    — the interleaved batch keeps its data and its replay-guard id —
+    and the re-run (now seeing the batch) succeeds."""
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    log = AppendLog(str(tmp_path / "log"))
+    log.append(_rows(spark, [(1, "a")]), "t", 0)
+    log.append(_rows(spark, [(2, "b")]), "t", 1)
+
+    def sneak_append(df):
+        log.append(_rows(spark, [(3, "c")]), "t", 2)
+        return df
+
+    with pytest.raises(RuntimeError, match="concurrent append"):
+        log.compact(spark, "t", min_segments=1, transform=sneak_append)
+    # nothing lost: all three batches committed, all rows readable
+    assert log.committed("t") == [0, 1, 2]
+    assert log.read(spark, "t").count() == 3
+    # the re-run (no interleaver) merges all three
+    assert log.compact(spark, "t", min_segments=1, transform=lambda d: d) == 3
+    assert log.committed("t") == [0, 1, 2]
+    assert log.read(spark, "t").count() == 3
+    assert log.segments("t") == ["seg=0"]
+
+
+def test_append_log_compact_expect_batches_fence(spark, tmp_path):
+    """The rebuild-from-source fence, unit-level: expect_batches
+    captured BEFORE a batch landed makes compact refuse up front (the
+    replacement was derived from stale state); the current id list
+    passes."""
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    log = AppendLog(str(tmp_path / "log"))
+    log.append(_rows(spark, [(1, "a")]), "t", 0)
+    stale_fence = list(log.committed("t"))
+    log.append(_rows(spark, [(2, "b")]), "t", 1)
+    with pytest.raises(RuntimeError, match="committed batches changed"):
+        log.compact(spark, "t", min_segments=1,
+                    transform=lambda d: d, expect_batches=stale_fence)
+    assert log.committed("t") == [0, 1]
+    assert log.read(spark, "t").count() == 2
+    log.compact(spark, "t", min_segments=1, transform=lambda d: d,
+                expect_batches=[0, 1])
+    assert log.read(spark, "t").count() == 2
+
+
+def test_maintenance_marker_api(tmp_path):
+    """Marker lifecycle: begin/active/check/end; same-op retry takes an
+    existing marker over (crash-heal), a different op refuses."""
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    log = AppendLog(str(tmp_path / "log"))
+    assert log.active_maintenance("x") is None
+    log.check_no_maintenance("x")  # no marker: no-op
+    log.begin_maintenance("x", "migrate_a")
+    assert log.active_maintenance("x") == "migrate_a"
+    with pytest.raises(RuntimeError, match="maintenance"):
+        log.check_no_maintenance("x")
+    # same-op retry takes over; different op refuses
+    log.begin_maintenance("x", "migrate_a")
+    with pytest.raises(RuntimeError, match="migrate_a"):
+        log.begin_maintenance("x", "migrate_b")
+    # scopes are independent
+    log.begin_maintenance("y", "other")
+    log.end_maintenance("x")
+    assert log.active_maintenance("x") is None
+    assert log.active_maintenance("y") == "other"
+    log.end_maintenance("y")
+    log.end_maintenance("y")  # idempotent
