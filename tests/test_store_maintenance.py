@@ -546,3 +546,78 @@ def test_maintenance_marker_api(tmp_path):
     assert log.active_maintenance("y") == "other"
     log.end_maintenance("y")
     log.end_maintenance("y")  # idempotent
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: version-chain retention vs a model (r11 default-flip safety)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CHAIN_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("publish"), st.just(0)),
+        st.tuples(st.just("prune"), st.integers(1, 3)),
+        st.tuples(st.just("orphan"), st.just(0)),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ops=_CHAIN_OPS)
+def test_cow_chain_retention_state_machine(spark, tmp_path_factory, ops):
+    """Any interleaving of publishes, prunes, and crashed-publish orphan
+    dirs keeps (1) read == the LAST published content, (2) the replay
+    guard (pointer batch_id) == the last publish's id, (3) after
+    prune(keep=k) the on-disk chain holds exactly the newest
+    min(k, published) pointer-eligible versions, and (4) orphan dirs
+    NEWER than the pointer are never pruned (the next publish owns
+    them)."""
+    import os
+
+    store = ParquetTargetStore(str(tmp_path_factory.mktemp("chain")))
+    published = 0
+    orphans: set[int] = set()
+    last_keep: int | None = None
+    for i, (op, arg) in enumerate(ops):
+        if op == "publish":
+            published += 1
+            store.publish(
+                _rows(spark, [(1, f"v{published}")]), "t",
+                batch_id=published,
+            )
+            # a publish may overwrite an orphan dir at its own version
+            orphans = {o for o in orphans
+                       if o > (store.current_version("t") or -1)}
+            last_keep = None
+        elif op == "prune":
+            pruned = store.prune_versions("t", keep=arg)
+            last_keep = arg
+            assert all(isinstance(v, int) for v in pruned)
+        elif op == "orphan":
+            cur = store.current_version("t")
+            v = (cur if cur is not None else -1) + 3 + i
+            os.makedirs(os.path.join(str(store.root), "t", f"version={v}"),
+                        exist_ok=True)
+            orphans.add(v)
+
+        cur = store.current_version("t")
+        if published == 0:
+            continue
+        # (1) + (2): content and replay guard track the LAST publish
+        rows = [(r.pid, r.val) for r in store.read(spark, "t").collect()]
+        assert rows == [(1, f"v{published}")]
+        assert store.last_batch_id("t") == published
+        # (3) + (4): chain = suffix of pointer-eligible versions + orphans
+        chain = store.versions_on_disk("t")
+        assert cur in chain
+        eligible = [v for v in chain if v <= cur]
+        if last_keep is not None:
+            assert len(eligible) <= last_keep or len(eligible) == 1
+            assert eligible == sorted(eligible)
+            assert eligible[-1] == cur
+        assert orphans <= set(chain)
