@@ -1120,7 +1120,12 @@ class CdcBatchProcessor:
                 self.compact_errors.append((t, repr(e)))
 
         self._for_each_table(maintain, all_tables)
-        for rule in self.rules:
+
+        def maintain_ingestors(rule: SyncRule) -> None:
+            # one serial chain PER RULE (maintain may swap the version
+            # compact_state then folds), run concurrently ACROSS rules —
+            # each rule's ingestors own disjoint AppendLog state, the
+            # same independence the per-table loop above exploits
             if rule.ann_ingest:
                 # the drift loop rides the same maintenance economics as
                 # re-clustering: measure, and rebuild+swap only when the
@@ -1149,6 +1154,12 @@ class CdcBatchProcessor:
                     self.compact_errors.append(
                         (f"{rule.target_name}{label}", repr(e))
                     )
+
+        ingest_rules = [
+            r for r in self.rules
+            if r.ann_ingest or r.dedup_ingest or r.bm25_ingest
+        ]
+        self._for_each_table(maintain_ingestors, ingest_rules)
 
 
 def run_file_stream(
