@@ -43,6 +43,14 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     return run
 
 
+# The CURRENT build round. Single explicit source of truth for artifact
+# labeling (bench.py's BENCH_DETAIL_r{N}.json) — bumped by hand at each
+# round open. Every inference scheme tried so far desynced once: BENCH_r*
+# appears mid-round (r10 ADVICE), and CORRECTNESS_r{N} lands BEFORE the
+# driver's close bench (r11 verdict: the official r11 detail self-labeled
+# r12). A constant cannot desync.
+ROUND = 12
+
 # The driver's correctness check records at most ~50 queries per round, in
 # registration order. This list pins the queries that MUST be checked this
 # round (new, or changed signal/plan); the rest register stalest-driver-

@@ -23,6 +23,15 @@ from kafka_cdc_redshift_spark.plans.catalog import warm_fixtures  # noqa: E402
 from kafka_cdc_redshift_spark.session import build_session  # noqa: E402
 
 
+def default_detail_path() -> str:
+    """Filename (no directory) of the round's official bench detail
+    artifact, labeled from the explicit `__spark_entry__.ROUND` marker —
+    the single source of truth for the build round (unit-pinned)."""
+    from __spark_entry__ import ROUND
+
+    return f"BENCH_DETAIL_r{ROUND:02d}.json"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -88,27 +97,16 @@ def main() -> None:
     # Full per-query record as a committed artifact (r9 verdict: the
     # driver's 2000-byte tail capture truncates the stdout detail line
     # mid-dict, and noise RATIOS sitting next to runtimes get misread as
-    # seconds). Round number = max(CORRECTNESS_r*) + 1 — the driver
-    # commits CORRECTNESS at round CLOSE, so this stays stable for the
-    # whole build round even after the driver drops this round's
-    # BENCH_r{N}.json into the tree mid-round (inferring from BENCH_r*
-    # desynchronized a post-drop re-run by one round: r10 ADVICE).
-    # Override with SPARK_GRAFT_BENCH_DETAIL_PATH for ad-hoc samples
-    # that must not overwrite the round's official detail artifact.
+    # seconds). Round number = __spark_entry__.ROUND, the ONE explicit
+    # marker bumped at each round open — every inference scheme desynced
+    # once (BENCH_r* appears mid-round, r10 ADVICE; CORRECTNESS_r{N}
+    # lands BEFORE the driver's close bench, r11 verdict). Override with
+    # SPARK_GRAFT_BENCH_DETAIL_PATH for ad-hoc samples that must not
+    # overwrite the round's official detail artifact.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_PATH")
     if detail_path is None:
-        import glob as _glob
-        import re as _re
-
-        nums = [
-            int(m.group(1))
-            for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-            if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-        ]
-        detail_path = os.path.join(
-            here, f"BENCH_DETAIL_r{(max(nums) + 1) if nums else 1:02d}.json"
-        )
+        detail_path = os.path.join(here, default_detail_path())
     with open(detail_path, "w") as f:
         json.dump(
             {

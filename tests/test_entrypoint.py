@@ -412,3 +412,34 @@ sync_table_list = [\\
     # incremental census family landed
     assert store.read(spark, "docs_stats") is not None
     assert store.read(spark, "docs_ndv") is not None
+
+
+def test_bench_round_label_from_explicit_marker():
+    """The bench detail artifact's round label comes from the ONE explicit
+    `__spark_entry__.ROUND` marker, never inference (r11 verdict: every
+    inference scheme desynced once — BENCH_r* appears mid-round,
+    CORRECTNESS_r{N} lands before the driver's close bench). The marker
+    must also sit in the window the committed correctness history
+    implies: the newest CORRECTNESS file is the PREVIOUS round's for the
+    whole build round, and this round's own at driver close."""
+    import glob
+    import os
+    import re
+
+    import __spark_entry__ as entry
+    import bench
+
+    assert isinstance(entry.ROUND, int)
+    assert bench.default_detail_path() == f"BENCH_DETAIL_r{entry.ROUND:02d}.json"
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    nums = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    if nums:  # mid-round: max+1 == ROUND; at driver close: max == ROUND
+        assert entry.ROUND in (max(nums), max(nums) + 1), (
+            f"ROUND={entry.ROUND} is stale vs CORRECTNESS_r{max(nums):02d}"
+            " — bump the ROUND constant in __spark_entry__.py at round open"
+        )
