@@ -43,6 +43,11 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
                             full corpus copy, so keep-all is O(batches)
                             storage; opt out EXPLICITLY with
                             keep_versions=all (or 0) for replay audits
+  prune_grace_sec           reader-grace seconds on top of keep_versions:
+                            a version dir newer than this is never
+                            pruned, so a long-running concurrent reader
+                            cannot lose files mid-scan under per-batch
+                            pruning (default 300; 0 disables)
   max_deltas_before_fold    cadence-independent cap on accrued per-batch
                             deltas (merge-on-read targets, delete-log /
                             quarantine append logs): any table reaching
@@ -172,6 +177,14 @@ def build_processor(
         **(
             {"keep_versions": props["keep_versions"]}
             if props.get("keep_versions")
+            else {}
+        ),
+        # reader-grace seconds on top of keep_versions (never prune a
+        # version newer than this); absent key = the processor's 300 s
+        # default, 0 disables
+        **(
+            {"prune_grace_sec": props["prune_grace_sec"]}
+            if props.get("prune_grace_sec")
             else {}
         ),
     )

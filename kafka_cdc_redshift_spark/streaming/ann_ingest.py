@@ -569,7 +569,8 @@ class VersionedAnnIndex:
         self.rebuild(spark)
         return True
 
-    def rebuild(self, spark: SparkSession) -> int:
+    def rebuild(self, spark: SparkSession, *,
+                force: bool = False) -> int:
         """Retrain on the standing corpus (the index rows carry their
         vectors), snapshot it into version N+1 under fresh centroids, and
         atomically flip the pointer. The watermark advances to the highest
@@ -600,7 +601,9 @@ class VersionedAnnIndex:
         ptr = self._pointer()
         if ptr is None:
             raise ValueError(f"index {self.name!r} has no published version")
-        self.log.begin_maintenance(self.name, "ann_rebuild")
+        nonce = self.log.begin_maintenance(
+            self.name, "ann_rebuild", force=force
+        )
         try:
             cur = self._index(ptr["version"])
             old_ids = [
@@ -644,5 +647,5 @@ class VersionedAnnIndex:
                     )
             self._flip(new_version, new_wm)
         finally:
-            self.log.end_maintenance(self.name)
+            self.log.end_maintenance(self.name, nonce)
         return new_version

@@ -384,6 +384,7 @@ class DedupIngest:
         band_size: int | None = None,
         threshold: float | None = None,
         max_bucket=_UNSET,
+        force: bool = False,
     ) -> None:
         """Re-tune a standing LSH index's parameters IN PLACE — the
         DedupIngest member of the state-schema-migration family
@@ -453,17 +454,23 @@ class DedupIngest:
         # single-writer marker: concurrent process_batch refuses from
         # here on (r10 verdict item #4). A crash INSIDE the swap region
         # leaves the marker standing — the safe direction, ingest stays
-        # refused until the idempotent re-run completes — while a
-        # pre-swap validation failure removes it (state unchanged).
+        # refused until the re-run (force=True after confirming the
+        # crashed run is dead: r11 ADVICE nonce ownership) completes —
+        # while a pre-swap validation failure removes it (state
+        # unchanged). The nonce scopes every clear to THIS run's marker:
+        # if another run took ours over, clearing would resume ingest
+        # under ITS half-swap.
         self._migrate_swap_started = False
-        self.log.begin_maintenance(self.name, "migrate_lsh")
+        nonce = self.log.begin_maintenance(
+            self.name, "migrate_lsh", force=force
+        )
         try:
             self._migrate_lsh_body(corpus, new)
         except BaseException:
             if not self._migrate_swap_started:
-                self.log.end_maintenance(self.name)
+                self.log.end_maintenance(self.name, nonce)
             raise
-        self.log.end_maintenance(self.name)
+        self.log.end_maintenance(self.name, nonce)
 
     def _migrate_lsh_body(self, corpus: DataFrame, new: dict) -> None:
         spark = corpus.sparkSession

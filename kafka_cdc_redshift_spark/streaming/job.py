@@ -115,6 +115,7 @@ class CdcBatchProcessor:
         compact_target_bytes: int = 128 * 1024 * 1024,
         max_deltas_before_fold: int | None = 32,
         keep_versions: int | str | None = 2,
+        prune_grace_sec: float | int | str = 300.0,
     ):
         self.spark = spark
         self.rules = rules
@@ -172,6 +173,21 @@ class CdcBatchProcessor:
                 "or 0/'all' to keep every version"
             )
         self.keep_versions = keep_versions
+        # reader-grace window on top of the version count (r11 ADVICE:
+        # with per-batch pruning and a fast trigger, keep>=2 alone is one
+        # BATCH of grace, not one compaction cycle — a concurrent reader
+        # that resolved the pointer a few publishes ago would lose its
+        # files mid-scan). A version newer than this many seconds is
+        # never pruned; the Delta-VACUUM retention-hours analog, scaled
+        # to micro-batch cadence. 0 disables (tests; offline jobs with
+        # no concurrent readers).
+        prune_grace_sec = float(prune_grace_sec)
+        if prune_grace_sec < 0:
+            raise ValueError(
+                f"prune_grace_sec={prune_grace_sec!r}: use seconds >= 0"
+            )
+        self.prune_grace_sec = prune_grace_sec
+        self._prune_warned: set[str] = set()
         self._batches_since_compact = 0
         self.batch_statuses: list[list[TaskStatus]] = []  # per processed batch
         self.compact_errors: list[tuple[str, str]] = []  # (table, error)
@@ -991,7 +1007,38 @@ class CdcBatchProcessor:
 
         def prune(t: str) -> None:
             try:
-                self.store.prune_versions(t, keep=self.keep_versions)
+                # upgrade loudness (r11 ADVICE): a job that accrued a long
+                # version chain under the old keep-all default starts
+                # deleting replay/audit history on its first prune after
+                # an upgrade — say so ONCE per table, before it happens,
+                # with the opt-out spelled out. A steadily-pruned chain
+                # holds at most keep+1 dirs when the prune runs, so a
+                # longer chain here is pre-existing history.
+                if t not in self._prune_warned:
+                    self._prune_warned.add(t)
+                    if hasattr(self.store, "versions_on_disk"):
+                        chain = len(self.store.versions_on_disk(t))
+                        if chain > self.keep_versions + 1:
+                            import logging
+
+                            logging.getLogger(__name__).warning(
+                                "retention: table %r has %d version dirs "
+                                "(pre-existing history); keep_versions=%d "
+                                "will prune all but the newest %d (plus a "
+                                "%.0fs grace window). Set "
+                                "keep_versions='all' to keep every "
+                                "version for replay audits.",
+                                t, chain, self.keep_versions,
+                                self.keep_versions, self.prune_grace_sec,
+                            )
+                # spark is passed EXPLICITLY: this runs on pool worker
+                # threads where getActiveSession() is None (thread-local
+                # through py4j), which silently skipped the bucketed
+                # store's catalog cleanup (r11 ADVICE)
+                self.store.prune_versions(
+                    t, keep=self.keep_versions,
+                    min_age_sec=self.prune_grace_sec, spark=self.spark,
+                )
             except Exception as e:  # noqa: BLE001 - maintenance only
                 self.compact_errors.append((t, repr(e)))
 
@@ -1054,8 +1101,12 @@ class CdcBatchProcessor:
         directories/manifests, so concurrency is safe by construction;
         `fn` must record its own errors (maintenance never fails the
         batch)."""
-        # dedupe (two rules sharing a target must not maintain the same
-        # table concurrently) while preserving order
+        # dedupe identical items while preserving order (two rules
+        # sharing a target must not maintain the same table
+        # concurrently). NOTE: this is item-level — callers passing
+        # non-string items must dedupe by TABLE NAME themselves
+        # (_maybe_compact does: its (table, zcols) tuples can differ
+        # while naming the same table; r11 ADVICE)
         tables = list(dict.fromkeys(tables))
         if len(tables) <= 1:
             for t in tables:
@@ -1096,6 +1147,18 @@ class CdcBatchProcessor:
                 # store modes — without a fold its read cost grows without
                 # bound, exactly like the delete log
                 all_tables.append((f"{rule.target_name}_rejected", ()))
+
+        # dedupe by TABLE NAME, not by (table, zcols) item (r11 ADVICE):
+        # _for_each_table's generic dedupe is on the full item, so two
+        # rules sharing a target_name with different zorder_columns — or
+        # a target colliding with another rule's _delete/_history suffix
+        # table — would fold/compact the same table concurrently, racing
+        # its manifest/version pointer. Keep the FIRST rule's clustering
+        # (same winner as the serial loop's last-write, but race-free).
+        seen_tables: dict[str, tuple] = {}
+        for t, zcols in all_tables:
+            seen_tables.setdefault(t, zcols)
+        all_tables = list(seen_tables.items())
 
         def maintain(item: tuple[str, tuple]) -> None:
             t, zcols = item

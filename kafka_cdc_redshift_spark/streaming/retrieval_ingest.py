@@ -264,7 +264,8 @@ class RetrievalIngest:
         )
         return phrase_match_from_postings(flat, phrases)
 
-    def migrate_positions(self, corpus: DataFrame) -> None:
+    def migrate_positions(self, corpus: DataFrame, *,
+                          force: bool = False) -> None:
         """Upgrade a standing tf-only index to the positional layout IN
         PLACE — the schema-evolution path for the engine's own state
         tables (the target-table analog is D1–D6): committed batch ids,
@@ -307,7 +308,9 @@ class RetrievalIngest:
         if "positions" in existing.columns:
             self.positions = True  # already positional: no-op upgrade
             return
-        self.log.begin_maintenance(self.name, "migrate_positions")
+        nonce = self.log.begin_maintenance(
+            self.name, "migrate_positions", force=force
+        )
         swapped = False
         try:
             # fold tombstones + merge segments so the rewrite sees
@@ -318,9 +321,9 @@ class RetrievalIngest:
             swapped = self._migrate_positions_body(corpus, fence)
         except BaseException:
             if not swapped:
-                self.log.end_maintenance(self.name)
+                self.log.end_maintenance(self.name, nonce)
             raise
-        self.log.end_maintenance(self.name)
+        self.log.end_maintenance(self.name, nonce)
         self.positions = True
 
     def _migrate_positions_body(self, corpus: DataFrame, fence) -> bool:
@@ -393,7 +396,8 @@ class RetrievalIngest:
         )
         return True
 
-    def drop_positions(self, spark: SparkSession) -> None:
+    def drop_positions(self, spark: SparkSession, *,
+                       force: bool = False) -> None:
         """The downgrade twin of `migrate_positions`: rewrite a standing
         positional index to the tf-only layout. Needs NO corpus — tf-only
         postings are a pure projection of the positional ones — so it is
@@ -411,7 +415,9 @@ class RetrievalIngest:
         # same single-writer enforcement as migrate_positions: marker
         # refuses concurrent ingest, fence aborts on a marker-ignoring
         # writer with state unchanged
-        self.log.begin_maintenance(self.name, "drop_positions")
+        nonce = self.log.begin_maintenance(
+            self.name, "drop_positions", force=force
+        )
         try:
             self.compact_state(spark, min_segments=1)
             fence = list(self.log.committed(self.tf_table))
@@ -425,9 +431,9 @@ class RetrievalIngest:
         except BaseException:
             # any failure here left the old manifest standing (the swap
             # is atomic), so state is unchanged — safe to clear
-            self.log.end_maintenance(self.name)
+            self.log.end_maintenance(self.name, nonce)
             raise
-        self.log.end_maintenance(self.name)
+        self.log.end_maintenance(self.name, nonce)
         self.positions = False
 
     def compact_state(

@@ -215,7 +215,10 @@ class ParquetTargetStore:
             if n.startswith("version=") and n.split("=", 1)[1].isdigit()
         )
 
-    def prune_versions(self, table: str, *, keep: int = 2) -> list[int]:
+    def prune_versions(
+        self, table: str, *, keep: int = 2, min_age_sec: float = 0.0,
+        spark: SparkSession | None = None,
+    ) -> list[int]:
         """Retention knob for the copy-on-write version chain: delete
         version directories older than the newest `keep`, NEVER the
         current pointer's version (keep >= 1 enforced). Without pruning
@@ -226,25 +229,40 @@ class ParquetTargetStore:
         Readers only ever open the pointer's version, so pruning behind
         `keep >= 2` leaves the previous version for any reader that
         resolved the pointer just before a publish (same single-writer
-        maintenance contract as the other folds). Directories NEWER than
-        the pointer (a crashed publish that never flipped) are left
-        alone — the next publish overwrites them. Returns the pruned
-        version numbers."""
+        maintenance contract as the other folds). `min_age_sec` adds a
+        TIME grace on top of the count: a version newer than that many
+        seconds is never pruned, so under per-batch pruning with a fast
+        trigger a long-running concurrent reader that resolved the
+        pointer several publishes ago cannot have its files deleted
+        mid-scan (the Delta VACUUM retention-hours analog; r11 ADVICE).
+        Directories NEWER than the pointer (a crashed publish that never
+        flipped) are left alone — the next publish overwrites them.
+        `spark` is accepted for interface uniformity with subclasses
+        that must touch the session catalog (BucketedTargetStore);
+        the base prune is pure filesystem. Returns the pruned version
+        numbers."""
         import shutil
+        import time
 
         keep = max(1, keep)
         cur = self.current_version(table)
         if cur is None:
             return []
         floor = cur - keep + 1
-        pruned = [
-            v for v in self.versions_on_disk(table) if v < floor
-        ]
-        for v in pruned:
-            shutil.rmtree(
-                os.path.join(self.root, table, f"version={v}"),
-                ignore_errors=True,
-            )
+        cutoff = time.time() - max(0.0, min_age_sec)
+        pruned = []
+        for v in self.versions_on_disk(table):
+            if v >= floor:
+                continue
+            path = os.path.join(self.root, table, f"version={v}")
+            if min_age_sec > 0.0:
+                try:
+                    if os.path.getmtime(path) > cutoff:
+                        continue  # inside the reader-grace window
+                except OSError:
+                    pass  # vanished or unreadable: fall through to rmtree
+            pruned.append(v)
+            shutil.rmtree(path, ignore_errors=True)
         return pruned
 
 
@@ -302,11 +320,21 @@ class BucketedTargetStore(ParquetTargetStore):
                 f"DROP TABLE IF EXISTS {self._catalog_name(table, prev)}"
             )
 
-    def prune_versions(self, table: str, *, keep: int = 2) -> list[int]:
-        pruned = super().prune_versions(table, keep=keep)
+    def prune_versions(
+        self, table: str, *, keep: int = 2, min_age_sec: float = 0.0,
+        spark: SparkSession | None = None,
+    ) -> list[int]:
+        pruned = super().prune_versions(
+            table, keep=keep, min_age_sec=min_age_sec
+        )
         # publish already dropped the previous catalog entry; this only
-        # clears entries a crashed publish left behind for pruned dirs
-        spark = SparkSession.getActiveSession()
+        # clears entries a crashed publish left behind for pruned dirs.
+        # The session comes from the CALLER: getActiveSession() is
+        # thread-local through py4j and returns None from the worker
+        # threads the maintenance pool runs prunes on (r11 ADVICE) —
+        # relying on it here silently skipped exactly this cleanup in
+        # the code path that does all the pruning.
+        spark = spark or SparkSession.getActiveSession()
         if spark is not None:
             for v in pruned:
                 spark.sql(
@@ -383,23 +411,70 @@ class AppendLog:
         except (json.JSONDecodeError, OSError):
             return "unknown"
 
-    def begin_maintenance(self, scope: str, op: str) -> None:
-        """Take the maintenance marker for `scope`. A retry of the SAME
-        operation takes an existing marker over (the crash-heals-by-
-        re-running contract); a DIFFERENT in-flight operation refuses."""
+    def begin_maintenance(self, scope: str, op: str, *,
+                          force: bool = False) -> str:
+        """Take the maintenance marker for `scope` and return an
+        ownership nonce (pass it to `end_maintenance`). ANY standing
+        marker refuses — including the SAME operation: without owner
+        identity a retry of a crashed run and a second LIVE concurrent
+        run are indistinguishable, and two live runs both proceeding is
+        exactly the clobber the marker exists to prevent (r11 ADVICE —
+        e.g. two ann rebuilds both targeting version N+1, the first
+        completer's end_maintenance resuming ingest under the second's
+        half-swap). Crash recovery is therefore EXPLICIT: after
+        confirming the prior run is dead, re-run the same op with
+        `force=True` to take its marker over (the migrations' idempotent
+        re-run contract). A DIFFERENT in-flight operation always
+        refuses, force or not — its crashed state must be healed by ITS
+        re-run first."""
+        import uuid
+
         current = self.active_maintenance(scope)
-        if current is not None and current != op:
-            raise RuntimeError(
-                f"maintenance {current!r} is already in flight (or "
-                f"crashed mid-run) on {scope!r}; re-run it to completion "
-                f"before starting {op!r}"
-            )
+        if current is not None:
+            if current != op:
+                raise RuntimeError(
+                    f"maintenance {current!r} is already in flight (or "
+                    f"crashed mid-run) on {scope!r}; re-run it to "
+                    f"completion before starting {op!r}"
+                )
+            if not force:
+                raise RuntimeError(
+                    f"maintenance {op!r} is already in flight on "
+                    f"{scope!r} — a second live run would race its swap."
+                    " If the prior run crashed (its marker survives by"
+                    " design), confirm it is dead and re-run with"
+                    " force=True to take the marker over."
+                )
+        nonce = f"{os.getpid()}-{uuid.uuid4().hex[:16]}"
         tmp = self._maintenance_path(scope) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"op": op}, f)
+            json.dump({"op": op, "nonce": nonce, "pid": os.getpid()}, f)
         os.replace(tmp, self._maintenance_path(scope))
+        return nonce
 
-    def end_maintenance(self, scope: str) -> None:
+    def end_maintenance(self, scope: str, nonce: str | None = None) -> None:
+        """Clear the maintenance marker. With a `nonce`, clear ONLY a
+        marker this run owns: if the marker's nonce differs, this run
+        was taken over (force=True) and removing the new owner's marker
+        would resume ingest under ITS half-swap — raise instead.
+        `nonce=None` is the unconditional clear, for crash-recovery
+        tooling and legacy (pre-nonce) markers; in-engine callers always
+        pass their nonce. Idempotent when no marker stands."""
+        if nonce is not None:
+            try:
+                with open(self._maintenance_path(scope)) as f:
+                    owner = json.load(f).get("nonce")
+            except FileNotFoundError:
+                return
+            except (json.JSONDecodeError, OSError):
+                owner = None  # unreadable/legacy marker: clearable
+            if owner is not None and owner != nonce:
+                raise RuntimeError(
+                    f"maintenance marker on {scope!r} is owned by "
+                    "another run (this run was taken over with "
+                    "force=True); refusing to clear the new owner's "
+                    "marker"
+                )
         try:
             os.remove(self._maintenance_path(scope))
         except FileNotFoundError:

@@ -461,10 +461,18 @@ def test_versioned_index_rebuild_single_writer_guard(
             with pytest.raises(RuntimeError, match="maintenance"):
                 other.process_batch(rogue, 2)
             # (b) the race window: an append that began before the
-            # marker — lift it around a genuine process_batch
-            log.end_maintenance("vg")
+            # marker — lift the marker FILE around a genuine
+            # process_batch and restore it VERBATIM (the rebuild keeps
+            # its nonce ownership, as in the real race)
+            import os
+
+            mp = log._maintenance_path("vg")
+            with open(mp) as f:
+                saved_marker = f.read()
+            os.remove(mp)
             other.process_batch(rogue, 2)
-            log.begin_maintenance("vg", "ann_rebuild")
+            with open(mp, "w") as f:
+                f.write(saved_marker)
         return orig_boot(version, train_df)
 
     idx._bootstrap_or_recover = hooked

@@ -187,12 +187,14 @@ def test_compaction_knobs_parsed_from_properties(spark, tmp_path):
         "compact_every_n_batches=5\n"
         "compact_target_mb=64\n"
         "keep_versions=3\n"
+        "prune_grace_sec=60\n"
         f"target_store_path={tmp_path / 'store'}\n"
     )
     proc = build_processor(spark, props)
     assert proc.compact_every_n_batches == 5
     assert proc.compact_target_bytes == 64 * 1024 * 1024
     assert proc.keep_versions == 3
+    assert proc.prune_grace_sec == 60.0
 
     props2 = load_properties(
         "sync_table_list=[{\"db\":\"d\",\"table\":\"t\",\"primary_key\":\"pid\"}]\n"
@@ -200,6 +202,8 @@ def test_compaction_knobs_parsed_from_properties(spark, tmp_path):
     )
     proc2 = build_processor(spark, props2)
     assert proc2.compact_every_n_batches is None
+    # absent prune_grace_sec = the processor's 300 s reader-grace default
+    assert proc2.prune_grace_sec == 300.0
     # r11: retention default flipped — an UNSET keep_versions now keeps
     # the newest 2 versions (under copy-on-write every publish is a full
     # corpus copy, so keep-all must be an explicit choice, never a default)

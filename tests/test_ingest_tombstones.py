@@ -861,13 +861,19 @@ def test_migration_single_writer_guard_dedup(spark, docs, tmp_path, monkeypatch)
                     _mk(spark, [(98, "honors the marker")]), 9
                 )
             # (b) a marker-IGNORING writer lands a real batch: simulate
-            # by lifting the marker around a genuine process_batch (the
-            # race window where the append began before the marker)
-            log.end_maintenance("docs")
+            # by lifting the marker FILE around a genuine process_batch
+            # (the race window where the append began before the marker)
+            # and restoring it VERBATIM — the migration still owns its
+            # nonce, exactly as in the real race
+            mp = log._maintenance_path("docs")
+            with open(mp) as f:
+                saved_marker = f.read()
+            os.remove(mp)
             DedupIngest(log, name="docs").process_batch(
                 _mk(spark, [(99, rogue_text)]), 5
             )
-            log.begin_maintenance("docs", "migrate_lsh")
+            with open(mp, "w") as f:
+                f.write(saved_marker)
         return real(*a, **k)
 
     monkeypatch.setattr(di, "lsh_band_index", hooked)
@@ -926,11 +932,19 @@ def test_migration_single_writer_guard_retrieval(spark, docs, tmp_path, monkeypa
                 RetrievalIngest(log, name="docs").process_batch(
                     _mk(spark, [(98, "honors the marker")]), 9
                 )
-            log.end_maintenance("docs")
+            # lift/restore the marker FILE verbatim (nonce ownership
+            # stays with the migration, as in the real race window)
+            import os
+
+            mp = log._maintenance_path("docs")
+            with open(mp) as f:
+                saved_marker = f.read()
+            os.remove(mp)
             RetrievalIngest(log, name="docs").process_batch(
                 _mk(spark, [(99, rogue_text)]), 5
             )
-            log.begin_maintenance("docs", "migrate_positions")
+            with open(mp, "w") as f:
+                f.write(saved_marker)
         return real(*a, **k)
 
     monkeypatch.setattr(ri, "positional_postings", hooked)
@@ -969,3 +983,42 @@ def test_migration_single_writer_guard_retrieval(spark, docs, tmp_path, monkeypa
         for r in retrieval.phrase_match(final_df, phrases).collect()
     }
     assert served == batch and any(d == 99 for _, d, _n in served)
+
+
+def test_migration_crash_takeover_requires_force(spark, docs, tmp_path):
+    """r11 ADVICE: a standing marker refuses a plain re-run of the SAME
+    op — without owner identity, a crashed run's retry and a second LIVE
+    run are indistinguishable, and two live runs both proceeding is the
+    clobber the marker prevents. Crash recovery is explicit: confirm the
+    prior run is dead, re-run with force=True — the takeover mints a new
+    owner, heals state, and clears the marker; ingest stays refused for
+    the whole window in between."""
+    log = AppendLog(str(tmp_path / "state"))
+    ing = DedupIngest(log, name="docs")
+    ing.process_batch(docs, 0)
+    t = _texts(docs)
+    live_df = _mk(spark, t.items())
+    new_kw = dict(num_hashes=18, band_size=3, threshold=0.4)
+
+    # simulate a crash inside the swap region: the marker survives
+    log.begin_maintenance("docs", "migrate_lsh")
+
+    # ingest refuses while the marker stands
+    with pytest.raises(RuntimeError, match="maintenance"):
+        DedupIngest(log, name="docs").process_batch(
+            _mk(spark, [(98, "refused")]), 1
+        )
+    # a plain re-run refuses too: it cannot know the prior run is dead
+    with pytest.raises(RuntimeError, match="force=True"):
+        ing.migrate_lsh(live_df, **new_kw)
+    # the explicit takeover completes the migration and clears the marker
+    ing.migrate_lsh(live_df, force=True, **new_kw)
+    assert log.active_maintenance("docs") is None
+    want = sorted(map(_pair_key,
+                      dedup_text.minhash_lsh_pairs(live_df, **new_kw)
+                      .collect()))
+    assert sorted(map(_pair_key, ing.pairs(spark).collect())) == want
+    # ingest resumes under the new tuning
+    DedupIngest(log, name="docs", **new_kw).process_batch(
+        _mk(spark, [(98, "post-heal ingest works")]), 2
+    )

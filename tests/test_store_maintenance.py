@@ -404,8 +404,15 @@ def test_processor_retention_defaults_bounded_without_compaction(spark, tmp_path
     root = tmp_path / "store_default"
     store = ParquetTargetStore(str(root))
     rule = SyncRule(db="d", table="t", primary_key=("pid",))
-    proc = CdcBatchProcessor(spark, [rule], store)
+    # grace=0: the default 300 s reader-grace window (r11 ADVICE) would
+    # keep every toy-run version alive; the retention BOUND under test
+    # needs the prune to act immediately
+    proc = CdcBatchProcessor(spark, [rule], store, prune_grace_sec=0)
     assert proc.keep_versions == 2
+    # the reader-grace default itself (and its validation)
+    assert CdcBatchProcessor(spark, [rule], store).prune_grace_sec == 300.0
+    with pytest.raises(ValueError, match="prune_grace_sec"):
+        CdcBatchProcessor(spark, [rule], store, prune_grace_sec=-1)
     for b in range(5):
         batch = spark.createDataFrame(
             [(json.dumps({
@@ -449,6 +456,7 @@ def test_processor_keep_versions_prunes_on_compaction_cycle(spark, tmp_path):
         proc = CdcBatchProcessor(
             spark, [rule], store,
             compact_every_n_batches=3, keep_versions=keep,
+            prune_grace_sec=0,  # toy run: prune must act immediately
         )
         # 6 batches = exactly two compaction cycles (every 3); since r11
         # retention is also enforced per batch, the bounded variant's
@@ -524,28 +532,48 @@ def test_append_log_compact_expect_batches_fence(spark, tmp_path):
 
 
 def test_maintenance_marker_api(tmp_path):
-    """Marker lifecycle: begin/active/check/end; same-op retry takes an
-    existing marker over (crash-heal), a different op refuses."""
+    """Marker lifecycle with OWNERSHIP (r11 ADVICE): begin returns a
+    per-run nonce; a standing marker refuses even the SAME op unless
+    force=True (crash recovery is explicit — two LIVE runs of one
+    migration must never both proceed); a different op always refuses;
+    end with a nonce clears only the marker that run owns."""
     from kafka_cdc_redshift_spark.streaming.store import AppendLog
 
     log = AppendLog(str(tmp_path / "log"))
     assert log.active_maintenance("x") is None
     log.check_no_maintenance("x")  # no marker: no-op
-    log.begin_maintenance("x", "migrate_a")
+    nonce = log.begin_maintenance("x", "migrate_a")
+    assert isinstance(nonce, str) and nonce
     assert log.active_maintenance("x") == "migrate_a"
     with pytest.raises(RuntimeError, match="maintenance"):
         log.check_no_maintenance("x")
-    # same-op retry takes over; different op refuses
-    log.begin_maintenance("x", "migrate_a")
+    # a second live run of the SAME op refuses without force...
+    with pytest.raises(RuntimeError, match="force=True"):
+        log.begin_maintenance("x", "migrate_a")
+    # ...a different op refuses regardless, force or not
     with pytest.raises(RuntimeError, match="migrate_a"):
         log.begin_maintenance("x", "migrate_b")
+    with pytest.raises(RuntimeError, match="migrate_a"):
+        log.begin_maintenance("x", "migrate_b", force=True)
+    # explicit crash-recovery takeover mints a NEW owner: the old run's
+    # nonce can no longer clear the marker (it would resume ingest under
+    # the new owner's half-swap)
+    nonce2 = log.begin_maintenance("x", "migrate_a", force=True)
+    assert nonce2 != nonce
+    with pytest.raises(RuntimeError, match="owned by another run"):
+        log.end_maintenance("x", nonce)
+    assert log.active_maintenance("x") == "migrate_a"
     # scopes are independent
-    log.begin_maintenance("y", "other")
-    log.end_maintenance("x")
+    ny = log.begin_maintenance("y", "other")
+    log.end_maintenance("x", nonce2)
     assert log.active_maintenance("x") is None
     assert log.active_maintenance("y") == "other"
-    log.end_maintenance("y")
-    log.end_maintenance("y")  # idempotent
+    log.end_maintenance("y", ny)
+    log.end_maintenance("y", ny)  # idempotent once cleared
+    # nonce=None is the unconditional clear (crash-recovery tooling)
+    log.begin_maintenance("z", "migrate_c")
+    log.end_maintenance("z")
+    assert log.active_maintenance("z") is None
 
 
 # ---------------------------------------------------------------------------
@@ -621,3 +649,74 @@ def test_cow_chain_retention_state_machine(spark, tmp_path_factory, ops):
             assert eligible == sorted(eligible)
             assert eligible[-1] == cur
         assert orphans <= set(chain)
+
+
+def test_prune_versions_reader_grace_window(spark, tmp_path):
+    """r11 ADVICE: `min_age_sec` is a TIME grace on top of the version
+    count — a version directory newer than that many seconds is never
+    pruned, so per-batch pruning with a fast trigger cannot delete the
+    files of a long-running concurrent reader that resolved the pointer
+    a few publishes ago. Aging a dir past the window (backdated mtime)
+    makes it prunable again."""
+    import os
+
+    store = ParquetTargetStore(str(tmp_path))
+    for i in range(5):
+        store.publish(_rows(spark, [(1, f"v{i}")]), "t", batch_id=i)
+    # every dir was just written: a 1-hour grace protects all of them
+    assert store.prune_versions("t", keep=2, min_age_sec=3600) == []
+    assert store.versions_on_disk("t") == [0, 1, 2, 3, 4]
+
+    # age versions 0-1 past the window: only they become prunable
+    for v in (0, 1):
+        d = os.path.join(str(tmp_path), "t", f"version={v}")
+        os.utime(d, (os.path.getmtime(d) - 7200, os.path.getmtime(d) - 7200))
+    assert store.prune_versions("t", keep=2, min_age_sec=3600) == [0, 1]
+    assert store.versions_on_disk("t") == [2, 3, 4]
+
+    # grace never overrides the count floor the other way: an aged dir
+    # inside the newest `keep` still survives (age 2 and 4; only 2 is
+    # outside the newest keep=2 and outside the grace, so only 2 goes)
+    for v in (2, 4):
+        d = os.path.join(str(tmp_path), "t", f"version={v}")
+        os.utime(d, (os.path.getmtime(d) - 7200, os.path.getmtime(d) - 7200))
+    assert store.prune_versions("t", keep=2, min_age_sec=3600) == [2]
+    assert store.versions_on_disk("t") == [3, 4]
+
+
+def test_bucketed_prune_catalog_cleanup_from_worker_thread(spark, tmp_path):
+    """r11 ADVICE: BucketedTargetStore.prune_versions is invoked from the
+    maintenance pool's worker threads, where getActiveSession() is None
+    (active-session state is thread-local through py4j) — the catalog
+    cleanup of entries left by crashed publishes silently stopped
+    happening exactly where all the pruning now runs. The session must
+    come from the CALLER (the processor passes self.spark)."""
+    import concurrent.futures as cf
+
+    from kafka_cdc_redshift_spark.streaming.store import BucketedTargetStore
+
+    store = BucketedTargetStore(
+        str(tmp_path / "store"), {"t": ["pid"]}, num_buckets=2
+    )
+    for i in range(4):
+        store.publish(_rows(spark, [(1, f"v{i}")]), "t", batch_id=i)
+    # simulate a crashed publish's leftover: re-register a catalog entry
+    # for a superseded version dir (publish normally drops it)
+    import os
+
+    leftover = store._catalog_name("t", 1)
+    spark.sql(
+        f"CREATE TABLE {leftover} (pid int, val string) USING parquet "
+        f"LOCATION '{os.path.join(store.root, 't', 'version=1')}'"
+    )
+    assert spark.catalog.tableExists(leftover)
+
+    def prune_in_thread():
+        return store.prune_versions("t", keep=2, spark=spark)
+
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        pruned = pool.submit(prune_in_thread).result()
+    assert pruned == [0, 1]
+    # the crashed-publish leftover is gone even though the prune ran on
+    # a worker thread with no active session of its own
+    assert not spark.catalog.tableExists(leftover)
