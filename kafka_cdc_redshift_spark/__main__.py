@@ -18,7 +18,12 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
                             only_save_delete, skip_delete, scd2_history
                             (maintain <table>_history, SCD type 2),
                             super_columns, timestamp_columns, date_columns,
-                            dedup_ingest, quality_gate, ann_ingest,
+                            dedup_ingest (+ LSH tuning: dedup_lsh_n /
+                            dedup_lsh_num_hashes / dedup_lsh_band_size /
+                            dedup_lsh_threshold / dedup_lsh_max_bucket —
+                            max_bucket defaults BOUNDED at 64; 0/none =
+                            unbounded exact recall), quality_gate,
+                            ann_ingest,
                             stats_group_columns + stats_value_column /
                             stats_distinct_column / stats_quantile_column /
                             stats_topk_column / stats_sample_column /

@@ -44,6 +44,22 @@ class SyncRule:
     # key is the doc id; `dedup_text_column` is the content column.
     dedup_ingest: bool = False
     dedup_text_column: str = "text"
+    # LSH tuning for the shell's dedup ingest, .properties-drivable (r11
+    # verdict: the hot-bucket guard existed but the production path
+    # could not reach it without code). Semantics match
+    # functions/dedup_text.minhash_lsh_pairs. `dedup_lsh_max_bucket`
+    # DEFAULTS BOUNDED (64): at corpus scale thousands of boilerplate /
+    # near-empty docs share a band bucket and the candidate join goes
+    # quadratic in one reducer; capping drops candidates from only those
+    # degenerate buckets — a RECALL trade (near-dups whose every shared
+    # band is hotter than the cap are missed; genuine pairs usually
+    # share a discriminative, small bucket too). 0 = unbounded exact
+    # recall (the library default for one-shot batch queries).
+    dedup_lsh_n: int = 3
+    dedup_lsh_num_hashes: int = 12
+    dedup_lsh_band_size: int = 2
+    dedup_lsh_threshold: float = 0.5
+    dedup_lsh_max_bucket: int | None = 64
     # streaming ANN ingest (streaming/ann_ingest.VersionedAnnIndex): keep
     # an incremental IVF index over `ann_vec_column` (first primary key =
     # vector id). Centroids train on the first batch and persist; the
@@ -195,6 +211,17 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 zorder_columns=_split(it.get("zorder_columns", "")),
                 dedup_ingest=_flag(it.get("dedup_ingest", False)),
                 dedup_text_column=it.get("dedup_text_column") or "text",
+                dedup_lsh_n=int(it.get("dedup_lsh_n", 3)),
+                dedup_lsh_num_hashes=int(it.get("dedup_lsh_num_hashes", 12)),
+                dedup_lsh_band_size=int(it.get("dedup_lsh_band_size", 2)),
+                dedup_lsh_threshold=float(it.get("dedup_lsh_threshold", 0.5)),
+                # 0 / "none" = unbounded (exact recall); default bounded
+                dedup_lsh_max_bucket=(
+                    None
+                    if str(it.get("dedup_lsh_max_bucket", 64)).strip().lower()
+                    in ("0", "none")
+                    else int(it.get("dedup_lsh_max_bucket", 64))
+                ),
                 ann_ingest=_flag(it.get("ann_ingest", False)),
                 ann_vec_column=it.get("ann_vec_column") or "embedding",
                 ann_n_centroids=int(it.get("ann_n_centroids", 8)),
@@ -218,6 +245,9 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                     "save_delete", "only_save_delete", "skip_delete",
                     "scd2_history", "zorder_columns",
                     "dedup_ingest", "dedup_text_column", "quality_gate",
+                    "dedup_lsh_n", "dedup_lsh_num_hashes",
+                    "dedup_lsh_band_size", "dedup_lsh_threshold",
+                    "dedup_lsh_max_bucket",
                     "ann_ingest", "ann_vec_column", "ann_n_centroids",
                     "ann_pq_n_sub", "ann_pq_n_codes",
                     "ann_drift_floor",

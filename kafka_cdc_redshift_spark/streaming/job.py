@@ -206,11 +206,24 @@ class CdcBatchProcessor:
             from .dedup_ingest import DedupIngest
             from .store import AppendLog
 
+            # LSH tuning comes from the RULE (.properties-drivable; r11
+            # verdict item): the shell default max_bucket is BOUNDED —
+            # at corpus scale an unbounded boilerplate band bucket makes
+            # the candidate join quadratic in one reducer, and a knob
+            # the production path cannot reach without code is not a
+            # knob. First ingest manifests these params; a mismatched
+            # reopen refuses, pointing at migrate_lsh (the existing
+            # params-manifest contract handles adoption and retune).
             ing = DedupIngest(
                 AppendLog(os.path.join(self.store.root, "_dedup_state")),
                 name=rule.target_name,
                 id_col=rule.primary_key[0],
                 text_col=rule.dedup_text_column,
+                n=rule.dedup_lsh_n,
+                num_hashes=rule.dedup_lsh_num_hashes,
+                band_size=rule.dedup_lsh_band_size,
+                threshold=rule.dedup_lsh_threshold,
+                max_bucket=rule.dedup_lsh_max_bucket,
             )
             self._dedup_ingestors[rule.target_name] = ing
         return ing

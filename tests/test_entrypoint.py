@@ -447,3 +447,114 @@ def test_bench_round_label_from_explicit_marker():
             f"ROUND={entry.ROUND} is stale vs CORRECTNESS_r{max(nums):02d}"
             " — bump the ROUND constant in __spark_entry__.py at round open"
         )
+
+
+def test_dedup_lsh_params_properties_drivable(spark, tmp_path):
+    """r11 verdict item 1: the shell's DedupIngest LSH tuning is
+    .properties-drivable per rule (dedup_lsh_n / num_hashes / band_size /
+    threshold / max_bucket), with a BOUNDED default max_bucket — the
+    hot-bucket guard (functions/dedup_text._cap_hot_buckets) existed but
+    the production path constructed the ingestor with defaults only, so
+    at corpus scale it ran with unbounded candidate buckets it could not
+    tune without code. The params manifest makes first-open adoption and
+    retune-refusal carry over unchanged."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.config import parse_sync_rules
+    from kafka_cdc_redshift_spark.functions import dedup_text
+
+    rule_json = (
+        '[{"db": "d", "table": "docs", "primary_key": "doc_id", '
+        '"dedup_ingest": "true", "dedup_lsh_num_hashes": "18", '
+        '"dedup_lsh_band_size": "3", "dedup_lsh_threshold": "0.4", '
+        '"dedup_lsh_max_bucket": "5"}]'
+    )
+    (rule,) = parse_sync_rules(rule_json)
+    assert (rule.dedup_lsh_n, rule.dedup_lsh_num_hashes,
+            rule.dedup_lsh_band_size, rule.dedup_lsh_threshold,
+            rule.dedup_lsh_max_bucket) == (3, 18, 3, 0.4, 5)
+    # the unbounded opt-out spellings, and the bounded default
+    (r0,) = parse_sync_rules(
+        '[{"db": "d", "table": "t", "primary_key": "pid", '
+        '"dedup_lsh_max_bucket": "0"}]'
+    )
+    assert r0.dedup_lsh_max_bucket is None
+    (rnone,) = parse_sync_rules(
+        '[{"db": "d", "table": "t", "primary_key": "pid", '
+        '"dedup_lsh_max_bucket": "none"}]'
+    )
+    assert rnone.dedup_lsh_max_bucket is None
+    (rdef,) = parse_sync_rules('[{"db": "d", "table": "t", "primary_key": "pid"}]')
+    assert rdef.dedup_lsh_max_bucket == 64
+
+    # e2e through the shell at the non-default tuning: the ingestor is
+    # constructed from the rule, the params manifest records it, and the
+    # streamed pairs equal a one-shot rebuild under the SAME tuning
+    from kafka_cdc_redshift_spark.streaming import (
+        CdcBatchProcessor,
+        ParquetTargetStore,
+    )
+
+    store = ParquetTargetStore(str(tmp_path / "store"))
+    proc = CdcBatchProcessor(spark, [rule], store, prune_grace_sec=0)
+
+    import random
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def text(seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(22))
+
+    near_a = text(101)
+    near_b = near_a.rsplit(" ", 1)[0] + " omega"
+
+    def batch(items, op="c", ts0=10):
+        return spark.createDataFrame(
+            [(_json.dumps({
+                "before": None,
+                "after": {"doc_id": i, "text": t},
+                "source": {"db": "d", "table": "docs"},
+                "op": op, "ts_ms": ts0 + i,
+            }),) for i, t in items],
+            "value string",
+        )
+
+    docs1 = [(i, text(i)) for i in range(6)] + [(100, near_a)]
+    docs2 = [(i, text(50 + i)) for i in range(6, 10)] + [(101, near_b)]
+    proc.process_batch(batch(docs1), 0)
+    proc.process_batch(batch(docs2), 1)
+
+    ing = proc._dedup_ingestors["docs"]
+    assert (ing.num_hashes, ing.band_size, ing.threshold,
+            ing.max_bucket) == (18, 3, 0.4, 5)
+    with open(ing._params_path()) as f:
+        manifest = _json.load(f)
+    assert manifest == {"n": 3, "num_hashes": 18, "band_size": 3,
+                        "threshold": 0.4, "max_bucket": 5}
+
+    corpus = spark.createDataFrame(
+        docs1 + docs2, "doc_id long, text string"
+    )
+    got = sorted((r.doc_a, r.doc_b, round(r.jaccard, 9))
+                 for r in ing.pairs(spark).collect())
+    want = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in dedup_text.minhash_lsh_pairs(
+            corpus, num_hashes=18, band_size=3, threshold=0.4, max_bucket=5
+        ).collect()
+    )
+    assert got == want and (100, 101) in {(a, b) for a, b, _ in got}
+
+    # a RETUNED rule on the same standing state refuses at ingest,
+    # pointing at migrate_lsh — the manifest contract, now reachable
+    # from config
+    import dataclasses
+
+    retuned = dataclasses.replace(rule, dedup_lsh_num_hashes=12)
+    proc2 = CdcBatchProcessor(spark, [retuned], store, prune_grace_sec=0)
+    with pytest.raises(Exception, match="migrate_lsh"):
+        proc2.process_batch(batch([(200, text(200))]), 2)
