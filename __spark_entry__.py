@@ -56,75 +56,72 @@ ROUND = 12
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 11 priority: the zero-slack freshness round the r10 verdict
-    # predicted — the 46 queries whose newest green driver row is
-    # r8-era hit the 2-round staleness limit at r11, and the two
-    # r9-era rows whose plans changed in r10 (the O(log P) balanced
-    # bucket-stamp tree, util.py stamp_range_bucket) must be re-hashed
-    # on their current plans. 46 + 2 = 48, and the driver's window has
-    # been exactly 50 rows in both r9 and r10, leaving ~2 free slots;
-    # those go to the two r10 bench watch items (r9-era rows anyway),
-    # which both refreshes their hashes and shrinks r12's arithmetic
-    # to 46. This round budgets ZERO new catalog queries.
-    # The five tree-stamp consumers lead the list so a shorter-than-50
-    # window still hashes every plan-changed row first.
+    # round 12 priority: the 46 queries whose newest green driver row is
+    # r9-era hit the 2-round staleness limit this round (exactly the
+    # arithmetic the r11 verdict predicted: 50 r9-green minus the two
+    # re-pinned at r11). NO catalog query's plan changed in r11 or so
+    # far in r12 (all work is streaming-shell / maintenance side; the
+    # r12 shell LSH default does not touch cdc_dedup_tombstones, which
+    # constructs its ingestor directly with library defaults), so the
+    # 46 lead in catalog order and the ~4 free slots (window has been
+    # exactly 50 rows in r9-r11) go to r10-era rows: the dedup-shell
+    # context query for this round's config change, and the three
+    # r10-era members of the r12 scale-exponent probe's heavy-query
+    # list, so their fresh hashes pair with the probe's measurements.
     # Everything after this list is ordered stalest-driver-row-first
     # (see _stale_first).
-    # -- tree-stamp consumers first: the 3 r8-era + 2 r9-era rows whose
-    # plans changed in r10 and which the r10 window cut --
-    "doc_len_quantiles",
-    "events_value_deciles",
-    "doc_ccnet_buckets",
-    "events_quantile_sketch_audit",  # r9-era, r10-plan-changed
-    "events_series_moving_avg",  # r9-era, r10-plan-changed
-    # -- the remaining 43 r8-era rows (2-round staleness limit) --
-    "cdc_canal_explode",
-    "cdc_canal_json",
-    "cdc_cms_current",
-    "cdc_containment_tombstones",
-    "cdc_phrase_tombstones",
-    "cdc_semdedup_tombstones",
-    "cdc_stats_current",
-    "doc_chunks",
-    "doc_contamination",
-    "doc_sample_k_per_source",
-    "emb_normalize",
-    "emb_quantize",
-    "events_moving_avg",
-    "events_pivot_counts",
-    "events_sliding_rollup",
-    "events_value_hour_corr",
-    "events_value_percentiles",
-    "events_winsorize_bounds",
-    "multimodal_feature_extract",
-    "orders_cube",
-    "profile_documents",
-    "q12_late_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "sim_cosine_topk",
-    "sim_eval_metrics",
-    "sim_hybrid_served",
-    "sim_ivf_topk",
-    "sim_lsh_bucket",
-    "text_curation_pipeline",
-    "text_fingerprint",
-    "text_langid",
-    "text_pretoken_stats",
-    "text_quality",
-    "text_repeated_spans",
-    "text_token_stats",
-    "text_winnow_pairs",
-    "top_customers_per_segment",
-    # -- the ~2 free slots: the r10 bench watch items (r9-era rows);
-    # re-hashing them pairs with the r11 quiet-window timing check --
-    "curation_pipeline_v3",
-    "sim_rrf_three_way_served",
+    # -- the 46 r9-era rows (2-round staleness limit) --
+    "cdc_delete_stream",
+    "cdc_merge_skip_delete",
+    "cdc_pipeline_debezium",
+    "cdc_pipeline_dms",
+    "cdc_pipeline_mongo",
+    "cdc_safe_cast",
+    "cdc_schema_evolution",
+    "cdc_typeconv",
+    "corpus_group_stats",
+    "corpus_stats_incremental",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_lsh_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_contamination_bloom",
+    "doc_decontaminate",
+    "doc_dsir_weights",
+    "doc_importance_resample",
+    "emb_kmeans",
+    "events_grouping_sets",
+    "events_kmv_sample_audit",
+    "events_topk_cms_audit",
+    "q20_excess_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_hybrid_rrf",
+    "sim_ivf_recall",
+    "sim_pair_hist",
+    "sim_pq_rerank",
+    "text_bm25_topk",
+    "text_collocations",
+    "text_commonness",
+    "text_gopher_filters",
+    "text_kneser_ney",
+    "text_ngram_counts",
+    "text_phrase_match",
+    "text_pii_redact",
+    "text_repetition",
+    "text_vocab_growth",
+    # -- the ~4 free slots (r10-era rows, refreshed a round early) --
+    "cdc_dedup_tombstones",   # dedup-shell context of the r12 LSH keys
+    "sim_hybrid_rrf_ann",     # scale-probe heavy query
+    "text_rrf_three_way",     # scale-probe heavy query
+    "dedup_minhash_eval",     # scale-probe heavy query
 ]
 
 

@@ -23,6 +23,19 @@ Fan-out knobs:
   SPARK_GRAFT_STREAM_FANOUT   comma list (e.g. "2,10,30"): run BOTH store
                               modes at each fan-out and emit a "fanout"
                               map alongside the headline record.
+  SPARK_GRAFT_STREAM_DISJOINT comma list (e.g. "10,30,100"): TRUE-ROUTING
+                              sweep — the topic's records route
+                              DISJOINTLY across N rules (each record
+                              matches exactly ONE rule, the reference's
+                              ~100-table job-4x shape), so total data
+                              work is CONSTANT in N and the measurement
+                              isolates per-rule shell overhead (routing
+                              census, per-table merge jobs, maintenance).
+                              Contrast with SPARK_GRAFT_STREAM_FANOUT's
+                              aliasing mode, where every rule reprocesses
+                              the whole topic (an N/2-fold work
+                              multiplier that the reference's disjoint
+                              routing never pays).
   SPARK_GRAFT_STREAM_WORKERS  processor thread-pool width (default 8;
                               widening to the rule count measured SLOWER
                               at fan-out 30 on one JVM — the knob is for
@@ -96,6 +109,51 @@ def _rules_and_schemas(spark, sf_dir, n_tables: int):
         )
         schemas[target] = base_schema[table]
     return rules, schemas
+
+
+def _disjoint_topic_and_rules(spark, sf_dir, n: int):
+    """True-routing shape: one multiplexed topic whose every record
+    belongs to exactly ONE of `n` tables (`orders_p{i}`, i = o_orderkey
+    mod n — deterministic, so a key's whole changelog routes to one
+    table and LWW ordering is preserved), plus the n matching sync
+    rules. Total record count is independent of n: sweeping n measures
+    the SHELL's per-rule overhead at constant data work, the regime the
+    reference's ~100-disjoint-table configs run in
+    (config/job-4x.properties:31-134)."""
+    from pyspark.sql import functions as F
+
+    from kafka_cdc_redshift_spark.sources.envelopes import (
+        ORDERS_COLS,
+        synth_orders_changelog,
+    )
+
+    cl = synth_orders_changelog(spark, sf_dir)
+    part = F.pmod(F.col("o_orderkey"), F.lit(n)).cast("int")
+    table_name = F.concat(F.lit("orders_p"), part)
+    row = F.struct(*[F.col(c) for c in ORDERS_COLS])
+    topic = cl.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "d", row).otherwise(F.lit(None)).alias("before"),
+                F.when(F.col("op") != "d", row).otherwise(F.lit(None)).alias("after"),
+                F.struct(
+                    F.lit("salesdb").alias("db"),
+                    table_name.alias("table"),
+                    F.col("ts_ms").alias("ts_ms"),
+                ).alias("source"),
+                F.col("op"),
+                F.col("ts_ms"),
+            )
+        ).alias("value")
+    )
+    base_schema = load_table(spark, sf_dir, "orders").schema
+    rules = [
+        SyncRule(db="salesdb", table=f"orders_p{i}",
+                 primary_key=("o_orderkey",))
+        for i in range(n)
+    ]
+    schemas = {f"orders_p{i}": base_schema for i in range(n)}
+    return topic, rules, schemas
 
 
 def _timed_run(spark, work, topic_dir, rules, schemas, store, tag,
@@ -185,6 +243,34 @@ def main() -> None:
                 record["fanout"][str(n)] = {
                     "cow_records_per_sec": round(n_records / cw, 1),
                     "mor_records_per_sec": round(n_records / mw, 1),
+                }
+        disjoint = [
+            int(x) for x in
+            os.environ.get("SPARK_GRAFT_STREAM_DISJOINT", "").split(",") if x
+        ]
+        if disjoint:
+            record["disjoint"] = {}
+            for n in disjoint:
+                dj_topic, dj_rules, dj_schemas = _disjoint_topic_and_rules(
+                    spark, sf_dir, n
+                )
+                dj_dir = os.path.join(work, f"dj_topic_{n}")
+                dj_records = dj_topic.count()
+                dj_topic.repartition(N_FILES).write.mode("overwrite").text(dj_dir)
+                cw, _b = _timed_run(
+                    spark, work, dj_dir, dj_rules, dj_schemas,
+                    ParquetTargetStore(os.path.join(work, f"dj_cow_{n}")),
+                    f"dj_cow_{n}", fold_after=False,
+                )
+                mw, _b = _timed_run(
+                    spark, work, dj_dir, dj_rules, dj_schemas,
+                    MergeOnReadTargetStore(os.path.join(work, f"dj_mor_{n}")),
+                    f"dj_mor_{n}", fold_after=True,
+                )
+                record["disjoint"][str(n)] = {
+                    "records": dj_records,
+                    "cow_records_per_sec": round(dj_records / cw, 1),
+                    "mor_records_per_sec": round(dj_records / mw, 1),
                 }
         print(json.dumps(record))
     finally:
