@@ -47,6 +47,7 @@ from kafka_cdc_redshift_spark.streaming import (  # noqa: E402
 from stream_bench import (  # noqa: E402
     FILES_PER_TRIGGER,
     N_FILES,
+    _disjoint_topic_and_rules,
     _rules_and_schemas,
 )
 
@@ -147,6 +148,72 @@ def main() -> None:
                     "base_rule_mean_task_sec": round(
                         sum(base) / max(len(base), 1), 3
                     ),
+                    "publish_secs_total": round(pub_total, 2),
+                    "publish_frac_of_task": round(
+                        pub_total / max(task_total, 1e-9), 3
+                    ),
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+        # -- true-routing (disjoint) attribution (r12): constant data
+        # work across N, so task-sec inflation + pool-eff isolate the
+        # per-(table,batch) FIXED cost (job scheduling, store commit IO)
+        # that the wide-fan-out wall is made of on one JVM
+        disjoint = [
+            int(x) for x in
+            os.environ.get("SPARK_GRAFT_PROBE_DISJOINT", "").split(",") if x
+        ]
+        for n in disjoint:
+            dj_topic, dj_rules, dj_schemas = _disjoint_topic_and_rules(
+                spark, sf_dir, n
+            )
+            dj_dir = os.path.join(work, f"dj_topic_{n}")
+            dj_records = dj_topic.count()
+            dj_topic.repartition(N_FILES).write.mode("overwrite").text(dj_dir)
+            for mode, mk in (
+                ("cow", ParquetTargetStore),
+                ("mor", MergeOnReadTargetStore),
+            ):
+                _task_secs.clear()
+                _publish_secs.clear()
+                store = mk(os.path.join(work, f"dj_{mode}_{n}"))
+                proc = CdcBatchProcessor(
+                    spark, dj_rules, store, payload_schemas=dj_schemas,
+                    max_workers=workers,
+                )
+                t0 = time.perf_counter()
+                q = run_file_stream(
+                    spark, dj_dir, proc,
+                    os.path.join(work, f"ckpt_dj_{mode}_{n}"),
+                    max_files_per_trigger=FILES_PER_TRIGGER,
+                )
+                q.awaitTermination()
+                if mode == "mor":
+                    proc._for_each_table(
+                        lambda t, s=store: s.fold_deltas(spark, t),
+                        [r.target_name for r in dj_rules],
+                    )
+                wall = time.perf_counter() - t0
+                err = [s for b in proc.batch_statuses for s in b
+                       if s.status == "error"]
+                if err:
+                    raise RuntimeError(f"dj {mode}/{n}: {err}")
+                task_total = sum(s for v in _task_secs.values() for s in v)
+                all_tasks = [s for v in _task_secs.values() for s in v]
+                pub_total = sum(_publish_secs.values())
+                row = {
+                    "mode": f"disjoint_{mode}",
+                    "tables": n,
+                    "rec_per_sec": round(dj_records / wall, 1),
+                    "wall_sec": round(wall, 2),
+                    "task_secs_total": round(task_total, 2),
+                    "pool_eff": round(
+                        task_total / (wall * min(workers, n)), 3
+                    ),
+                    "mean_task_sec": round(
+                        task_total / max(len(all_tasks), 1), 3
+                    ),
+                    "n_tasks": len(all_tasks),
                     "publish_secs_total": round(pub_total, 2),
                     "publish_frac_of_task": round(
                         pub_total / max(task_total, 1e-9), 3
