@@ -1058,19 +1058,24 @@ class CdcBatchProcessor:
         # concurrent like the other maintenance: at wide fan-outs the
         # rmtree of a full copy-on-write version dir per table is the
         # cost, and the dirs are disjoint
-        self._for_each_table(
-            prune,
-            [
-                t
-                for rule in self.rules
-                for t in (
-                    rule.target_name,
-                    f"{rule.target_name}_delete",
-                    f"{rule.target_name}_history",
-                    f"{rule.target_name}_rejected",
-                )
-            ],
-        )
+        self._for_each_table(prune, self._maintained_tables())
+
+    def _maintained_tables(self) -> list[str]:
+        """Every table the rules can actually have created — the target
+        plus only the suffix tables the rule's flags enable (the same
+        conditions _maybe_compact applies). At a 100-rule fan-out the
+        unconditional 4-per-rule enumeration queued 300 no-op
+        maintenance tasks per batch against tables that cannot exist."""
+        out: list[str] = []
+        for rule in self.rules:
+            out.append(rule.target_name)
+            if rule.save_delete or rule.only_save_delete:
+                out.append(f"{rule.target_name}_delete")
+            if rule.scd2_history:
+                out.append(f"{rule.target_name}_history")
+            if rule.quality_gate:
+                out.append(f"{rule.target_name}_rejected")
+        return out
 
     def _maybe_fold_backstop(self) -> None:
         """Fold any table whose unfolded delta count reached
@@ -1089,19 +1094,7 @@ class CdcBatchProcessor:
             except Exception as e:  # noqa: BLE001 - maintenance only
                 self.compact_errors.append((t, repr(e)))
 
-        self._for_each_table(
-            fold,
-            [
-                t
-                for rule in self.rules
-                for t in (
-                    rule.target_name,
-                    f"{rule.target_name}_delete",
-                    f"{rule.target_name}_history",
-                    f"{rule.target_name}_rejected",
-                )
-            ],
-        )
+        self._for_each_table(fold, self._maintained_tables())
 
     def _for_each_table(self, fn, tables) -> None:
         """Run independent per-table maintenance CONCURRENTLY on the
