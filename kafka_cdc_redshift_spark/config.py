@@ -47,19 +47,25 @@ class SyncRule:
     # LSH tuning for the shell's dedup ingest, .properties-drivable (r11
     # verdict: the hot-bucket guard existed but the production path
     # could not reach it without code). Semantics match
-    # functions/dedup_text.minhash_lsh_pairs. `dedup_lsh_max_bucket`
-    # DEFAULTS BOUNDED (64): at corpus scale thousands of boilerplate /
-    # near-empty docs share a band bucket and the candidate join goes
-    # quadratic in one reducer; capping drops candidates from only those
-    # degenerate buckets — a RECALL trade (near-dups whose every shared
-    # band is hotter than the cap are missed; genuine pairs usually
-    # share a discriminative, small bucket too). 0 = unbounded exact
-    # recall (the library default for one-shot batch queries).
-    dedup_lsh_n: int = 3
-    dedup_lsh_num_hashes: int = 12
-    dedup_lsh_band_size: int = 2
-    dedup_lsh_threshold: float = 0.5
-    dedup_lsh_max_bucket: int | None = 64
+    # functions/dedup_text.minhash_lsh_pairs. None = NOT SPECIFIED: the
+    # shell then uses the state's standing params manifest if one exists
+    # (an upgraded deployment keeps working with the parameters its
+    # index was built with), else the bounded shell defaults
+    # (streaming/job.SHELL_LSH_DEFAULTS — max_bucket=64: at corpus
+    # scale thousands of boilerplate / near-empty docs share a band
+    # bucket and the candidate join goes quadratic in one reducer;
+    # capping drops candidates from only those degenerate buckets, a
+    # RECALL trade documented there). An EXPLICIT key that mismatches a
+    # standing manifest refuses at ingest, pointing at migrate_lsh —
+    # the no-silent-layout-mix contract. Spell max_bucket 0/"none" for
+    # unbounded exact recall (the library default for one-shot batch
+    # queries).
+    dedup_lsh_n: int | None = None
+    dedup_lsh_num_hashes: int | None = None
+    dedup_lsh_band_size: int | None = None
+    dedup_lsh_threshold: float | None = None
+    # sentinel "unspecified" distinct from None ("explicitly unbounded")
+    dedup_lsh_max_bucket: int | str | None = "unset"
     # streaming ANN ingest (streaming/ann_ingest.VersionedAnnIndex): keep
     # an incremental IVF index over `ann_vec_column` (first primary key =
     # vector id). Centroids train on the first batch and persist; the
@@ -211,16 +217,30 @@ def parse_sync_rules(sync_table_list: str | list) -> list[SyncRule]:
                 zorder_columns=_split(it.get("zorder_columns", "")),
                 dedup_ingest=_flag(it.get("dedup_ingest", False)),
                 dedup_text_column=it.get("dedup_text_column") or "text",
-                dedup_lsh_n=int(it.get("dedup_lsh_n", 3)),
-                dedup_lsh_num_hashes=int(it.get("dedup_lsh_num_hashes", 12)),
-                dedup_lsh_band_size=int(it.get("dedup_lsh_band_size", 2)),
-                dedup_lsh_threshold=float(it.get("dedup_lsh_threshold", 0.5)),
-                # 0 / "none" = unbounded (exact recall); default bounded
+                # absent keys stay None/"unset" (= defer to the standing
+                # params manifest, else the shell defaults)
+                dedup_lsh_n=(
+                    int(it["dedup_lsh_n"]) if "dedup_lsh_n" in it else None
+                ),
+                dedup_lsh_num_hashes=(
+                    int(it["dedup_lsh_num_hashes"])
+                    if "dedup_lsh_num_hashes" in it else None
+                ),
+                dedup_lsh_band_size=(
+                    int(it["dedup_lsh_band_size"])
+                    if "dedup_lsh_band_size" in it else None
+                ),
+                dedup_lsh_threshold=(
+                    float(it["dedup_lsh_threshold"])
+                    if "dedup_lsh_threshold" in it else None
+                ),
+                # 0 / "none" = explicitly unbounded (exact recall)
                 dedup_lsh_max_bucket=(
-                    None
-                    if str(it.get("dedup_lsh_max_bucket", 64)).strip().lower()
+                    "unset" if "dedup_lsh_max_bucket" not in it
+                    else None
+                    if str(it["dedup_lsh_max_bucket"]).strip().lower()
                     in ("0", "none")
-                    else int(it.get("dedup_lsh_max_bucket", 64))
+                    else int(it["dedup_lsh_max_bucket"])
                 ),
                 ann_ingest=_flag(it.get("ann_ingest", False)),
                 ann_vec_column=it.get("ann_vec_column") or "embedding",

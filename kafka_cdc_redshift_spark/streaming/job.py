@@ -98,6 +98,17 @@ class TaskStatus:
     rows: int = 0
 
 
+# Shell defaults for a FRESH dedup-ingest state with no explicit
+# dedup_lsh_* keys: library semantics except max_bucket, which defaults
+# BOUNDED (the hot-bucket guard on by default in production; 0/"none"
+# in config = unbounded exact recall). A standing params manifest
+# always outranks these — see _dedup_ingestor.
+SHELL_LSH_DEFAULTS = {
+    "n": 3, "num_hashes": 12, "band_size": 2, "threshold": 0.5,
+    "max_bucket": 64,
+}
+
+
 class CdcBatchProcessor:
     def __init__(
         self,
@@ -206,27 +217,62 @@ class CdcBatchProcessor:
             from .dedup_ingest import DedupIngest
             from .store import AppendLog
 
-            # LSH tuning comes from the RULE (.properties-drivable; r11
-            # verdict item): the shell default max_bucket is BOUNDED —
-            # at corpus scale an unbounded boilerplate band bucket makes
-            # the candidate join quadratic in one reducer, and a knob
-            # the production path cannot reach without code is not a
-            # knob. First ingest manifests these params; a mismatched
-            # reopen refuses, pointing at migrate_lsh (the existing
-            # params-manifest contract handles adoption and retune).
+            # LSH tuning resolution, in precedence order (r11 verdict
+            # item + the r12 upgrade-compat review):
+            #   1. EXPLICIT per-rule dedup_lsh_* keys — authoritative; a
+            #      mismatch against a standing manifest refuses at
+            #      ingest, pointing at migrate_lsh (the no-silent-mix
+            #      contract).
+            #   2. the state's standing params MANIFEST — an upgraded
+            #      deployment with no config change keeps the exact
+            #      parameters its index was built with (flipping the
+            #      shell default must not brick pre-existing state
+            #      behind the manifest refusal).
+            #   3. SHELL_LSH_DEFAULTS — new state with no keys gets the
+            #      BOUNDED max_bucket: at corpus scale an unbounded
+            #      boilerplate band bucket makes the candidate join
+            #      quadratic in one reducer, and a knob the production
+            #      path cannot reach without code is not a knob.
+            log = AppendLog(os.path.join(self.store.root, "_dedup_state"))
+            manifested = self._read_lsh_manifest(log, rule.target_name)
+            base = manifested if manifested is not None else dict(SHELL_LSH_DEFAULTS)
+            explicit = {
+                k: v for k, v in (
+                    ("n", rule.dedup_lsh_n),
+                    ("num_hashes", rule.dedup_lsh_num_hashes),
+                    ("band_size", rule.dedup_lsh_band_size),
+                    ("threshold", rule.dedup_lsh_threshold),
+                ) if v is not None
+            }
+            if rule.dedup_lsh_max_bucket != "unset":
+                explicit["max_bucket"] = rule.dedup_lsh_max_bucket
+            params = {**base, **explicit}
             ing = DedupIngest(
-                AppendLog(os.path.join(self.store.root, "_dedup_state")),
+                log,
                 name=rule.target_name,
                 id_col=rule.primary_key[0],
                 text_col=rule.dedup_text_column,
-                n=rule.dedup_lsh_n,
-                num_hashes=rule.dedup_lsh_num_hashes,
-                band_size=rule.dedup_lsh_band_size,
-                threshold=rule.dedup_lsh_threshold,
-                max_bucket=rule.dedup_lsh_max_bucket,
+                **params,
             )
             self._dedup_ingestors[rule.target_name] = ing
         return ing
+
+    @staticmethod
+    def _read_lsh_manifest(log, name: str) -> dict | None:
+        """The standing LSH params manifest for state `name`, or None.
+        Read through a throwaway DedupIngest's path helper so the path
+        spelling has exactly one owner (dedup_ingest._params_path)."""
+        import json
+
+        from .dedup_ingest import DedupIngest
+
+        probe = DedupIngest(log, name=name)
+        try:
+            with open(probe._params_path()) as f:
+                m = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            return None
+        return m if isinstance(m, dict) else None
 
     def _ann_ingestor(self, rule: SyncRule):
         """Lazily build one VersionedAnnIndex per ann_ingest rule, stateful
@@ -1159,8 +1205,12 @@ class CdcBatchProcessor:
         # rules sharing a target_name with different zorder_columns — or
         # a target colliding with another rule's _delete/_history suffix
         # table — would fold/compact the same table concurrently, racing
-        # its manifest/version pointer. Keep the FIRST rule's clustering
-        # (same winner as the serial loop's last-write, but race-free).
+        # its manifest/version pointer. The FIRST rule's clustering wins
+        # — a deliberate choice where the old serial loop compacted the
+        # table once per rule and the LAST rule's clustering happened to
+        # stick (an accident of iteration order, never a contract);
+        # first-wins at least makes the winner the rule a config reader
+        # sees first.
         seen_tables: dict[str, tuple] = {}
         for t, zcols in all_tables:
             seen_tables.setdefault(t, zcols)

@@ -217,7 +217,7 @@ class ParquetTargetStore:
 
     def prune_versions(
         self, table: str, *, keep: int = 2, min_age_sec: float = 0.0,
-        spark: SparkSession | None = None,
+        grace_max_versions: int = 8, spark: SparkSession | None = None,
     ) -> list[int]:
         """Retention knob for the copy-on-write version chain: delete
         version directories older than the newest `keep`, NEVER the
@@ -229,18 +229,33 @@ class ParquetTargetStore:
         Readers only ever open the pointer's version, so pruning behind
         `keep >= 2` leaves the previous version for any reader that
         resolved the pointer just before a publish (same single-writer
-        maintenance contract as the other folds). `min_age_sec` adds a
-        TIME grace on top of the count: a version newer than that many
-        seconds is never pruned, so under per-batch pruning with a fast
-        trigger a long-running concurrent reader that resolved the
-        pointer several publishes ago cannot have its files deleted
+        maintenance contract as the other folds).
+
+        `min_age_sec` adds a TIME grace on top of the count, measured
+        from each version's SUPERSESSION (its successor directory's
+        mtime — the moment it stopped being the version a new reader
+        would resolve), NOT from its creation: a version that stayed
+        current for an hour and was then superseded by a burst of
+        publishes still gets the full grace, so a reader that resolved
+        the pointer just before the burst cannot lose its files
         mid-scan (the Delta VACUUM retention-hours analog; r11 ADVICE).
-        Directories NEWER than the pointer (a crashed publish that never
-        flipped) are left alone — the next publish overwrites them.
-        `spark` is accepted for interface uniformity with subclasses
-        that must touch the session catalog (BucketedTargetStore);
-        the base prune is pure filesystem. Returns the pruned version
-        numbers."""
+
+        `grace_max_versions` HARD-CAPS how many below-floor versions
+        the grace can protect (newest-superseded first): with a fast
+        trigger every version is superseded seconds after birth and an
+        uncapped grace would hold grace/trigger-interval FULL-CORPUS
+        copies (300 at a 1 s trigger — the exact unbounded-storage
+        failure the keep_versions default exists to prevent). The cap
+        bounds steady-state storage at keep + grace_max_versions copies;
+        a reader whose snapshot is more than grace_max_versions
+        publishes old loses protection — the documented trade.
+
+        Directories NEWER than the pointer (a crashed publish that
+        never flipped) are left alone — the next publish overwrites
+        them. `spark` is accepted for interface uniformity with
+        subclasses that must touch the session catalog
+        (BucketedTargetStore); the base prune is pure filesystem.
+        Returns the pruned version numbers."""
         import shutil
         import time
 
@@ -249,20 +264,32 @@ class ParquetTargetStore:
         if cur is None:
             return []
         floor = cur - keep + 1
-        cutoff = time.time() - max(0.0, min_age_sec)
-        pruned = []
-        for v in self.versions_on_disk(table):
-            if v >= floor:
-                continue
-            path = os.path.join(self.root, table, f"version={v}")
-            if min_age_sec > 0.0:
+        versions = self.versions_on_disk(table)
+        candidates = [v for v in versions if v < floor]  # ascending
+        if min_age_sec > 0.0 and candidates:
+            cutoff = time.time() - min_age_sec
+
+            def superseded_at(v: int) -> float:
+                later = [w for w in versions if w > v]
+                target = min(later) if later else v
                 try:
-                    if os.path.getmtime(path) > cutoff:
-                        continue  # inside the reader-grace window
+                    return os.path.getmtime(
+                        os.path.join(self.root, table, f"version={target}")
+                    )
                 except OSError:
-                    pass  # vanished or unreadable: fall through to rmtree
+                    return 0.0  # vanished/unreadable: treat as ancient
+
+            protected = [v for v in candidates if superseded_at(v) > cutoff]
+            allow = max(0, grace_max_versions)
+            keep_protected = set(protected[-allow:]) if allow else set()
+            candidates = [v for v in candidates if v not in keep_protected]
+        pruned = []
+        for v in candidates:
             pruned.append(v)
-            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(self.root, table, f"version={v}"),
+                ignore_errors=True,
+            )
         return pruned
 
 
@@ -322,10 +349,11 @@ class BucketedTargetStore(ParquetTargetStore):
 
     def prune_versions(
         self, table: str, *, keep: int = 2, min_age_sec: float = 0.0,
-        spark: SparkSession | None = None,
+        grace_max_versions: int = 8, spark: SparkSession | None = None,
     ) -> list[int]:
         pruned = super().prune_versions(
-            table, keep=keep, min_age_sec=min_age_sec
+            table, keep=keep, min_age_sec=min_age_sec,
+            grace_max_versions=grace_max_versions,
         )
         # publish already dropped the previous catalog entry; this only
         # clears entries a crashed publish left behind for pruned dirs.
@@ -400,6 +428,31 @@ class AppendLog:
     def _maintenance_path(self, scope: str) -> str:
         return os.path.join(self.root, f"{scope}__MAINTENANCE")
 
+    def _marker_mutex(self, scope: str):
+        """Exclusive flock around marker read-modify-write — without it
+        begin_maintenance is check-then-replace and two SIMULTANEOUS
+        begins of the same op both see "no marker" and both proceed
+        (the exact two-live-runs race the nonce exists to prevent), and
+        end_maintenance's read-check-remove could delete a marker that
+        a force takeover swapped in between its check and its remove.
+        flock is advisory and local-fs — the same single-host scope as
+        the rest of AppendLog's atomicity (os.replace); a shared object
+        store needs a conditional-put marker instead."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def mutex():
+            os.makedirs(self.root, exist_ok=True)
+            with open(self._maintenance_path(scope) + ".lock", "a") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lock, fcntl.LOCK_UN)
+
+        return mutex()
+
     def active_maintenance(self, scope: str) -> str | None:
         """The operation name of an in-flight (or crashed) maintenance
         run for `scope`, or None."""
@@ -429,28 +482,29 @@ class AppendLog:
         re-run first."""
         import uuid
 
-        current = self.active_maintenance(scope)
-        if current is not None:
-            if current != op:
-                raise RuntimeError(
-                    f"maintenance {current!r} is already in flight (or "
-                    f"crashed mid-run) on {scope!r}; re-run it to "
-                    f"completion before starting {op!r}"
-                )
-            if not force:
-                raise RuntimeError(
-                    f"maintenance {op!r} is already in flight on "
-                    f"{scope!r} — a second live run would race its swap."
-                    " If the prior run crashed (its marker survives by"
-                    " design), confirm it is dead and re-run with"
-                    " force=True to take the marker over."
-                )
-        nonce = f"{os.getpid()}-{uuid.uuid4().hex[:16]}"
-        tmp = self._maintenance_path(scope) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"op": op, "nonce": nonce, "pid": os.getpid()}, f)
-        os.replace(tmp, self._maintenance_path(scope))
-        return nonce
+        with self._marker_mutex(scope):
+            current = self.active_maintenance(scope)
+            if current is not None:
+                if current != op:
+                    raise RuntimeError(
+                        f"maintenance {current!r} is already in flight (or "
+                        f"crashed mid-run) on {scope!r}; re-run it to "
+                        f"completion before starting {op!r}"
+                    )
+                if not force:
+                    raise RuntimeError(
+                        f"maintenance {op!r} is already in flight on "
+                        f"{scope!r} — a second live run would race its swap."
+                        " If the prior run crashed (its marker survives by"
+                        " design), confirm it is dead and re-run with"
+                        " force=True to take the marker over."
+                    )
+            nonce = f"{os.getpid()}-{uuid.uuid4().hex[:16]}"
+            tmp = self._maintenance_path(scope) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"op": op, "nonce": nonce, "pid": os.getpid()}, f)
+            os.replace(tmp, self._maintenance_path(scope))
+            return nonce
 
     def end_maintenance(self, scope: str, nonce: str | None = None) -> None:
         """Clear the maintenance marker. With a `nonce`, clear ONLY a
@@ -460,25 +514,26 @@ class AppendLog:
         `nonce=None` is the unconditional clear, for crash-recovery
         tooling and legacy (pre-nonce) markers; in-engine callers always
         pass their nonce. Idempotent when no marker stands."""
-        if nonce is not None:
+        with self._marker_mutex(scope):
+            if nonce is not None:
+                try:
+                    with open(self._maintenance_path(scope)) as f:
+                        owner = json.load(f).get("nonce")
+                except FileNotFoundError:
+                    return
+                except (json.JSONDecodeError, OSError):
+                    owner = None  # unreadable/legacy marker: clearable
+                if owner is not None and owner != nonce:
+                    raise RuntimeError(
+                        f"maintenance marker on {scope!r} is owned by "
+                        "another run (this run was taken over with "
+                        "force=True); refusing to clear the new owner's "
+                        "marker"
+                    )
             try:
-                with open(self._maintenance_path(scope)) as f:
-                    owner = json.load(f).get("nonce")
+                os.remove(self._maintenance_path(scope))
             except FileNotFoundError:
-                return
-            except (json.JSONDecodeError, OSError):
-                owner = None  # unreadable/legacy marker: clearable
-            if owner is not None and owner != nonce:
-                raise RuntimeError(
-                    f"maintenance marker on {scope!r} is owned by "
-                    "another run (this run was taken over with "
-                    "force=True); refusing to clear the new owner's "
-                    "marker"
-                )
-        try:
-            os.remove(self._maintenance_path(scope))
-        except FileNotFoundError:
-            pass
+                pass
 
     def check_no_maintenance(self, scope: str) -> None:
         """Ingest-side guard: refuse to append state while a maintenance

@@ -26,7 +26,9 @@ Keys shift by copy * (max_id + 1). Deterministic, no RNG. Output dir:
 Prints ONE JSON line:
   {"metric": "scale_exponent_probe", "queries": {name:
       {"sf0.1_sec": a, "sf1_sec": b, "ratio": b/a,
-       "exponent": log10(b/a) + 1 adjusted for the 10x data}}, ...}
+       "exponent": log(b/a) / log(10)}}, ...}
+(wall = c * N^e under a 10x data step => e = log10(ratio): ratio 10 is
+exponent 1.0 = linear, ratio 100 would be 2.0 = quadratic.)
 
 An exponent near 1.0 = linear scaling; clearly above ~1.3 earns a plan
 note and a spot on the next round's work list.

@@ -472,10 +472,12 @@ def test_dedup_lsh_params_properties_drivable(spark, tmp_path):
         '"dedup_lsh_max_bucket": "5"}]'
     )
     (rule,) = parse_sync_rules(rule_json)
+    # unspecified keys stay None (n here): the shell resolves them from
+    # the standing manifest, else its bounded defaults
     assert (rule.dedup_lsh_n, rule.dedup_lsh_num_hashes,
             rule.dedup_lsh_band_size, rule.dedup_lsh_threshold,
-            rule.dedup_lsh_max_bucket) == (3, 18, 3, 0.4, 5)
-    # the unbounded opt-out spellings, and the bounded default
+            rule.dedup_lsh_max_bucket) == (None, 18, 3, 0.4, 5)
+    # the unbounded opt-out spellings, and the unspecified sentinel
     (r0,) = parse_sync_rules(
         '[{"db": "d", "table": "t", "primary_key": "pid", '
         '"dedup_lsh_max_bucket": "0"}]'
@@ -487,7 +489,7 @@ def test_dedup_lsh_params_properties_drivable(spark, tmp_path):
     )
     assert rnone.dedup_lsh_max_bucket is None
     (rdef,) = parse_sync_rules('[{"db": "d", "table": "t", "primary_key": "pid"}]')
-    assert rdef.dedup_lsh_max_bucket == 64
+    assert rdef.dedup_lsh_max_bucket == "unset"
 
     # e2e through the shell at the non-default tuning: the ingestor is
     # constructed from the rule, the params manifest records it, and the
@@ -558,3 +560,75 @@ def test_dedup_lsh_params_properties_drivable(spark, tmp_path):
     proc2 = CdcBatchProcessor(spark, [retuned], store, prune_grace_sec=0)
     with pytest.raises(Exception, match="migrate_lsh"):
         proc2.process_batch(batch([(200, text(200))]), 2)
+
+
+def test_dedup_lsh_shell_defaults_and_upgrade_compat(spark, tmp_path):
+    """The shell's LSH resolution order (r12 review): explicit rule keys
+    win; else a STANDING params manifest wins (an upgraded deployment
+    whose index predates the bounded shell default must keep ingesting
+    with the parameters it was built with — the default flip must not
+    brick it behind the manifest refusal); else fresh state gets the
+    bounded shell defaults (max_bucket=64)."""
+    import json as _json
+
+    from kafka_cdc_redshift_spark.config import parse_sync_rules
+    from kafka_cdc_redshift_spark.streaming import (
+        CdcBatchProcessor,
+        ParquetTargetStore,
+    )
+    from kafka_cdc_redshift_spark.streaming.dedup_ingest import DedupIngest
+    from kafka_cdc_redshift_spark.streaming.job import SHELL_LSH_DEFAULTS
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    def batch(items):
+        return spark.createDataFrame(
+            [(_json.dumps({
+                "before": None, "after": {"doc_id": i, "text": t},
+                "source": {"db": "d", "table": "docs"},
+                "op": "c", "ts_ms": i,
+            }),) for i, t in items],
+            "value string",
+        )
+
+    (plain,) = parse_sync_rules(
+        '[{"db": "d", "table": "docs", "primary_key": "doc_id", '
+        '"dedup_ingest": "true"}]'
+    )
+
+    # fresh state, no keys -> bounded shell defaults, manifested
+    store = ParquetTargetStore(str(tmp_path / "fresh"))
+    proc = CdcBatchProcessor(spark, [plain], store, prune_grace_sec=0)
+    proc.process_batch(batch([(1, "alpha beta gamma one two three")]), 0)
+    ing = proc._dedup_ingestors["docs"]
+    assert ing._params() == SHELL_LSH_DEFAULTS
+    assert ing.max_bucket == 64
+
+    # UPGRADE path: state built under the LIBRARY defaults (pre-r12
+    # shell: max_bucket=None) — a default-keys shell must adopt the
+    # standing manifest and keep ingesting, not refuse
+    store2 = ParquetTargetStore(str(tmp_path / "upgraded"))
+    legacy = DedupIngest(
+        AppendLog(str(tmp_path / "upgraded" / "_dedup_state")), name="docs"
+    )
+    legacy.process_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma one two three")],
+            "doc_id long, text string",
+        ), 0,
+    )
+    assert legacy.max_bucket is None  # the library default
+    proc2 = CdcBatchProcessor(spark, [plain], store2, prune_grace_sec=0)
+    proc2.process_batch(batch([(2, "delta epsilon zeta four five six")]), 1)
+    ing2 = proc2._dedup_ingestors["docs"]
+    assert ing2.max_bucket is None  # manifest outranks the shell default
+    assert ing2._params() == legacy._params()
+
+    # but an EXPLICIT key mismatching the manifest still refuses,
+    # pointing at migrate_lsh (no silent layout mix)
+    (retuned,) = parse_sync_rules(
+        '[{"db": "d", "table": "docs", "primary_key": "doc_id", '
+        '"dedup_ingest": "true", "dedup_lsh_num_hashes": "18"}]'
+    )
+    proc3 = CdcBatchProcessor(spark, [retuned], store2, prune_grace_sec=0)
+    with pytest.raises(Exception, match="migrate_lsh"):
+        proc3.process_batch(batch([(3, "eta theta iota")]), 2)

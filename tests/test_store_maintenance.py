@@ -652,36 +652,63 @@ def test_cow_chain_retention_state_machine(spark, tmp_path_factory, ops):
 
 
 def test_prune_versions_reader_grace_window(spark, tmp_path):
-    """r11 ADVICE: `min_age_sec` is a TIME grace on top of the version
-    count — a version directory newer than that many seconds is never
-    pruned, so per-batch pruning with a fast trigger cannot delete the
-    files of a long-running concurrent reader that resolved the pointer
-    a few publishes ago. Aging a dir past the window (backdated mtime)
-    makes it prunable again."""
+    """r12: the reader grace is measured from SUPERSESSION (successor
+    dir mtime), not creation — a version that stayed current for an
+    hour then got superseded by a burst still gets the full grace — and
+    `grace_max_versions` hard-caps how many below-floor versions the
+    grace can protect, bounding steady-state storage at
+    keep + grace_max copies even under a fast trigger."""
     import os
+
+    def backdate(v, secs):
+        d = os.path.join(str(tmp_path), "t", f"version={v}")
+        t = os.path.getmtime(d) - secs
+        os.utime(d, (t, t))
 
     store = ParquetTargetStore(str(tmp_path))
     for i in range(5):
         store.publish(_rows(spark, [(1, f"v{i}")]), "t", batch_id=i)
-    # every dir was just written: a 1-hour grace protects all of them
+    # every successor was just written: a 1-hour grace protects all the
+    # below-floor versions (0,1,2) regardless of their own age
+    backdate(0, 7200)  # v0 itself is OLD, but superseded only now
     assert store.prune_versions("t", keep=2, min_age_sec=3600) == []
     assert store.versions_on_disk("t") == [0, 1, 2, 3, 4]
 
-    # age versions 0-1 past the window: only they become prunable
-    for v in (0, 1):
-        d = os.path.join(str(tmp_path), "t", f"version={v}")
-        os.utime(d, (os.path.getmtime(d) - 7200, os.path.getmtime(d) - 7200))
+    # age the SUCCESSORS of 0 and 1 past the window: exactly those two
+    # become prunable (v2's successor v3 is still fresh)
+    backdate(1, 7200)
+    backdate(2, 7200)
     assert store.prune_versions("t", keep=2, min_age_sec=3600) == [0, 1]
     assert store.versions_on_disk("t") == [2, 3, 4]
 
-    # grace never overrides the count floor the other way: an aged dir
-    # inside the newest `keep` still survives (age 2 and 4; only 2 is
-    # outside the newest keep=2 and outside the grace, so only 2 goes)
-    for v in (2, 4):
-        d = os.path.join(str(tmp_path), "t", f"version={v}")
-        os.utime(d, (os.path.getmtime(d) - 7200, os.path.getmtime(d) - 7200))
+    # grace never overrides the count floor the other way: versions in
+    # the newest `keep` are never candidates at all
+    backdate(3, 7200)
+    backdate(4, 7200)
     assert store.prune_versions("t", keep=2, min_age_sec=3600) == [2]
     assert store.versions_on_disk("t") == [3, 4]
+
+
+def test_prune_versions_grace_storage_cap(spark, tmp_path):
+    """The grace window must BOUND storage, not unbound it (r12 review):
+    with a fast trigger every version is superseded seconds after birth
+    and an uncapped grace would hold grace/trigger full-corpus copies.
+    grace_max_versions keeps only the newest-superseded N protected."""
+    store = ParquetTargetStore(str(tmp_path))
+    for i in range(8):
+        store.publish(_rows(spark, [(1, f"v{i}")]), "t", batch_id=i)
+    # all 6 below-floor versions are freshly superseded; cap at 2 ->
+    # the oldest 4 prune anyway, storage bounded at keep + cap = 4 dirs
+    pruned = store.prune_versions(
+        "t", keep=2, min_age_sec=3600, grace_max_versions=2
+    )
+    assert pruned == [0, 1, 2, 3]
+    assert store.versions_on_disk("t") == [4, 5, 6, 7]
+    # cap 0 = grace disabled in effect
+    assert store.prune_versions(
+        "t", keep=2, min_age_sec=3600, grace_max_versions=0
+    ) == [4, 5]
+    assert store.versions_on_disk("t") == [6, 7]
 
 
 def test_bucketed_prune_catalog_cleanup_from_worker_thread(spark, tmp_path):
@@ -720,3 +747,33 @@ def test_bucketed_prune_catalog_cleanup_from_worker_thread(spark, tmp_path):
     # the crashed-publish leftover is gone even though the prune ran on
     # a worker thread with no active session of its own
     assert not spark.catalog.tableExists(leftover)
+
+
+def test_maintenance_marker_simultaneous_begin_race(tmp_path):
+    """r12 review: begin_maintenance must be atomic, not
+    check-then-replace — two SIMULTANEOUS begins of the same op must
+    yield exactly one owner (the other refuses with the force=True
+    message), or both migrations would proceed and race the swap."""
+    import concurrent.futures as cf
+    import threading
+
+    from kafka_cdc_redshift_spark.streaming.store import AppendLog
+
+    log = AppendLog(str(tmp_path / "log"))
+    barrier = threading.Barrier(2)
+
+    def contend(_):
+        barrier.wait()
+        try:
+            return ("won", log.begin_maintenance("x", "migrate_a"))
+        except RuntimeError as e:
+            return ("refused", str(e))
+
+    for _ in range(10):  # the race window is narrow: iterate
+        log.end_maintenance("x")
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            results = list(pool.map(contend, range(2)))
+        outcomes = sorted(r[0] for r in results)
+        assert outcomes == ["refused", "won"], results
+        refused = next(r for r in results if r[0] == "refused")
+        assert "force=True" in refused[1]
