@@ -20,10 +20,14 @@ emr_ec2/cdc_redshift.py, emr_serverless/cdc_redshift.py), with the same
                             super_columns, timestamp_columns, date_columns,
                             dedup_ingest (+ LSH tuning: dedup_lsh_n /
                             dedup_lsh_num_hashes / dedup_lsh_band_size /
-                            dedup_lsh_threshold / dedup_lsh_max_bucket —
-                            max_bucket defaults BOUNDED at 64; 0/none =
-                            unbounded exact recall), quality_gate,
-                            ann_ingest,
+                            dedup_lsh_threshold / dedup_lsh_max_bucket.
+                            Unset keys adopt the state's standing params
+                            manifest (upgrades keep working), else fresh
+                            state gets the bounded shell defaults incl.
+                            max_bucket=64; 0/none = unbounded exact
+                            recall; an explicit key mismatching the
+                            manifest refuses, pointing at migrate_lsh),
+                            quality_gate, ann_ingest,
                             stats_group_columns + stats_value_column /
                             stats_distinct_column / stats_quantile_column /
                             stats_topk_column / stats_sample_column /
