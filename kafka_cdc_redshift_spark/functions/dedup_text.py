@@ -619,7 +619,14 @@ def duplicate_clusters(
             .localCheckpoint()
         )
         labels = stepped.select("id", "label")
-        if rnd >= 2 and stepped.filter("chg").limit(1).count() == 0:
+        # probe from round 1: near-dup graphs are overwhelmingly tiny
+        # components (pairs/triangles) that pointer jumping collapses in
+        # one round, so the round-2 probe start ran one full (2-join +
+        # checkpoint) round past convergence on the common shape; the
+        # probe itself reads the round's ALREADY-materialized checkpoint
+        # (limit-1 count), so probing earlier costs one trivial job while
+        # deep chains still skip the always-true round-0 probe.
+        if rnd >= 1 and stepped.filter("chg").limit(1).count() == 0:
             break
     # singletons (no pair) keep their own id; broadcast the tiny label map
     return df.select(F.col(id_col).alias("doc_id")).distinct().join(

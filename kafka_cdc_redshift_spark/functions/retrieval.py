@@ -12,15 +12,18 @@ Shape at scale (census + pruned-join BM25):
   * the query-term relation is tiny (|Q| * terms-per-query) and
     broadcast: the postings prune to matching terms by a broadcast hash
     join BEFORE anything aggregates or shuffles downstream;
-  * document frequencies aggregate from the PRUNED postings (identical
-    values — df per term is unchanged by dropping other terms); an
-    inner join on the grouping key does not push below an aggregation,
-    so a full-vocab census then a prune would scan-and-shuffle every
-    term per query batch;
-  * corpus constants (n_docs, sum_dl) reduce to one broadcast row —
-    precomputed incrementally by the streamed index
-    (streaming/retrieval_ingest) so serving never scans postings for
-    them;
+  * document frequencies are a WINDOW count over the PRUNED postings
+    (identical values — df per term is unchanged by dropping other
+    terms, and a window count equals a groupBy count): an inner join
+    on the grouping key does not push below an aggregation, so a
+    full-vocab census then a prune would scan-and-shuffle every term
+    per query batch, and a separate pruned-df aggregation would carry
+    the whole postings lineage a second time as a broadcast subtree;
+  * corpus constants (n_docs, sum_dl) reduce to one broadcast row
+    computed straight from the docs scan (corpus_stats_docs — no
+    explode, no shuffle) — precomputed incrementally by the streamed
+    index (streaming/retrieval_ingest) so serving never scans postings
+    for them;
   * per-(query, doc) scores fold in TERM order: float addition is not
     associative, and the lexicographic chain is what a SQL oracle can
     replay term-by-term (pivot columns + an explicit add chain — the
@@ -108,6 +111,36 @@ def corpus_stats(tf: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats_docs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`corpus_stats(term_freqs(docs))` without the postings census: the
+    same 1-row (n_docs, sum_dl), computed from one corpus scan with NO
+    explode and NO (doc, term) shuffle — dl is map-side `size(tokens)`,
+    exactly the value term_freqs carries, and a doc appears in the
+    postings iff it has at least one token (split of a non-null string
+    is never empty, so that is `dl >= 1`, which also drops null-text
+    docs whose token array — and hence dl — is null). Exact integer
+    counts either way, so the two spellings are value-identical; this
+    one scans the corpus once instead of tokenizing it a second time."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_col(text_col)).alias("dl"),
+        )
+        .filter(F.col("dl") >= 1)
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -131,7 +164,12 @@ def bm25_topk(
     shape and the idf_mode determinism contract.
     """
     tf = term_freqs(docs, id_col=id_col, text_col=text_col)
-    stats = corpus_stats(tf)
+    # 1-row corpus constants straight from the docs scan — NOT
+    # corpus_stats(tf), which would re-run the whole postings census
+    # (explode + (doc, term) shuffle) a second time just to count docs
+    # and sum lengths (guide §2.2: shuffle less — the values are
+    # identical exact integers either way)
+    stats = corpus_stats_docs(docs, id_col=id_col, text_col=text_col)
     return bm25_topk_from_stats(
         tf, stats, queries, k=k, k1=k1, b=b,
         q_id_col=q_id_col, q_text_col=q_text_col, idf_mode=idf_mode,
@@ -153,15 +191,18 @@ def bm25_topk_from_stats(
     """Score a query batch against a postings relation plus the 1-row
     corpus stats — the serving path: `bm25_topk` delegates here, and the
     streamed index (streaming/retrieval_ingest) serves its standing tf
-    through the same code. Document frequencies are aggregated from the
-    QUERY-TERM-PRUNED postings, never the full vocabulary: an inner join
-    on the grouping key does not push below an aggregation, so a
+    through the same code. Document frequencies are a window count over
+    the QUERY-TERM-PRUNED postings, never the full vocabulary: an inner
+    join on the grouping key does not push below an aggregation, so a
     full-vocab census then a prune would scan-and-shuffle every term per
-    query batch; pruning first makes the df census a map-side-filtered
-    aggregation over matching postings only (identical values — df per
-    term is unchanged by dropping other terms)."""
+    query batch, and a separate pruned groupBy would evaluate the
+    postings lineage twice; the window count sees exactly the pruned
+    rows a groupBy would (identical values — df per term is unchanged
+    by dropping other terms) while the postings compute once."""
     if idf_mode not in ("raw", "lucene"):
         raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    from pyspark.sql import Window
+
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(tokens_col(q_text_col))).alias("term"),
@@ -169,8 +210,16 @@ def bm25_topk_from_stats(
     tfq = tf.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     )
-    qdf = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    tf = tfq
+    # df census as a window count over the PRUNED postings: the same
+    # exact integer count per term a groupBy would produce, but the tf
+    # lineage is computed ONCE — a separate qdf aggregation would carry
+    # the entire postings census (corpus explode + (doc, term) shuffle)
+    # a second time as a broadcast subtree (guide §2.2). The window's
+    # term-hash exchange moves only query-term-matching postings
+    # (query-batch-bounded, never corpus-bounded).
+    tf = tfq.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     tf_d = F.col("tf").cast("double")
     dl_d = F.col("dl").cast("double")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
@@ -183,12 +232,9 @@ def bm25_topk_from_stats(
     )
     scored = (
         tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(qdf), "term")
         .crossJoin(F.broadcast(stats))
         .select("q_id", "doc_id", "term", (idf * sat).alias("s"))
     )
-    from pyspark.sql import Window
-
     agg = scored.groupBy("q_id", "doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.aggregate(

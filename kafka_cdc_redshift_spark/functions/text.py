@@ -776,9 +776,14 @@ def collocations(
     (one co-occurrence of two hapaxes maximizes it).
 
     Shape at scale: one explode each for the unigram and bigram censuses
-    (both combinable groupBys); the pair census joins the |vocab|-sized
-    unigram census twice on the word key; totals reduce to one broadcast
-    row. Top-k is orderBy+limit (TakeOrdered — distributed partial
+    (both combinable groupBys); the |vocab|-sized unigram census is
+    materialized once (localCheckpoint) because the pair census joins it
+    TWICE on the word key — without the barrier each join leg carries
+    its own copy of the corpus explode + census shuffle (guide §2.2).
+    Both totals are map-side sums over ONE docs scan (token count =
+    size(tokens), pair count = size-1 when >= 2) — exact integers equal
+    to counting the exploded rows, with no explode and no shuffle.
+    Top-k is orderBy+limit (TakeOrdered — distributed partial
     top-k, never a single-partition window over the censuses); the rank
     column is assigned over the k survivors only. Ties break on the
     pair text."""
@@ -790,8 +795,19 @@ def collocations(
         .select(F.explode_outer(toks).alias("w"))
         .filter(F.col("w").isNotNull())
     )
-    u_census = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    u_total = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    u_census = uni.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    # token/pair totals map-side from the docs scan: a doc contributes
+    # size(tokens) unigrams (null text contributes none — its token
+    # array, hence size, is null and sum skips it) and size-1 bigrams
+    # when it has >= 2 tokens (greatest(null-1, 0) = 0 keeps null text
+    # at zero). Exact integer identities of the exploded-row counts.
+    dl = F.size(toks)
+    totals = df.agg(
+        F.sum(dl).alias("n_uni"),
+        F.sum(F.greatest(dl - F.lit(1), F.lit(0))).alias("n_bi"),
+    )
     pairs_arr = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -809,7 +825,6 @@ def collocations(
         .select("p.w1", "p.w2")
     )
     b_census = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    b_total = bi.agg(F.count(F.lit(1)).alias("n_bi"))
     lift = (
         F.col("n_pair").cast("double") / F.col("n_bi").cast("double")
     ) / (
@@ -826,8 +841,7 @@ def collocations(
             u_census.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
             "w2",
         )
-        .crossJoin(F.broadcast(u_total))
-        .crossJoin(F.broadcast(b_total))
+        .crossJoin(F.broadcast(totals))
         .select("w1", "w2", "n_pair", "c1", "c2", lift.alias("lift"))
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(k)
@@ -1234,7 +1248,18 @@ def ccnet_buckets(
     src = df.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     )
-    scored = src.join(flags, "doc_id")
+    # Materialize the scored relation ONCE before ranking:
+    # range_partitioned_rank evaluates its input three times (the
+    # boundary sample, the offset census broadcast, and the main ranked
+    # path). For the raw-table consumers that is three cheap column-
+    # pruned scans, but here the input carries the WHOLE surprisal
+    # pipeline (corpus bigram explode + vocab-bounded LM join + doc
+    # groupBy) — re-deriving that per consumer triples the query's
+    # dominant cost (guide §2.2). The checkpoint holds only 4 narrow
+    # columns per scorable doc (id, source, 2 counters), far smaller
+    # than the bigram relation the LM pipeline shuffles, so the
+    # materialization is the cheap side of the trade at any scale.
+    scored = src.join(flags, "doc_id").localCheckpoint(eager=False)
     ranked = range_partitioned_rank(
         scored, ["source"], ["surprise_ratio", "doc_id"]
     )
