@@ -385,3 +385,27 @@ def test_quantile_sketch_audit_no_per_type_sort(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "event_type" in spec and "value" in spec:
             assert "pid" in spec.split("event_type")[0]
+
+
+def test_ccnet_rank_input_materialized_once(spark, sf_dir):
+    """r12 optimization pin: ccnet_buckets checkpoints the scored
+    relation before range_partitioned_rank, whose three consumers
+    (boundary sample, offset census, ranked path) would otherwise each
+    re-run the whole LM-surprisal pipeline (corpus bigram explode +
+    KN-LM join). The final plan must read the materialized rows — no
+    documents scan, no explode — a regression shows up as the corpus
+    lineage reappearing under the census/ranked branches."""
+    plan = formatted_plan(spark, sf_dir, "doc_ccnet_buckets")
+    assert "documents.parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_collocations_shared_census_and_mapside_totals(spark, sf_dir):
+    """r12 optimization pin: collocations computes BOTH totals map-side
+    from one docs scan (sum(size(tokens)) / sum(greatest(size-1, 0)))
+    and joins a checkpointed unigram census twice — so the corpus is
+    scanned exactly twice (bigram census + totals) instead of five
+    times, and the only explode left is the bigram one."""
+    plan = formatted_plan(spark, sf_dir, "text_collocations")
+    assert plan.count("documents.parquet") == 2
+    assert plan.count("Scan ExistingRDD") >= 2  # unigram census, both legs

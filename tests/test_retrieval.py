@@ -111,6 +111,35 @@ def test_bm25_plan_no_python_and_broadcast_pruning(spark, corpus):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_single_postings_census(spark, corpus):
+    """r12 optimization pin: the (doc, term) postings census — the corpus
+    explode + shuffle that dominates BM25 — must appear ONCE in the plan.
+    The df census rides a window over the pruned postings and the corpus
+    constants come from the docs scan (corpus_stats_docs), so a
+    regression back to a groupBy-df broadcast or census-derived stats
+    shows up as extra explode Generates."""
+    df = _topk(spark, corpus, "shuffle plan", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus-side tokenize explodes: exactly one (the postings census);
+    # the query side explodes from a local relation, not `explode(split(`
+    # over the corpus text column
+    assert plan.count("explode(split(trim(lower(text") == 1
+
+
+def test_corpus_stats_docs_equals_census_derivation(spark):
+    """corpus_stats_docs must reproduce corpus_stats(term_freqs(docs))
+    exactly — including null text (absent from the postings), empty text
+    (one empty-string token after split), and duplicate doc ids (counted
+    once)."""
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, None), (3, ""), (4, "x y"), (4, "y z")],
+        "doc_id long, text string",
+    )
+    a = retrieval.corpus_stats(retrieval.term_freqs(df)).collect()[0]
+    b = retrieval.corpus_stats_docs(df).collect()[0]
+    assert (a.n_docs, a.sum_dl) == (b.n_docs, b.sum_dl) == (3, 6)
+
+
 # ---------------------------------------------------------------------------
 # Streaming index (streaming/retrieval_ingest.RetrievalIngest)
 # ---------------------------------------------------------------------------

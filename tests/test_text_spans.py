@@ -216,3 +216,23 @@ def test_source_lm_crossscore_matrix(spark):
     assert got[("B", "B")].surprise_ratio < 1.0
     # n_bigrams per doc_source is the same across every lm_source column
     assert got[("A", "A")].n_bigrams == got[("A", "B")].n_bigrams == 15
+
+
+def test_collocations_mapside_totals_handle_null_and_single_token(spark):
+    """r12 optimization pin: the unigram/bigram totals are map-side sums
+    over the docs scan (not exploded-row counts) — null text must
+    contribute nothing (its token array, hence size, is null) and a
+    single-token doc contributes one unigram, zero bigrams. Hand
+    computation: n_uni = 4+0+1+2 = 7, n_bi = 3+0+0+1 = 4, so the
+    planted pair (a,b) lifts (3/4)/((3/7)*(3/7)) = 49/12."""
+    from kafka_cdc_redshift_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, None), (3, "x"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    got = T.collocations(docs, min_count=2).collect()
+    assert [(r.w1, r.w2, r.n_pair, r.c1, r.c2) for r in got] == [
+        ("a", "b", 3, 3, 3)
+    ]
+    assert got[0].lift == (3 / 4) / ((3 / 7) * (3 / 7))
