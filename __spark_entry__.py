@@ -56,20 +56,30 @@ ROUND = 12
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 12 priority: the 46 queries whose newest green driver row is
-    # r9-era hit the 2-round staleness limit this round (exactly the
-    # arithmetic the r11 verdict predicted: 50 r9-green minus the two
-    # re-pinned at r11). NO catalog query's plan changed in r11 or so
-    # far in r12 (all work is streaming-shell / maintenance side; the
-    # r12 shell LSH default does not touch cdc_dedup_tombstones, which
-    # constructs its ingestor directly with library defaults), so the
-    # 46 lead in catalog order and the ~4 free slots (window has been
-    # exactly 50 rows in r9-r11) go to r10-era rows: the dedup-shell
-    # context query for this round's config change, and the three
-    # r10-era members of the r12 scale-exponent probe's heavy-query
-    # list, so their fresh hashes pair with the probe's measurements.
-    # Everything after this list is ordered stalest-driver-row-first
-    # (see _stale_first).
+    # round 12 priority, updated for the OPTIMIZATION phase: the 13
+    # queries whose physical plans changed this round (the BM25
+    # single-census rewrite, the ccnet/collocations materializations,
+    # the cluster-loop probe — see OPTIMIZATION_r12.md) lead the list:
+    # "new or changed plan" outranks staleness by this list's own rule,
+    # because an unverified plan change is a regression risk and a stale
+    # green row is only bookkeeping. The pre-existing r12 ordering (46
+    # r9-era staleness rows + 4 early refreshes) follows; duplicates
+    # resolve to the first occurrence, so changed queries that were
+    # already pinned simply moved up.
+    # -- the 13 plan-changed queries of the r12 optimization round --
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "sim_hybrid_rrf_ann",
+    "sim_eval_metrics",
+    "text_rrf_three_way",
+    "sim_hybrid_served",
+    "sim_rrf_three_way_served",
+    "cdc_bm25_tombstones",
+    "doc_ccnet_buckets",
+    "text_collocations",
+    "dedup_clusters",
+    "dedup_keep_one",
+    "dedup_keep_best",
     # -- the 46 r9-era rows (2-round staleness limit) --
     "cdc_delete_stream",
     "cdc_merge_skip_delete",
