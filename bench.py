@@ -71,6 +71,9 @@ def main() -> None:
     noise: dict[str, float] = {}
     for name in sorted(SPECS):
         spec = SPECS[name]
+        # guide §1.5: every job this query submits shows up attributable
+        # in logs/UI; driver-side string set, zero timing effect
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         if name in barrier and runs > 1:
             spec.spark(spark, sf_dir).count()  # warm, untimed
         samples: list[float] = []
