@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # appears mid-round (r10 ADVICE), and CORRECTNESS_r{N} lands BEFORE the
 # driver's close bench (r11 verdict: the official r11 detail self-labeled
 # r12). A constant cannot desync.
-ROUND = 12
+ROUND = 13
 
 # The driver's correctness check records at most ~50 queries per round, in
 # registration order. This list pins the queries that MUST be checked this

@@ -26,10 +26,15 @@ from kafka_cdc_redshift_spark.session import build_session  # noqa: E402
 def default_detail_path() -> str:
     """Filename (no directory) of the round's official bench detail
     artifact, labeled from the explicit `__spark_entry__.ROUND` marker —
-    the single source of truth for the build round (unit-pinned)."""
+    the single source of truth for the build round (unit-pinned) — AND
+    the core count: the driver benches the same round at two core counts
+    (32 and a low-core scaling run), and an unqualified name made the
+    second run overwrite the first (r12 verdict: the 8-core detail
+    clobbered the 32-core detail, so PERF_r12 had no per-query table)."""
     from __spark_entry__ import ROUND
 
-    return f"BENCH_DETAIL_r{ROUND:02d}.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"BENCH_DETAIL_r{ROUND:02d}_c{cpus}.json"
 
 
 def main() -> None:

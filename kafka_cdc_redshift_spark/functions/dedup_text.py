@@ -104,7 +104,26 @@ def jaccard_pairs(
         shingles are so extreme (df in the 10^8 range) that even one
         linear pass through one task is unacceptable.
     """
-    sets_ = _shingle_sets(df, id_col, text_col, n)
+    return jaccard_pairs_from_sets(
+        _shingle_sets(df, id_col, text_col, n),
+        threshold=threshold, max_df=max_df, cut_strategy=cut_strategy,
+    )
+
+
+def jaccard_pairs_from_sets(
+    sets_: DataFrame,
+    *,
+    threshold: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_DF,
+    cut_strategy: str = "window",
+) -> DataFrame:
+    """The exact-Jaccard pair reduction over ALREADY-BUILT (doc_id,
+    sh_set) shingle sets — the sharing path: when a job runs BOTH the
+    exact pipeline and an LSH pipeline over the same corpus (e.g. the
+    dedup_minhash_eval recall audit), build the shingle relation once
+    (`shingle_sketches`), localCheckpoint it, and feed it to both — the
+    tokenize+shingle pass over the corpus then runs once instead of once
+    per pipeline. Semantics identical to `jaccard_pairs`."""
     # carry the set size on every exploded row: the pair join can then
     # (a) prune by the size-ratio bound j <= min(sz)/max(sz) BEFORE the
     # aggregation, and (b) compute jaccard without re-joining sizes.
@@ -312,7 +331,21 @@ def lsh_band_index(
     own (tiny) band relation to this index — see
     `minhash_lsh_incremental`. Size is exactly docs x n_bands rows of
     (id, int, short string), independent of document length."""
-    sets_ = _shingle_sets(df, id_col, text_col, n)
+    return lsh_band_index_from_sets(
+        _shingle_sets(df, id_col, text_col, n),
+        num_hashes=num_hashes, band_size=band_size, max_bucket=max_bucket,
+    )
+
+
+def lsh_band_index_from_sets(
+    sets_: DataFrame,
+    *,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """`lsh_band_index` over ALREADY-BUILT (doc_id, sh_set) shingle sets
+    — the sharing path (see `jaccard_pairs_from_sets`)."""
     sig = minhash_signatures(sets_, num_hashes)
     n_bands = num_hashes // band_size
     band_rows = [
@@ -411,6 +444,61 @@ def minhash_lsh_pairs(
     )
     seta = cand_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     setb = cand_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter.cast("double") / (
+        F.size("set_a") + F.size("set_b") - inter
+    ).cast("double")
+    return (
+        cand.join(seta, "doc_a")
+        .join(setb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_from_sets(
+    sets_: DataFrame,
+    *,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """`minhash_lsh_pairs` over ALREADY-BUILT (doc_id, sh_set) shingle
+    sets — the sharing path (see `jaccard_pairs_from_sets`): signatures
+    derive from `sets_`, and exact-Jaccard verification semi-joins the
+    SAME relation on the candidate ids instead of re-shingling the
+    corpus text. Pass a localCheckpoint'ed `sets_` when another pipeline
+    consumes it too; results are identical to `minhash_lsh_pairs` (the
+    candidate ids are a subset of sets_'s doc ids by construction)."""
+    bands = lsh_band_index_from_sets(
+        sets_, num_hashes=num_hashes, band_size=band_size,
+        max_bucket=max_bucket,
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        # materialize: the id restriction below and the final pair join
+        # both consume it (see minhash_lsh_pairs)
+        .localCheckpoint()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sets = sets_.join(F.broadcast(cand_ids), "doc_id", "semi")
+    seta = cand_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    setb = cand_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter.cast("double") / (
         F.size("set_a") + F.size("set_b") - inter
@@ -569,9 +657,11 @@ def duplicate_clusters(
     (label := label[label]), which squares propagation distance per round:
     convergence in O(log diameter) barriers instead of O(diameter). The
     convergence probe rides the same materialization as the label update (a
-    `chg` flag column) and is skipped for the first two rounds — chains
-    shorter than 4 have already collapsed by then, so early probes only add
-    driver round-trips. Lineage is truncated with localCheckpoint so the
+    `chg` flag column) and runs from round 1 on (only the always-true
+    round-0 probe is skipped): near-dup graphs are overwhelmingly tiny
+    components that one pointer-jump round collapses, and the probe reads
+    the round's already-materialized checkpoint — a trivial limit-1 count.
+    Lineage is truncated with localCheckpoint so the
     plan stays flat (the legitimate pattern for iterative algorithms — data
     never leaves the cluster).
     """

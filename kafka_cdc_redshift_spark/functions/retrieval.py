@@ -12,13 +12,18 @@ Shape at scale (census + pruned-join BM25):
   * the query-term relation is tiny (|Q| * terms-per-query) and
     broadcast: the postings prune to matching terms by a broadcast hash
     join BEFORE anything aggregates or shuffles downstream;
-  * document frequencies are a WINDOW count over the PRUNED postings
-    (identical values — df per term is unchanged by dropping other
-    terms, and a window count equals a groupBy count): an inner join
-    on the grouping key does not push below an aggregation, so a
-    full-vocab census then a prune would scan-and-shuffle every term
-    per query batch, and a separate pruned-df aggregation would carry
-    the whole postings lineage a second time as a broadcast subtree;
+  * document frequencies are a map-side-combined groupBy count over the
+    PRUNED postings, broadcast back (identical values — df per term is
+    unchanged by dropping other terms): an inner join on the grouping
+    key does not push below an aggregation, so a full-vocab census then
+    a prune would scan-and-shuffle every term per query batch. The
+    pruned postings are localCheckpoint'ed so the census lineage
+    computes ONCE for both the df aggregation and the scorer — NOT a
+    window count over them, which would hash-exchange every matching
+    posting by term with no partial aggregation: rows per term =
+    df(term) is corpus-bounded, so one stop-word query term would
+    serialize millions of postings into a single window partition
+    (guide §2.5 skew);
   * corpus constants (n_docs, sum_dl) reduce to one broadcast row
     computed straight from the docs scan (corpus_stats_docs — no
     explode, no shuffle) — precomputed incrementally by the streamed
@@ -191,14 +196,18 @@ def bm25_topk_from_stats(
     """Score a query batch against a postings relation plus the 1-row
     corpus stats — the serving path: `bm25_topk` delegates here, and the
     streamed index (streaming/retrieval_ingest) serves its standing tf
-    through the same code. Document frequencies are a window count over
-    the QUERY-TERM-PRUNED postings, never the full vocabulary: an inner
-    join on the grouping key does not push below an aggregation, so a
-    full-vocab census then a prune would scan-and-shuffle every term per
-    query batch, and a separate pruned groupBy would evaluate the
-    postings lineage twice; the window count sees exactly the pruned
-    rows a groupBy would (identical values — df per term is unchanged
-    by dropping other terms) while the postings compute once."""
+    through the same code. Document frequencies are a partial-aggregated
+    groupBy count over the QUERY-TERM-PRUNED postings, never the full
+    vocabulary: an inner join on the grouping key does not push below an
+    aggregation, so a full-vocab census then a prune would scan-and-
+    shuffle every term per query batch. The pruned postings are
+    localCheckpoint'ed (lazy) so their lineage — the whole postings
+    census when called via bm25_topk — computes ONCE for both the df
+    aggregation and the scorer; the df relation itself is query-term-
+    bounded and broadcast back. A window count over the pruned postings
+    would avoid the checkpoint but hash-exchanges df(term) rows per term
+    into one partition with no map-side combine — corpus-bounded skew
+    on stop-word query terms (guide §2.5)."""
     if idf_mode not in ("raw", "lucene"):
         raise ValueError(f"unknown idf_mode {idf_mode!r}")
     from pyspark.sql import Window
@@ -207,19 +216,27 @@ def bm25_topk_from_stats(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(tokens_col(q_text_col))).alias("term"),
     )
-    tfq = tf.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
+    # materialize the pruned postings once (lazy: the first action —
+    # the qdf broadcast build — runs the census into executor-local
+    # storage; the scorer then re-reads rows, not lineage). Pruned rows
+    # are what the scorer must touch anyway; without the barrier the df
+    # aggregation would carry the entire postings census (corpus explode
+    # + (doc, term) shuffle) a second time as a broadcast subtree
+    # (guide §2.2).
+    # explicit projection (guide §2.3): the standing positional index
+    # serves through here with a positions-array column the scorer never
+    # reads — it must not be materialized into the checkpoint
+    tfq = (
+        tf.select("doc_id", "dl", "term", "tf")
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .localCheckpoint(eager=False)
     )
-    # df census as a window count over the PRUNED postings: the same
-    # exact integer count per term a groupBy would produce, but the tf
-    # lineage is computed ONCE — a separate qdf aggregation would carry
-    # the entire postings census (corpus explode + (doc, term) shuffle)
-    # a second time as a broadcast subtree (guide §2.2). The window's
-    # term-hash exchange moves only query-term-matching postings
-    # (query-batch-bounded, never corpus-bounded).
-    tf = tfq.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    # per-term document frequency: map-side partial aggregation (skew-
+    # resistant — a hot term combines within each map task before the
+    # tiny query-term-bounded result shuffles), broadcast back onto the
+    # checkpointed postings.
+    qdf = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tfq.join(F.broadcast(qdf), "term")
     tf_d = F.col("tf").cast("double")
     dl_d = F.col("dl").cast("double")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")

@@ -1208,15 +1208,23 @@ SELECT (SELECT count(*) FROM pe) AS n_exact,
 )
 def q_dedup_minhash_eval(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
+    # ONE shingle relation for both pipelines (r13, guide §2.2): the
+    # exact-jaccard and LSH pipelines each used to tokenize+shingle the
+    # corpus themselves; build the (doc_id, sh_set) relation once,
+    # materialize it, and thread it through the *_from_sets variants —
+    # the LSH verification leg also stops re-reading the corpus text
+    # (it semi-joins the same materialized sets on candidate ids)
+    sets_ = dedup_text.shingle_sketches(docs).localCheckpoint(eager=False)
     # each pair set feeds two consumers (its own count + the overlap join);
     # materialize the tiny pair relations once instead of replaying the
     # full jaccard/LSH pipelines per consumer
     exact = (
-        dedup_text.jaccard_pairs(docs).select("doc_a", "doc_b")
+        dedup_text.jaccard_pairs_from_sets(sets_).select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
     lsh = (
-        dedup_text.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+        dedup_text.minhash_lsh_pairs_from_sets(sets_)
+        .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1809,9 +1817,12 @@ def _pq_rerank_oracle(n_sub=8, subdim=8, n_codes=32, shortlist=100, k=3,
 )
 def q_sim_pq_rerank(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
+    # the codebook subtree (pruned scan + subspace explode + slice) feeds
+    # TWO broadcasts — pq_encode's corpus crossJoin and pq_topk's query
+    # distance table; materialize its 256 rows once (r13, guide §2.2)
     cb = similarity.subvector_codebooks(
         emb.filter(F.col("vec_id") < 32), n_sub=8
-    )
+    ).localCheckpoint(eager=False)
     codes = similarity.pq_encode(emb, cb, n_sub=8)
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -2277,9 +2288,11 @@ def q_sim_hybrid_rrf_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     tq = spark.createDataFrame(_HYBRID_QUERIES, "q_id long, q_text string")
     lex = retrieval.bm25_topk(docs, tq, k=20)
+    # codebook materialized once for its two broadcast consumers — see
+    # q_sim_pq_rerank (r13, guide §2.2)
     cb = similarity.subvector_codebooks(
         emb.filter(F.col("vec_id") < 32), n_sub=8
-    )
+    ).localCheckpoint(eager=False)
     codes = similarity.pq_encode(emb, cb, n_sub=8)
     dq = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")

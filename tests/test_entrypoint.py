@@ -434,7 +434,13 @@ def test_bench_round_label_from_explicit_marker():
     import bench
 
     assert isinstance(entry.ROUND, int)
-    assert bench.default_detail_path() == f"BENCH_DETAIL_r{entry.ROUND:02d}.json"
+    # cpu-qualified since r13 (r12 verdict: the driver's 8-core scaling
+    # run overwrote the 32-core detail, losing the per-query evidence)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    assert (
+        bench.default_detail_path()
+        == f"BENCH_DETAIL_r{entry.ROUND:02d}_c{cpus}.json"
+    )
 
     here = os.path.dirname(os.path.abspath(bench.__file__))
     nums = [

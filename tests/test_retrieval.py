@@ -112,18 +112,26 @@ def test_bm25_plan_no_python_and_broadcast_pruning(spark, corpus):
 
 
 def test_bm25_single_postings_census(spark, corpus):
-    """r12 optimization pin: the (doc, term) postings census — the corpus
-    explode + shuffle that dominates BM25 — must appear ONCE in the plan.
-    The df census rides a window over the pruned postings and the corpus
-    constants come from the docs scan (corpus_stats_docs), so a
-    regression back to a groupBy-df broadcast or census-derived stats
-    shows up as extra explode Generates."""
+    """r12/r13 optimization pin: the (doc, term) postings census — the
+    corpus explode + shuffle that dominates BM25 — must compute ONCE.
+    Since r13 the pruned postings are localCheckpoint'ed (the census runs
+    once, into the checkpoint job) and df is a partial-agg groupBy
+    broadcast back, so the FINAL plan shows NO corpus tokenize explode at
+    all and NO per-term window over the postings (the r12 window-df shape
+    had corpus-bounded skew: all df(term) rows of one hot term in one
+    window partition). The corpus constants still come from the one docs
+    scan (corpus_stats_docs)."""
     df = _topk(spark, corpus, "shuffle plan", k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # corpus-side tokenize explodes: exactly one (the postings census);
-    # the query side explodes from a local relation, not `explode(split(`
-    # over the corpus text column
-    assert plan.count("explode(split(trim(lower(text") == 1
+    # the census lineage lives in the checkpoint, not the final plan; a
+    # regression back to an in-plan census (once or twice) shows up here
+    assert plan.count("explode(split(trim(lower(text") == 0
+    # the checkpointed pruned postings feed both the df aggregation and
+    # the scorer as plain RDD scans
+    assert "Scan ExistingRDD" in plan
+    # no skew-prone per-term window over postings: the only window is the
+    # per-query rank (partitioned by q_id)
+    assert "windowspecdefinition(term" not in plan
 
 
 def test_corpus_stats_docs_equals_census_derivation(spark):
