@@ -56,17 +56,17 @@ ROUND = 13
 # round (new, or changed signal/plan); the rest register stalest-driver-
 # row-first (_stale_first) so rows refresh across the catalog over rounds.
 _DRIVER_CHECK_FIRST = [
-    # round 12 priority, updated for the OPTIMIZATION phase: the 13
-    # queries whose physical plans changed this round (the BM25
-    # single-census rewrite, the ccnet/collocations materializations,
-    # the cluster-loop probe — see OPTIMIZATION_r12.md) lead the list:
-    # "new or changed plan" outranks staleness by this list's own rule,
-    # because an unverified plan change is a regression risk and a stale
-    # green row is only bookkeeping. The pre-existing r12 ordering (46
-    # r9-era staleness rows + 4 early refreshes) follows; duplicates
-    # resolve to the first occurrence, so changed queries that were
-    # already pinned simply moved up.
-    # -- the 13 plan-changed queries of the r12 optimization round --
+    # round 13 priority (2nd OPTIMIZATION round): the queries whose
+    # physical plans or build-time lineage changed this round lead the
+    # list — the BM25 de-skew (checkpointed pruned postings + partial-agg
+    # df broadcast, replacing the r12 per-term window), the shared
+    # shingle relation in dedup_minhash_eval, and the PQ-codebook
+    # materialization (see OPTIMIZATION_r13.md). "New or changed plan"
+    # outranks staleness: an unverified plan change is a regression risk,
+    # a stale green row is only bookkeeping. cdc_bm25_tombstones rides
+    # along because it shares retrieval.py lineage even though its own
+    # plan is byte-identical.
+    # -- the plan/lineage-changed queries of the r13 optimization round --
     "text_bm25_topk",
     "sim_hybrid_rrf",
     "sim_hybrid_rrf_ann",
@@ -75,63 +75,16 @@ _DRIVER_CHECK_FIRST = [
     "sim_hybrid_served",
     "sim_rrf_three_way_served",
     "cdc_bm25_tombstones",
-    "doc_ccnet_buckets",
-    "text_collocations",
-    "dedup_clusters",
-    "dedup_keep_one",
-    "dedup_keep_best",
-    # -- the 46 r9-era rows (2-round staleness limit) --
-    "cdc_delete_stream",
-    "cdc_merge_skip_delete",
-    "cdc_pipeline_debezium",
-    "cdc_pipeline_dms",
-    "cdc_pipeline_mongo",
-    "cdc_safe_cast",
-    "cdc_schema_evolution",
-    "cdc_typeconv",
-    "corpus_group_stats",
-    "corpus_stats_incremental",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_lsh_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_contamination_bloom",
-    "doc_decontaminate",
-    "doc_dsir_weights",
-    "doc_importance_resample",
-    "emb_kmeans",
-    "events_grouping_sets",
-    "events_kmv_sample_audit",
-    "events_topk_cms_audit",
-    "q20_excess_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "sim_hybrid_rrf",
-    "sim_ivf_recall",
-    "sim_pair_hist",
+    "dedup_minhash_eval",
     "sim_pq_rerank",
-    "text_bm25_topk",
-    "text_collocations",
-    "text_commonness",
-    "text_gopher_filters",
-    "text_kneser_ney",
+    # -- the last 5 r9-era rows (oldest in the freshness histogram;
+    # everything else is r10+ and _stale_first fills the remaining ~35
+    # slots oldest-first, so the r10 cohort refreshes right behind) --
     "text_ngram_counts",
     "text_phrase_match",
     "text_pii_redact",
     "text_repetition",
     "text_vocab_growth",
-    # -- the ~4 free slots (r10-era rows, refreshed a round early) --
-    "cdc_dedup_tombstones",   # dedup-shell context of the r12 LSH keys
-    "sim_hybrid_rrf_ann",     # scale-probe heavy query
-    "text_rrf_three_way",     # scale-probe heavy query
-    "dedup_minhash_eval",     # scale-probe heavy query
 ]
 
 
