@@ -304,6 +304,78 @@ def chunk_dedup(
     )
 
 
+def doc_shingle_hashes(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (doc_id, gh) exploded distinct-shingle 60-bit hash relation —
+    the shared input of every contamination probe (exact membership join
+    AND bloom prefilter read exactly these rows). Exposed so a caller
+    that runs BOTH probes over the same corpus can build the explode
+    once, `localCheckpoint` it, and thread it through the `_from_hashes`
+    variants instead of paying the tokenize+shingle+hash pass per probe.
+    """
+    from .dedup_text import shingles_col
+
+    # explode_outer, not explode: a bare explode of the shingle expression
+    # triggers InferFiltersFromGenerate + pushdown, which substitutes the
+    # WHOLE shingle expression into a size(..)>0 filter below the spread()
+    # repartition — recomputing it on the scan's few partitions (NOTES
+    # pathology #2). The empty-array rows explode_outer keeps become one
+    # NULL each; the post-Generate IS NOT NULL filter drops them and
+    # cannot be pushed below the Generate.
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(shingles_col(text_col, n)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", hash60(F.col("g")).alias("gh"))
+    )
+
+
+def eval_shingle_hashes(
+    eval_df: DataFrame, *, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The eval corpus' shingle 60-bit hashes as a bare (gh) relation —
+    pre-distinct, so one materialization serves both `bloom_from_hashes`
+    (bit_or is idempotent, needs no distinct) and the exact membership
+    leg (which applies its own distinct)."""
+    from .dedup_text import shingles_col
+
+    return (
+        spread(eval_df)
+        .select(F.explode_outer(shingles_col(text_col, n)).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(hash60(F.col("g")).alias("gh"))
+    )
+
+
+def contamination_score_from_hashes(
+    tr: DataFrame, ev_gh: DataFrame
+) -> DataFrame:
+    """`contamination_score` over ALREADY-BUILT hash relations: `tr` =
+    (doc_id, gh) from `doc_shingle_hashes`, `ev_gh` = (gh) from
+    `eval_shingle_hashes` (pre-distinct; deduplicated here). Lets the
+    audit query share one checkpointed explode with the bloom prefilter."""
+    ev = ev_gh.select("gh").distinct().withColumn("__hit", F.lit(1))
+    return (
+        tr.join(F.broadcast(ev), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+        )
+        .withColumn(
+            "contamination", F.col("n_matched") / F.col("n_shingles")
+        )
+    )
+
+
 def contamination_score(
     train: DataFrame,
     eval_df: DataFrame,
@@ -323,43 +395,9 @@ def contamination_score(
     membership probe is a broadcast join on longs — no eval text shuffles
     and the train side is a single explode + rollup on doc_id.
     """
-    from .dedup_text import shingles_col
-
-    # explode_outer, not explode: a bare explode of the shingle expression
-    # triggers InferFiltersFromGenerate + pushdown, which substitutes the
-    # WHOLE shingle expression into a size(..)>0 filter below the spread()
-    # repartition — recomputing it on the scan's few partitions (NOTES
-    # pathology #2). The empty-array rows explode_outer keeps become one
-    # NULL each; the post-Generate IS NOT NULL filter drops them and
-    # cannot be pushed below the Generate.
-    tr = (
-        spread(train)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode_outer(shingles_col(text_col, n)).alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
-        .select("doc_id", hash60(F.col("g")).alias("gh"))
-    )
-    ev = (
-        spread(eval_df)
-        .select(F.explode_outer(shingles_col(text_col, n)).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select(hash60(F.col("g")).alias("gh"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
-    return (
-        tr.join(F.broadcast(ev), "gh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
-        )
-        .withColumn(
-            "contamination", F.col("n_matched") / F.col("n_shingles")
-        )
-    )
+    tr = doc_shingle_hashes(train, n=n, id_col=id_col, text_col=text_col)
+    ev = eval_shingle_hashes(eval_df, n=n, text_col=text_col)
+    return contamination_score_from_hashes(tr, ev)
 
 
 def sample_k_per_stratum(

@@ -179,6 +179,21 @@ def contamination_prefilter(
         .filter(F.col("g").isNotNull())
         .select("doc_id", hash60(F.col("g")).alias("gh"))
     )
+    return contamination_prefilter_from_hashes(tr, bloom, m=m, d=d)
+
+
+def contamination_prefilter_from_hashes(
+    tr: DataFrame,
+    bloom: DataFrame,
+    *,
+    m: int = BLOOM_M,
+    d: int = BLOOM_D,
+) -> DataFrame:
+    """`contamination_prefilter` over an ALREADY-BUILT (doc_id, gh)
+    relation (curation.doc_shingle_hashes) — the bloom-vs-exact audit
+    runs both probes over the same corpus, so it builds the explode once,
+    checkpoints it, and threads it through here and
+    `contamination_score_from_hashes`."""
     probed = tr.join(F.broadcast(bloom)).withColumn(
         "__hit", bloom_hit_col(F.col("gh"), F.col("bloom"), m=m, d=d)
     )

@@ -1735,9 +1735,17 @@ def q_doc_contamination_bloom(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
-    bloom = membership.ngram_bloom(eval_df)
-    pre = membership.contamination_prefilter(docs, bloom)
-    exact = curation.contamination_score(docs, eval_df).select(
+    # the audit runs BOTH probes over the same corpus: the (doc_id, gh)
+    # shingle explode feeds the bloom prefilter AND the exact membership
+    # join, and the eval hashes feed the bloom build AND the exact side —
+    # without a barrier each consumer replays the tokenize+shingle+hash
+    # pass (multi-consumer replay, NOTES r3; same move as
+    # dedup_minhash_eval's shared shingle relation)
+    tr = curation.doc_shingle_hashes(docs).localCheckpoint(eager=False)
+    evh = curation.eval_shingle_hashes(eval_df).localCheckpoint(eager=False)
+    bloom = membership.bloom_from_hashes(evh, "gh")
+    pre = membership.contamination_prefilter_from_hashes(tr, bloom)
+    exact = curation.contamination_score_from_hashes(tr, evh).select(
         "doc_id", "n_matched"
     )
     return pre.join(exact, "doc_id").select(

@@ -11,6 +11,10 @@ from kafka_cdc_redshift_spark.sources import load_table
 from kafka_cdc_redshift_spark.streaming.ann_ingest import AnnIngest
 from kafka_cdc_redshift_spark.streaming.store import AppendLog
 
+# multi-minute churn/e2e module: excluded from the driver's bounded
+# verify window (pytest.ini addopts); the full suite runs it with -m ""
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):

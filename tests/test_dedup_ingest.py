@@ -14,6 +14,10 @@ from kafka_cdc_redshift_spark.sources import load_table
 from kafka_cdc_redshift_spark.streaming.dedup_ingest import DedupIngest
 from kafka_cdc_redshift_spark.streaming.store import AppendLog
 
+# multi-minute churn/e2e module: excluded from the driver's bounded
+# verify window (pytest.ini addopts); the full suite runs it with -m ""
+pytestmark = pytest.mark.slow
+
 
 def _pair_key(r):
     return (r.doc_a, r.doc_b, round(r.jaccard, 9))

@@ -5,6 +5,13 @@ two-session lifecycle can't disturb the shared test session."""
 import subprocess
 import sys
 
+import pytest
+
+# subprocess two-session lifecycle probes take 1-2 min each: excluded from
+# the driver's bounded verify window (pytest.ini addopts); the full suite
+# runs them with -m ""
+pytestmark = pytest.mark.slow
+
 SCRIPT = r"""
 from kafka_cdc_redshift_spark.session import build_session
 from kafka_cdc_redshift_spark.plans import catalog

@@ -23,6 +23,10 @@ from kafka_cdc_redshift_spark.streaming.dedup_ingest import DedupIngest
 from kafka_cdc_redshift_spark.streaming.retrieval_ingest import RetrievalIngest
 from kafka_cdc_redshift_spark.streaming.store import AppendLog
 
+# multi-minute churn/e2e module: excluded from the driver's bounded
+# verify window (pytest.ini addopts); the full suite runs it with -m ""
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):

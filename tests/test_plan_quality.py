@@ -409,3 +409,32 @@ def test_collocations_shared_census_and_mapside_totals(spark, sf_dir):
     plan = formatted_plan(spark, sf_dir, "text_collocations")
     assert plan.count("documents.parquet") == 2
     assert plan.count("Scan ExistingRDD") >= 2  # unigram census, both legs
+
+
+def test_kmeans_training_relation_materialized_once(spark, sf_dir):
+    """r13 optimization pin: kmeans materializes the (id, double-cast
+    vector) relation once for the whole Lloyd loop (seed, every
+    iteration, final assignment) — the final plan must read the
+    checkpointed rows, not re-run the embeddings scan + cast + spread
+    repartition per action. A regression shows up as the parquet scan
+    reappearing in the final plan."""
+    plan = formatted_plan(spark, sf_dir, "emb_kmeans")
+    assert "embeddings.parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_contamination_bloom_shares_one_shingle_explode(spark, sf_dir):
+    """r13 optimization pin: the bloom-vs-exact audit builds the corpus
+    (doc_id, gh) shingle explode and the eval hash relation ONCE each
+    (checkpointed), threading them through both probes — before, the
+    bloom prefilter and the exact membership leg each re-ran the
+    tokenize+shingle+hash pass (and the eval side shingled twice more
+    for the bloom build and the exact join). The final plan must read
+    only materialized rows; the corpus explode reappearing under either
+    probe is the regression."""
+    plan = formatted_plan(spark, sf_dir, "doc_contamination_bloom")
+    assert "documents.parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3  # tr x2 + evh (+ bloom build)
+    # the only Generate left is the bloom's d-probe position explode
+    # (checkpoint builds run the shingle Generates outside this plan)
+    assert plan.count("Generate") <= 2

@@ -11,11 +11,16 @@ Verifies the invariants SURVEY §7.3 calls out as the hard parts:
   * union_window and anti_join merge strategies agree
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from kafka_cdc_redshift_spark.operators.dedup import lww_dedup
 from kafka_cdc_redshift_spark.operators.merge import merge_changes
+
+# multi-minute hypothesis folds: excluded from the driver's bounded
+# verify window (pytest.ini addopts); the full suite runs it with -m ""
+pytestmark = pytest.mark.slow
 
 # rows: (key, ts, value, op); (key, ts) unique so LWW winners are unambiguous
 changelogs = st.lists(
