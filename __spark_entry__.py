@@ -77,7 +77,6 @@ _DRIVER_CHECK_FIRST = [
     "cdc_bm25_tombstones",
     "dedup_minhash_eval",
     "sim_pq_rerank",
-    "emb_kmeans",
     "doc_contamination_bloom",
     # -- the last 5 r9-era rows (oldest in the freshness histogram;
     # everything else is r10+ and _stale_first fills the remaining ~35

@@ -117,9 +117,8 @@ def kmeans(
     (the signal diversity-sampling and IVF cell-balance checks read).
     Empty cells keep their previous centroid (k-means standard practice).
     """
-    prep = _prepared(emb, id_col=id_col, vec_col=vec_col)
-    centroids = _lloyd(prep, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    final = assign_cells(prep, centroids, id_col=id_col, vec_col=vec_col)
+    centroids = _lloyd(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    final = assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
     # cell_size via a k-row groupBy broadcast-joined back, NOT
     # count(*) OVER (PARTITION BY cell): `cell` has cardinality k over a
     # corpus-sized relation, so the window spelling funnels every
@@ -144,35 +143,10 @@ def kmeans_centroids(
     `streaming/ann_ingest.AnnIngest` take as an index's centroid set.
     This is the trainer the drift-triggered IVF rebuild calls: retrain on
     the standing corpus, build a NEW index version, swap atomically."""
-    prep = _prepared(emb, id_col=id_col, vec_col=vec_col)
-    centroids = _lloyd(prep, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    centroids = _lloyd(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return emb.sparkSession.createDataFrame(
         [(cid, [float(x) for x in ce]) for cid, ce in centroids],
         "cent_id int, c_emb array<double>",
-    )
-
-
-def _prepared(
-    emb: DataFrame, *, id_col: str, vec_col: str
-) -> DataFrame:
-    """Materialize the (id, double-cast vector) training relation ONCE for
-    the whole Lloyd loop. Every iteration plus the final assignment is a
-    fresh action over the same input, so without a barrier each one
-    re-runs the parquet scan, the float->double cast, and `spread`'s
-    balancing repartition (iters+2 identical passes). This is the same
-    move MLlib's KMeans makes (`.cache()` on the training set before the
-    loop); `localCheckpoint(eager=False)` keeps it lazy so the first
-    action of THIS query pays the materialization inside its own timing.
-
-    Bit-exactness: `_dbl` over an already-double array is an identity
-    cast, and `dot_col`/`assign_cells` re-apply `_dbl` themselves, so
-    every downstream value is unchanged; the checkpointed rows carry
-    exactly the two columns the loop reads (guide §2.3 project early).
-    """
-    return (
-        spread(emb)
-        .select(F.col(id_col), _dbl(F.col(vec_col)).alias(vec_col))
-        .localCheckpoint(eager=False)
     )
 
 
@@ -185,9 +159,16 @@ def _lloyd(
     vec_col: str,
 ) -> list[tuple[int, list[float]]]:
     """`iters` assign+update rounds; returns the converged centroid list
-    (see `kmeans` for the determinism contract). Callers pass the
-    `_prepared` checkpointed relation so the per-iteration actions read
-    materialized rows instead of replaying the scan lineage."""
+    (see `kmeans` for the determinism contract).
+
+    Re-scanning the input per action is DELIBERATE: an r13 A/B probe
+    (plans/r13/probe_kmeans_ab.py, 4M vectors) measured a
+    localCheckpoint'ed (id, double-cast vector) relation 29% SLOWER than
+    replaying the scan — the materialized rows store EXPANDED double
+    arrays (2x the float parquet bytes plus block overhead), while the
+    column-pruned compressed scan parallelizes perfectly and assignment
+    is compute-bound anyway. Unlike the engine's other checkpoint wins,
+    nothing expensive (explode, hash, join) is saved here."""
     seed = (
         emb.select(F.col(id_col), _dbl(F.col(vec_col)).alias("e"))
         .orderBy(id_col)
